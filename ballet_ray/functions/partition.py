@@ -1,0 +1,52 @@
+"""Hash-bucket co-partitioning — the engine's shuffle workhorse.
+
+Keyed/windowed operators and as-of joins need every row of an entity in one
+place. Instead of ``groupby(entity)`` (one pandas group per entity — ruinous
+per-group overhead with billions of small entities), we bucket entities with
+a *stable* hash into B buckets and run ``groupby(bucket).map_groups`` with a
+fully vectorized kernel per bucket. B bounds the shuffle fan-in; hot keys are
+handled above this layer (see stages/asof.py).
+
+The hash must be identical across processes and runs (Python's builtin
+``hash`` is salted), so we use pandas' siphash-based ``hash_array`` with its
+fixed default key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "__bucket"
+
+
+def stable_hash_array(values) -> np.ndarray:
+    """Deterministic uint64 hash of an arbitrary array-like (vectorized)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("U", "S", "O"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def add_bucket_column(batch: pa.Table, key: str, num_buckets: int, *, salt: np.ndarray | None = None) -> pa.Table:
+    """Append ``__bucket = stable_hash(key) % B`` to an Arrow batch."""
+    col = batch.column(key)
+    h = stable_hash_array(col.to_numpy(zero_copy_only=False))
+    b = (h % np.uint64(num_buckets)).astype(np.int32)
+    if salt is not None:
+        b = (b + salt) % np.int32(num_buckets)
+    return batch.append_column(BUCKET_COL, pa.array(b))
+
+
+def bucketize(ds, key: str, num_buckets: int):
+    """Add the bucket column to a Dataset (stateless map_batches, zero-copy)."""
+    return ds.map_batches(
+        lambda t, k=key, n=num_buckets: add_bucket_column(t, k, n),
+        batch_format="pyarrow",
+    )
+
+
+def sort_table(table: pa.Table, keys: list[str]) -> pa.Table:
+    """Sort an Arrow table by the given columns ascending (nulls last)."""
+    return table.sort_by([(k, "ascending") for k in keys])

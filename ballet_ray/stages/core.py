@@ -1,0 +1,161 @@
+"""Stateless batch transforms (reference ``ballet.eng`` misc/missing ops).
+
+All operate on zero-copy Arrow batches with pyarrow.compute kernels — no
+Python per-row work, no pandas conversion. Each maps 1:1 to an operator in
+SURVEY.md §2.2 with the reference citation in its docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ballet_ray.transformer import Transform
+
+
+class IdentityTransform(Transform):
+    """Pass-through (reference IdentityTransformer, ballet/eng/misc.py:25-30)."""
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return table.select(cols)
+
+
+class NullTransform(Transform):
+    """Zero feature values (reference NullTransformer, ballet/eng/misc.py:119-127)."""
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return table.select([])
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return []
+
+
+class ColumnSelector(Transform):
+    """Project a fixed subset (reference ColumnSelector, ballet/eng/misc.py:159-170)."""
+
+    def __init__(self, cols: list[str] | str):
+        self.cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return table.select(self.cols)
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return list(self.cols)
+
+
+class ValueReplacer(Transform):
+    """Replace exact matches of ``value`` (reference ValueReplacer,
+    ballet/eng/misc.py:58-75): X[X == value] = replacement."""
+
+    def __init__(self, value, replacement):
+        self.value = value
+        self.replacement = replacement
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = table.column(c)
+            repl = pa.scalar(self.replacement, type=col.type)
+            out[c] = pc.if_else(pc.equal(col, pa.scalar(self.value, type=col.type)), repl, col)
+        return pa.table(out)
+
+
+class NullFiller(Transform):
+    """Fill nulls/NaNs with a constant (reference NullFiller,
+    ballet/eng/missing.py:20-38, default predicate pd.isnull)."""
+
+    def __init__(self, replacement=0.0):
+        self.replacement = replacement
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = table.column(c)
+            if pa.types.is_floating(col.type):
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+            out[c] = pc.fill_null(col, pa.scalar(self.replacement, type=col.type))
+        return pa.table(out)
+
+
+class NullIndicator(Transform):
+    """1 where null else 0 (reference NullIndicator, ballet/eng/missing.py:41-45)."""
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = table.column(c)
+            isnull = pc.is_null(col, nan_is_null=True)
+            out[f"{c}_isnull"] = pc.cast(isnull, pa.int8())
+        return pa.table(out)
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return [f"{c}_isnull" for c in cols]
+
+
+class Log1p(Transform):
+    """log(1+x) — the λ=0 branch of boxcox1p used by the reference BoxCox
+    (ballet/eng/misc.py:33-55)."""
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return pa.table(
+            {f"log1p_{c}": pc.ln(pc.add(pc.cast(table.column(c), pa.float64()), 1.0)) for c in cols}
+        )
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return [f"log1p_{c}" for c in cols]
+
+
+class Binarizer(Transform):
+    """x > threshold → 1 else 0 (sklearn-parity stateless encoder,
+    re-exported by reference ballet/eng/external/sklearn.py)."""
+
+    def __init__(self, threshold: float = 0.0):
+        self.threshold = threshold
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return pa.table(
+            {
+                f"{c}_bin": pc.cast(pc.greater(table.column(c), self.threshold), pa.int8())
+                for c in cols
+            }
+        )
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return [f"{c}_bin" for c in cols]
+
+
+class TokenCount(Transform):
+    """Length of a list<...> column (token count of a pre-tokenized row).
+
+    North-rule invariant: for the canonical table this must equal ``n_tok``.
+    """
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return pa.table(
+            {f"{c}_count": pc.cast(pc.list_value_length(table.column(c)), pa.int32()) for c in cols}
+        )
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return [f"{c}_count" for c in cols]
+
+
+class ArrowExprTransform(Transform):
+    """Arbitrary vectorized table→columns function, declared output names.
+
+    The escape hatch for bespoke Arrow-kernel features:
+    ``fn(table, cols) -> dict[str, Array|np.ndarray]``.
+    """
+
+    def __init__(self, fn, outputs: list[str]):
+        self.fn = fn
+        self.outputs = list(outputs)
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        res = self.fn(table, cols)
+        return pa.table(
+            {n: (v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(np.asarray(v))) for n, v in res.items()}
+        )
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return list(self.outputs)

@@ -1,0 +1,158 @@
+"""Distributed fit pass: batched aggregate requests → small fitted states.
+
+The reference fits each transformer eagerly on an in-memory frame
+(ballet/pipeline.py:39-42 via DataFrameMapper). At 100 TB a fit pass is a
+full scan, so transforms declare *aggregate requests* and the planner runs
+ONE ``Dataset.aggregate`` for all global statistics of all features
+(mean/std/min/max/absmax/quantiles in a single streaming pass), plus one
+small ``groupby`` per distinct category/group column. Results are bound
+back into each transform as plain-python fitted state (small, picklable,
+closed over by the transform stage — broadcast once per worker by Ray).
+
+Request kinds
+-------------
+("moments", col)              → {count, sum, mean, std0, std1, min, max}
+("moments3", col)             → adds {m2, m3} central-ish sums for skewness
+("absmax", col)               → {absmax}
+("quantile", col, (q...))     → tuple of quantile values
+("cats", col)                 → {value: count} (driver-side dict; assumed small)
+("grouped_moments", col, by)  → {group: {count, mean, std0, min, max}}
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ray.data.aggregate import AbsMax, Count, Max, Mean, Min, Quantile, Std, Sum
+
+
+def _alias(kind: str, col: str, extra: str = "") -> str:
+    return f"__fit::{kind}::{col}::{extra}"
+
+
+class FitPlanner:
+    """Collects agg requests from many transforms, runs the minimal number
+    of Dataset passes, and binds results back."""
+
+    def __init__(self) -> None:
+        self._entries: list[tuple[object, list[str]]] = []
+
+    def add(self, transform, cols: list[str]) -> None:
+        self._entries.append((transform, cols))
+
+    def run(self, ds) -> dict:
+        requests: dict[tuple, tuple] = {}
+        for t, cols in self._entries:
+            for req in t.agg_requests(cols):
+                requests[req] = req
+        if not requests:
+            results: dict[tuple, object] = {}
+        else:
+            results = self._execute(ds, list(requests))
+        for t, cols in self._entries:
+            t.bind_fit_results(cols, results)
+        return results
+
+    # ------------------------------------------------------------------
+    def _execute(self, ds, requests: list[tuple]) -> dict:
+        results: dict[tuple, object] = {}
+        global_aggs = []
+        moment3_cols: list[str] = []
+
+        for req in requests:
+            kind, col = req[0], req[1]
+            if kind in ("moments", "moments3"):
+                global_aggs += [
+                    Count(col, ignore_nulls=True, alias_name=_alias("count", col)),
+                    Sum(col, alias_name=_alias("sum", col)),
+                    Mean(col, alias_name=_alias("mean", col)),
+                    Std(col, ddof=0, alias_name=_alias("std0", col)),
+                    Std(col, ddof=1, alias_name=_alias("std1", col)),
+                    Min(col, alias_name=_alias("min", col)),
+                    Max(col, alias_name=_alias("max", col)),
+                ]
+                if kind == "moments3":
+                    moment3_cols.append(col)
+            elif kind == "absmax":
+                global_aggs.append(AbsMax(col, alias_name=_alias("absmax", col)))
+            elif kind == "quantile":
+                for q in req[2]:
+                    global_aggs.append(Quantile(col, q=q, alias_name=_alias("q", col, str(q))))
+
+        row = ds.aggregate(*global_aggs) if global_aggs else {}
+
+        for req in requests:
+            kind, col = req[0], req[1]
+            if kind in ("moments", "moments3"):
+                res = {
+                    k: row.get(_alias(k, col))
+                    for k in ("count", "sum", "mean", "std0", "std1", "min", "max")
+                }
+                if kind == "moments3":
+                    res.update(self._central_moments(ds, col, res["mean"]))
+                results[req] = res
+            elif kind == "absmax":
+                results[req] = {"absmax": row.get(_alias("absmax", col))}
+            elif kind == "quantile":
+                results[req] = tuple(row.get(_alias("q", col, str(q))) for q in req[2])
+            elif kind == "cats":
+                results[req] = self._category_counts(ds, col)
+            elif kind == "grouped_moments":
+                results[req] = self._grouped_moments(ds, col, req[2])
+            else:
+                raise ValueError(f"unknown fit request kind: {kind}")
+        return results
+
+    @staticmethod
+    def _central_moments(ds, col: str, mean: float) -> dict:
+        """Sum of (x-mean)^2 and (x-mean)^3 — one extra narrow pass, used for
+        the skewness condition of the BoxCox transform (reference computes
+        scipy.stats.skew at fit, ballet/eng/misc.py:49-50)."""
+
+        def partial(t):
+            import pyarrow as pa
+
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            d = x - mean
+            return pa.table(
+                {"m2": [float(np.sum(d**2))], "m3": [float(np.sum(d**3))], "n": [len(x)]}
+            )
+
+        parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+        from ray.data.aggregate import Sum as _Sum
+
+        row = parts.aggregate(_Sum("m2", alias_name="m2"), _Sum("m3", alias_name="m3"))
+        return {"m2": row["m2"], "m3": row["m3"]}
+
+    @staticmethod
+    def _category_counts(ds, col: str) -> dict:
+        out = ds.groupby(col).count()
+        pdf = out.to_pandas()  # one row per category — small by assumption
+        return dict(zip(pdf[col], pdf["count()"]))
+
+    @staticmethod
+    def _grouped_moments(ds, col: str, by: str) -> dict:
+        out = ds.groupby(by).aggregate(
+            Count(col, ignore_nulls=True, alias_name="count"),
+            Mean(col, alias_name="mean"),
+            Std(col, ddof=0, alias_name="std0"),
+            Min(col, alias_name="min"),
+            Max(col, alias_name="max"),
+        )
+        pdf = out.to_pandas()
+        return {
+            rec[by]: {k: rec[k] for k in ("count", "mean", "std0", "min", "max")}
+            for rec in pdf.to_dict("records")
+        }
+
+
+def skewness_from_moments(count: float, m2: float, m3: float) -> float:
+    """Population skewness g1 = (m3/n) / (m2/n)^1.5 — matches
+    scipy.stats.skew(bias=True) used by the reference BoxCox condition."""
+    if not count or m2 == 0:
+        return 0.0
+    n = float(count)
+    return (m3 / n) / math.pow(m2 / n, 1.5)

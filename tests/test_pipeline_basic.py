@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests over the synthetic token corpus, verified
+against a pandas shadow oracle (the reference itself is not importable
+here — see SURVEY.md §0)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from ballet_ray import Feature, FeatureEngineeringPipeline
+from ballet_ray.stages.core import Log1p, TokenCount
+from ballet_ray.stages.encoders import StandardScaler
+from ballet_ray.stages.windows import Lag, RollingMean, Sessionize
+
+
+def _read(corpus_dir):
+    return rd.read_parquet(corpus_dir)
+
+
+def test_token_count_matches_n_tok(corpus_dir):
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline(
+        [Feature("tokens", TokenCount(), output="token_count")]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    assert (out["token_count"] == out["n_tok"]).all()
+    assert len(out) == ds.count()
+
+
+def test_token_array_passthrough_equality(corpus_dir):
+    """North-rule per-row invariant: tokens survive the pipeline bit-exact."""
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline([Feature("n_tok", Log1p())])
+    out = pipe.fit_transform(ds)
+    got = out.sort("doc_id").to_pandas()
+    src = ds.sort("doc_id").to_pandas()
+    # same multiset of rows; align by (doc_id, event_ts)
+    got = got.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+    src = src.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+    for a, b in zip(got["tokens"], src["tokens"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.allclose(got["log1p_n_tok"], np.log1p(src["n_tok"]))
+
+
+def test_standard_scaler_per_fit_semantics(corpus_dir):
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline([Feature("n_tok", StandardScaler())])
+    out = pipe.fit_transform(ds).to_pandas()
+    x = out["n_tok"].to_numpy(dtype=float)
+    expected = (x - x.mean()) / x.std()  # ddof=0
+    assert np.allclose(out["n_tok_z"], expected, atol=1e-9)
+
+
+def test_lag_rolling_session_against_pandas(corpus_dir):
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("n_tok", Lag(1, key="doc_id", order_by="event_ts")),
+            Feature("n_tok", RollingMean(3, key="doc_id", order_by="event_ts")),
+            Feature("event_ts", Sessionize(3600, key="doc_id", order_by="event_ts")),
+        ]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    out = out.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+
+    src = ds.to_pandas().sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+    g = src.groupby("doc_id", sort=False)
+    exp_lag = g["n_tok"].shift(1)
+    exp_rm = g["n_tok"].rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+    gap = g["event_ts"].diff() > pd.Timedelta(seconds=3600)
+    exp_sess = gap.groupby(src["doc_id"]).cumsum()
+
+    assert np.allclose(out["n_tok_lag1"], exp_lag, equal_nan=True)
+    assert np.allclose(out["n_tok_rmean3"], exp_rm)
+    assert (out["session_id"].to_numpy() == exp_sess.to_numpy()).all()
+
+
+def test_multiple_blocks_group_integrity(corpus_dir):
+    """Entities span input shards; the keyed pass must still see each entity
+    whole (cross-block boundary bug guard, SURVEY.md §7.4)."""
+    ds = _read(corpus_dir).repartition(8)
+    pipe = FeatureEngineeringPipeline(
+        [Feature("n_tok", Lag(1, key="doc_id", order_by="event_ts"))]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    # per entity: number of null lags must be exactly 1 (the first row)
+    nulls = out.groupby("doc_id")["n_tok_lag1"].apply(lambda s: s.isna().sum())
+    assert (nulls == 1).all()
+
+
+def test_fused_feature_reads_prior_output(corpus_dir):
+    """A later batch feature can consume an earlier feature's output column
+    inside the single fused map_batches stage."""
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("tokens", TokenCount(), output="tc"),
+            Feature("tc", Log1p(), output="log_tc"),
+        ]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    assert np.allclose(out["log_tc"], np.log1p(out["tc"]))
+
+
+def test_empty_pipeline_null_feature(corpus_dir):
+    ds = _read(corpus_dir)
+    pipe = FeatureEngineeringPipeline([])
+    out = pipe.fit_transform(ds)
+    assert out.count() == ds.count()
