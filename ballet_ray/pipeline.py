@@ -30,12 +30,21 @@ from ballet_ray.transformer import Transform
 
 
 def dataset_schema(ds) -> pa.Schema:
-    """Arrow schema of a Dataset (fetch_if_missing; cheap for parquet reads)."""
+    """Arrow schema of a Dataset (cheap for parquet reads; pandas-backed
+    datasets fall back to peeking one row)."""
     s = ds.schema(fetch_if_missing=True)
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
-    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+    try:
+        return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+    except TypeError:
+        # pandas block types (numpy dtypes / python classes): peek one row
+        tbl = ds.limit(1).to_arrow_refs()
+        import ray as _ray
+
+        first = _ray.get(tbl[0])
+        return first.schema
 
 
 def transform_dataset_single(ds, transform: Transform, cols: list[str]):

@@ -1,0 +1,278 @@
+"""Point-in-time (as-of) join — the north-rule centerpiece.
+
+Semantics: for each left row (entity ``by``, timestamp ``on``), attach the
+right-side value columns from the latest right row of the same entity with
+``right.on <= left.on`` (backward direction only — zero temporal leakage;
+``allow_exact=False`` makes it strictly ``<``). Reference seed: the
+"fit on train only" leakage principle of GroupwiseTransformer
+(ballet/eng/base.py:94-103) and SingleLagger's per-entity shift
+(ballet/eng/ts.py:13-22); the reference itself has no as-of operator.
+
+Execution (Ray-Data-native):
+
+1. Both sides are tagged and **unioned into one Dataset** with an aligned
+   schema, then bucketed by the stable hash of the entity key — ONE
+   shuffle co-partitions both sides (no generic join).
+2. ``groupby(bucket).map_groups`` merges each bucket with a fully
+   vectorized kernel: lexsort (key, ts, side) with right rows sorting
+   before left rows on timestamp ties (after, when allow_exact=False),
+   then a per-key forward carry of the last-seen right row index — an
+   O(n log n) sort + O(n) scan. No per-entity Python.
+3. **Skew**: entities whose row count exceeds ``skew_threshold`` (found by
+   a keys-only count pre-pass) are *time-sliced* into sub-partitions so no
+   single merge task is unbounded. Correctness across slice boundaries is
+   restored by injecting, per hot entity and slice, a synthetic "carry"
+   right row — the latest real right row strictly before the slice start,
+   re-timestamped at the slice start. The hot subset is tiny by
+   construction, so carries are computed on the driver and broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ballet_ray.functions.partition import BUCKET_COL, stable_hash_array
+
+_SIDE = "__asof_side"  # 0 = right (build), 1 = left (probe), 2 = carry right
+# (a carry row stands for a real right row strictly BEFORE its slice start,
+# so on timestamp ties it must beat left rows even when allow_exact=False)
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp/numeric column → int64 MICROSECONDS (all slice math is µs;
+    a raw int64 cast of timestamp[ns] would silently be nanoseconds)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _merge_bucket(
+    table: pa.Table,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    left_cols: list[str],
+    allow_exact: bool,
+) -> pa.Table:
+    """Vectorized in-bucket as-of merge: left rows + matched right values."""
+    side = table.column(_SIDE).to_numpy(zero_copy_only=False)
+    key = table.column(by).to_numpy(zero_copy_only=False)
+    ts = _ts_us(table.column(on))
+
+    # on ts ties: carry rows always first; real right rows before left iff
+    # exact matches allowed
+    if allow_exact:
+        tie_rank = np.where(side == 1, 1, 0)
+    else:
+        tie_rank = np.where(side == 2, 0, np.where(side == 1, 1, 2))
+    order = np.lexsort((tie_rank, ts, key))
+    key_s, side_s = key[order], side[order]
+
+    n = len(order)
+    idx = np.arange(n, dtype=np.int64)
+    is_right = side_s != 1
+    carry = np.maximum.accumulate(np.where(is_right, idx, -1))
+    change = np.empty(n, dtype=bool)
+    if n:
+        change[0] = True
+        change[1:] = key_s[1:] != key_s[:-1]
+    seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+    matched = np.where(carry >= seg_start, carry, -1)
+
+    left_sorted_mask = ~is_right
+    left_orig = order[left_sorted_mask]
+    m = matched[left_sorted_mask]
+    right_orig = np.where(m >= 0, order[np.clip(m, 0, None)], -1)
+
+    out = table.select(left_cols).take(pa.array(left_orig))
+    take_idx = pa.array(np.where(right_orig >= 0, right_orig, 0), type=pa.int64())
+    valid = pa.array(right_orig >= 0)
+    for c in right_cols:
+        col = table.column(c).take(take_idx)
+        col = pc.if_else(valid, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, pa.scalar(None, type=col.type))
+        out = out.append_column(c, col)
+    return out
+
+
+def _hot_key_plan(ds, by, on, skew_threshold, slice_target):
+    """Keys-only pre-pass: entities with > skew_threshold rows and their
+    per-key time-slice parameters {key: (t0_us, slice_us)}."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = (
+        ds.select_columns([by, on])
+        .groupby(by)
+        .aggregate(
+            Count(alias_name="n"),
+            Min(on, alias_name="tmin"),
+            Max(on, alias_name="tmax"),
+        )
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n"), skew_threshold))
+
+    pdf = stats.map_batches(flt, batch_format="pyarrow").to_pandas()
+    plan = {}
+    for rec in pdf.to_dict("records"):
+        tmin = np.datetime64(rec["tmin"], "us").astype("int64")
+        tmax = np.datetime64(rec["tmax"], "us").astype("int64")
+        n_slices = max(2, int(np.ceil(rec["n"] / slice_target)))
+        slice_us = max(1, int(tmax - tmin) // n_slices + 1)
+        plan[rec[by]] = (int(tmin), int(slice_us))
+    return plan
+
+
+def _build_carry_table(right, on, by, right_cols, hot_plan, ts_type) -> pa.Table | None:
+    """Latest real right row strictly before each slice start, per hot key,
+    re-timestamped at the slice start. Columns: (by, on, *right_cols)."""
+    hot_keys = set(hot_plan)
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, list(hot_keys))
+        return t.filter(pa.array(mask))
+
+    pdf = right.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
+    if not len(pdf):
+        return None
+    rows = []
+    for k, (t0, slice_us) in hot_plan.items():
+        sub = pdf[pdf[by] == k].sort_values(on)
+        if not len(sub):
+            continue
+        ts_us = sub[on].values.astype("datetime64[us]").astype("int64")
+        max_slice = int(np.max((np.maximum(ts_us - t0, 0)) // slice_us)) + 2
+        starts = t0 + np.arange(1, max_slice + 1, dtype=np.int64) * slice_us
+        pos = np.searchsorted(ts_us, starts, side="left") - 1
+        for s_i, p in enumerate(pos):
+            if p < 0:
+                continue
+            rec = {by: k, "__ts_us": int(starts[s_i])}
+            r = sub.iloc[p]
+            for c in right_cols:
+                rec[c] = r[c]
+            rows.append(rec)
+    if not rows:
+        return None
+    cpdf = pd.DataFrame(rows)
+    tbl = pa.Table.from_pandas(cpdf, preserve_index=False)
+    # µs ints → timestamp[us] → the left schema's timestamp type
+    ts_col = tbl.column("__ts_us").cast(pa.int64()).cast(pa.timestamp("us")).cast(ts_type)
+    tbl = tbl.drop_columns(["__ts_us"]).append_column(on, ts_col)
+    return tbl.select([by, on] + right_cols)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    allow_exact: bool = True,
+    num_buckets: int = 64,
+    skew_threshold: int | None = None,
+    slice_target: int = 250_000,
+):
+    """Backward as-of join of two Datasets. Output = left's columns plus
+    ``right_cols`` (null where the entity has no right row at/before ts)."""
+    import ray.data as rd
+
+    from ballet_ray.pipeline import dataset_schema
+
+    left_schema = dataset_schema(left)
+    right_schema = dataset_schema(right)
+    left_cols = list(left_schema.names)
+    rtypes = {c: right_schema.field(c).type for c in right_cols}
+    ts_type = left_schema.field(on).type
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        for c in right_cols:
+            t = t.append_column(c, pa.nulls(n, type=rtypes[c]))
+        return t.append_column(_SIDE, pa.array(np.ones(n, dtype=np.int8)))
+
+    def make_tag_right(side_value: int):
+        def tag_right(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in left_cols:
+                if c == by:
+                    cols[c] = t.column(by)
+                elif c == on:
+                    cols[c] = t.column(on).cast(ts_type)
+                else:
+                    cols[c] = pa.nulls(n, type=left_schema.field(c).type)
+            for c in right_cols:
+                cols[c] = t.column(c)
+            cols[_SIDE] = pa.array(np.full(n, side_value, dtype=np.int8))
+            return pa.table(cols)
+
+        return tag_right
+
+    hot_plan = {}
+    if skew_threshold is not None:
+        hot_plan = _hot_key_plan(left, by, on, skew_threshold, slice_target)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(make_tag_right(0), batch_format="pyarrow")
+    )
+    if hot_plan:
+        carry = _build_carry_table(right, on, by, right_cols, hot_plan, ts_type)
+        if carry is not None:
+            both = both.union(
+                rd.from_arrow(carry).map_batches(make_tag_right(2), batch_format="pyarrow")
+            )
+
+    hot_ids = {k: i for i, k in enumerate(hot_plan)}
+    hp = hot_plan
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        h = stable_hash_array(keys)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        if hp:
+            ts_us = _ts_us(t.column(on))
+            for k, (t0, slice_us) in hp.items():
+                m = keys == k
+                if m.any():
+                    sl = np.maximum((ts_us[m] - t0) // slice_us, 0)
+                    b[m] = num_buckets + hot_ids[k] * 1_000_000 + sl
+        return t.append_column(BUCKET_COL, pa.array(b))
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        return _merge_bucket(t, on, by, right_cols, left_cols, allow_exact)
+
+    return both.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def backfill(
+    grid,
+    features,
+    *,
+    on: str,
+    by: str,
+    feature_cols: list[str],
+    num_buckets: int = 64,
+    skew_threshold: int | None = None,
+):
+    """Materialize the feature vector at every (entity, timestamp) row of
+    ``grid`` using only information available at that timestamp — the north
+    rule's backfill: an as-of join of the grid against the feature table."""
+    return asof_join(
+        grid,
+        features,
+        on=on,
+        by=by,
+        right_cols=feature_cols,
+        allow_exact=True,
+        num_buckets=num_buckets,
+        skew_threshold=skew_threshold,
+    )

@@ -1,0 +1,102 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ballet_ray.feature import Feature
+from ballet_ray.pipeline import FeatureEngineeringPipeline
+from ballet_ray.stages.encoders import SimpleImputer, StandardScaler
+from ballet_ray.stages.groupwise import GroupedFunctionTransform, GroupwiseTransform
+from ballet_ray.stages.joins import broadcast_join, hash_join, semi_join_filter
+
+
+def test_broadcast_join_left(sf_dir):
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    out = broadcast_join(
+        orders, cust, key="o_custkey", right_key="c_custkey", value_cols=["c_name"]
+    ).to_pandas()
+    exp = pd.read_parquet(f"{sf_dir}/orders.parquet").merge(
+        cust[["c_custkey", "c_name"]], left_on="o_custkey", right_on="c_custkey", how="left"
+    )
+    assert len(out) == len(exp)
+    got = out.sort_values("o_orderkey")["c_name"].tolist()
+    want = exp.sort_values("o_orderkey")["c_name"].tolist()
+    assert got == want
+
+
+def test_hash_join_inner(sf_dir):
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    lpdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    opdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    exp = lpdf.merge(opdf, left_on="l_orderkey", right_on="o_orderkey")
+    assert out.count() == len(exp)
+
+
+def test_semi_anti_join(sf_dir):
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = [1, 2, 3, 7]
+    kept = semi_join_filter(orders, keys, key="o_custkey").to_pandas()
+    dropped = semi_join_filter(orders, keys, key="o_custkey", invert=True).to_pandas()
+    assert set(kept["o_custkey"]) <= set(keys)
+    assert not (set(dropped["o_custkey"]) & set(keys))
+    assert len(kept) + len(dropped) == orders.count()
+
+
+def _groupwise_frame():
+    # reference groupwise fixture shape (tests/eng/test_base.py:83-102):
+    # per-group mean imputation
+    return pd.DataFrame(
+        {
+            "name": ["a", "a", "a", "b", "b", "b", "b"],
+            "year": [1, 2, 3, 1, 2, 3, 4],
+            "value": [1.0, 2.0, np.nan, 4.0, np.nan, 5.0, 5.0],
+        }
+    )
+
+
+def test_groupwise_mean_impute_golden():
+    df = _groupwise_frame()
+    ds = rd.from_pandas(df)
+    t = GroupwiseTransform(SimpleImputer("mean"), groupby="name")
+    t.fit(ds, ["value"])
+    out = (
+        FeatureEngineeringPipeline([Feature("value", t, output="imputed")])
+        .fit_transform(ds)
+        .to_pandas()
+        .sort_values(["name", "year"])
+    )
+    # golden: group a mean = 1.5; group b mean = 14/3
+    assert out["imputed"].tolist() == [1.0, 2.0, 1.5, 4.0, pytest.approx(14 / 3), 5.0, 5.0]
+
+
+def test_groupwise_unknown_group_policies():
+    train = _groupwise_frame()
+    test = pd.DataFrame({"name": ["z"], "year": [9], "value": [3.0]})
+    t_err = GroupwiseTransform(StandardScaler(), groupby="name", handle_unknown="error")
+    t_err.fit(rd.from_pandas(train), ["value"])
+    with pytest.raises(Exception):
+        t_err.transform_table(
+            rd.from_pandas(test).take_batch(10, batch_format="pyarrow"), ["value"]
+        )
+    t_ok = GroupwiseTransform(StandardScaler(), groupby="name", handle_unknown="ignore")
+    t_ok.fit(rd.from_pandas(train), ["value"])
+    res = t_ok.transform_table(
+        rd.from_pandas(test).take_batch(10, batch_format="pyarrow"), ["value"]
+    )
+    # unknown group passes through unchanged
+    assert res.column(0).to_pylist() == [3.0]
+
+
+def test_grouped_function_transform():
+    df = _groupwise_frame().dropna().reset_index(drop=True)
+    ds = rd.from_pandas(df)
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", GroupedFunctionTransform(np.sum, key="name"), output="group_sum")]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    exp = df.groupby("name")["value"].transform("sum")
+    merged = out.merge(df.assign(exp=exp), on=["name", "year"], suffixes=("", "_src"))
+    assert np.allclose(merged["group_sum"], merged["exp"])
