@@ -1,0 +1,697 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2),
+each with a DuckDB oracle in ORACLE_SQL (omitted for genuinely
+non-SQL-expressible ops → driver runs a rows-only check).
+
+Parity rules applied throughout:
+- every computed column is NAMED IDENTICALLY in the Ray pipeline and SQL;
+- derived floats are rounded (ROUND(x, N) in SQL, np.round here) so
+  summation-order differences can't flip the driver's value hash;
+- NaN produced by window kernels is converted to null (SQL windows yield
+  NULL);
+- deterministic ordering: window functions order by (ts, event_id), top-k
+  ties broken by key columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ballet_ray.feature import Feature
+from ballet_ray.pipeline import FeatureEngineeringPipeline
+from ballet_ray.stages.asof import asof_join
+from ballet_ray.stages.core import NullIndicator, ValueReplacer
+from ballet_ray.stages.dedup import exact_dedup, minhash_lsh_pairs, simhash_pairs
+from ballet_ray.stages.encoders import (
+    CountEncoder,
+    KBinsDiscretizer,
+    MinMaxScaler,
+    OrdinalEncoder,
+    TargetEncoder,
+    Winsorizer,
+)
+from ballet_ray.stages.groupwise import GroupwiseTransform
+from ballet_ray.stages.joins import broadcast_join, hash_join
+from ballet_ray.stages.similarity import embedding_near_dup_pairs, knn_brute
+from ballet_ray.stages.text import Fingerprint, LangId, QualityScore, RegexTokenCount
+from ballet_ray.stages.windows import FFill, Lag, MultiLag, RollingMean, Sessionize, apply_keyed
+
+
+def _round_cols(ds, digits: dict[str, int]):
+    """Round half AWAY from zero (DuckDB ROUND semantics; numpy/pyarrow
+    default to half-to-even, which diverges on exact .5 boundaries like
+    4.28125 @ 4 digits)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c, d in digits.items():
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                s = 10.0**d
+                r = np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+                t = t.set_column(i, c, pa.array(r))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _cast_cols(ds, types: dict[str, pa.DataType]):
+    def f(t: pa.Table) -> pa.Table:
+        for c, ty in types.items():
+            if c in t.column_names:
+                i = t.column_names.index(c)
+                t = t.set_column(i, c, t.column(c).cast(ty))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _nan_to_null(ds, cols: list[str]):
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                col = t.column(c)
+                if pa.types.is_floating(col.type):
+                    i = t.column_names.index(c)
+                    t = t.set_column(i, c, pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# groupby / aggregate / sort / scan family (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(
+        out,
+        {"sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4, "avg_price": 4, "avg_disc": 4, "sum_qty": 2},
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                     AS avg_price,
+       ROUND(AVG(l_discount), 4)                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.append_column("rev", r).select(["l_orderkey", "rev"])
+
+    li = li.map_batches(rev, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    j = broadcast_join(j, cust, key="o_custkey", right_key="c_custkey", value_cols=["c_nationkey"])
+    j = broadcast_join(j, nation, key="c_nationkey", right_key="n_nationkey", value_cols=["n_name"])
+    out = j.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return _round_cols(out, {"revenue": 2})
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed / keyed family over events
+# ---------------------------------------------------------------------------
+
+
+def _events(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+
+
+def q_lag_lead_events(sf_dir: str):
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [
+            (
+                MultiLag([1, 2, -1], key="user_id", order_by=["ts", "event_id"]),
+                ["value"],
+                ["value_lag1", "value_lag2", "value_lead1"],
+            )
+        ],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "value", "value_lag1", "value_lag2", "value_lead1"])
+    return _nan_to_null(out, ["value_lag1", "value_lag2", "value_lead1"])
+
+
+SQL_LAG_LEAD_EVENTS = """
+SELECT event_id, user_id, value,
+       LAG(value, 1)  OVER w AS value_lag1,
+       LAG(value, 2)  OVER w AS value_lag2,
+       LEAD(value, 1) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rolling_mean_events(sf_dir: str):
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(RollingMean(3, key="user_id", order_by=["ts", "event_id"]), ["value"], ["value_rmean3"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "value_rmean3"])
+    return _round_cols(_nan_to_null(out, ["value_rmean3"]), {"value_rmean3": 4})
+
+
+SQL_ROLLING_MEAN_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS value_rmean3
+FROM events
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(Sessionize(1800, key="user_id", order_by=["ts", "event_id"]), ["ts"], ["session_id"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "session_id"])
+    return out
+
+
+SQL_SESSIONIZE_EVENTS = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         COALESCE(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0) AS gap_s
+  FROM events
+)
+"""
+
+
+def q_ffill_events(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        masked = pc.if_else(pc.equal(t.column("event_type"), "error"), pa.scalar(None, pa.float64()), t.column("value"))
+        return t.append_column("value_masked", masked)
+
+    ds = ds.map_batches(mask, batch_format="pyarrow")
+    out = apply_keyed(
+        ds,
+        [(FFill(key="user_id", order_by=["ts", "event_id"]), ["value_masked"], ["value_ffill"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "value_ffill"])
+    return _nan_to_null(out, ["value_ffill"])
+
+
+SQL_FFILL_EVENTS = """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM events
+"""
+
+
+def q_asof_click_purchase(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def split_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return t.select(["event_id", "ts", "user_id"])
+
+    def split_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return t.select(["user_id", "ts", "value"])
+
+    clicks = ev.map_batches(split_left, batch_format="pyarrow")
+    purchases = ev.map_batches(split_right, batch_format="pyarrow")
+
+    # dedupe right per (user, ts): keep max value (deterministic)
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(1, "value")
+
+    purchases = purchases.groupby(["user_id", "ts"]).map_groups(dd, batch_format="pandas")
+    out = asof_join(
+        clicks,
+        purchases.map_batches(lambda t: t.rename_columns(["user_id", "ts", "last_purchase_value"]), batch_format="pyarrow"),
+        on="ts",
+        by="user_id",
+        right_cols=["last_purchase_value"],
+        allow_exact=True,
+    ).select_columns(["event_id", "user_id", "last_purchase_value"])
+    return out
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, p.last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_tumbling_window_events(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return t.append_column("window_start", hour)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
+SQL_TUMBLING_WINDOW_EVENTS = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# fitted encoders family
+# ---------------------------------------------------------------------------
+
+
+def q_standardize_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    from ballet_ray.stages.encoders import StandardScaler
+
+    t = GroupwiseTransform(StandardScaler(), groupby="source")
+    pipe = FeatureEngineeringPipeline([Feature("n_chars", t, output="n_chars_z")])
+    out = pipe.fit_transform(ds).select_columns(["doc_id", "source", "n_chars_z"])
+    return _round_cols(out, {"n_chars_z": 4})
+
+
+SQL_STANDARDIZE_DOCS = """
+SELECT doc_id, source,
+       ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+             / STDDEV_POP(n_chars) OVER (PARTITION BY source), 4) AS n_chars_z
+FROM documents
+"""
+
+
+def q_count_encode_lang(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline([Feature("lang", CountEncoder(), output="lang_count")])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "lang", "lang_count"])
+
+
+SQL_COUNT_ENCODE_LANG = """
+SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY lang) AS lang_count
+FROM documents
+"""
+
+
+def q_ordinal_encode_lang(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline([Feature("lang", OrdinalEncoder(), output="lang_code")])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "lang_code"])
+
+
+SQL_ORDINAL_ENCODE_LANG = """
+SELECT doc_id, DENSE_RANK() OVER (ORDER BY lang) - 1 AS lang_code
+FROM documents
+"""
+
+
+def q_minmax_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline([Feature("o_totalprice", MinMaxScaler(), output="price_mm")])
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "price_mm"])
+    return _round_cols(out, {"price_mm": 6})
+
+
+SQL_MINMAX_ORDERS = """
+SELECT o_orderkey,
+       ROUND((o_totalprice - MIN(o_totalprice) OVER ())
+             / (MAX(o_totalprice) OVER () - MIN(o_totalprice) OVER ()), 6) AS price_mm
+FROM orders
+"""
+
+
+def q_target_encode_priority(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", TargetEncoder(target_col="o_totalprice"), output="priority_tmean")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "priority_tmean"])
+    return _round_cols(out, {"priority_tmean": 4})
+
+
+SQL_TARGET_ENCODE_PRIORITY = """
+SELECT o_orderkey,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 4) AS priority_tmean
+FROM orders
+"""
+
+
+def q_value_replace_discount(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_discount"])
+    pipe = FeatureEngineeringPipeline([Feature("l_discount", ValueReplacer(0.0, -1.0), output="disc_repl")])
+    return pipe.fit_transform(ds).select_columns(["l_orderkey", "l_linenumber", "disc_repl"])
+
+
+SQL_VALUE_REPLACE_DISCOUNT = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0.0 THEN -1.0 ELSE l_discount END AS disc_repl
+FROM lineitem
+"""
+
+
+def q_null_indicator_events(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        masked = pc.if_else(pc.equal(t.column("event_type"), "error"), pa.scalar(None, pa.float64()), t.column("value"))
+        return t.append_column("value_masked", masked)
+
+    ds = ds.map_batches(mask, batch_format="pyarrow")
+    from ballet_ray.stages.core import NullFiller
+
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("value_masked", NullIndicator(), output="value_isnull"),
+            Feature("value_masked", NullFiller(0.0), output="value_filled"),
+        ]
+    )
+    out = pipe.fit_transform(ds).select_columns(["event_id", "value_isnull", "value_filled"])
+    return _cast_cols(out, {"value_isnull": pa.int64()})
+
+
+SQL_NULL_INDICATOR_EVENTS = """
+SELECT event_id,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS value_isnull,
+       CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value_filled
+FROM events
+"""
+
+
+def q_kbins_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_totalprice", KBinsDiscretizer(n_bins=4, strategy="quantile"), output="price_bin")]
+    )
+    return pipe.fit_transform(ds).select_columns(["o_orderkey", "price_bin"])
+
+
+SQL_KBINS_ORDERS = """
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT o_orderkey,
+       (CASE WHEN o_totalprice > q1 THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > q2 THEN 1 ELSE 0 END
+        + CASE WHEN o_totalprice > q3 THEN 1 ELSE 0 END) AS price_bin
+FROM orders, e
+"""
+
+
+def q_winsorize_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_totalprice", Winsorizer(0.01, 0.99), output="price_w")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "price_w"])
+    return _round_cols(out, {"price_w": 4})
+
+
+SQL_WINSORIZE_ORDERS = """
+WITH e AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS lo, quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT o_orderkey,
+       ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 4) AS price_w
+FROM orders, e
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity family
+# ---------------------------------------------------------------------------
+
+
+def q_token_count_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline([Feature("text", RegexTokenCount(), output="text_ntok")])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "text_ntok"])
+
+
+SQL_TOKEN_COUNT_DOCS = """
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS text_ntok
+FROM documents
+"""
+
+
+def q_fingerprint_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline([Feature("text", Fingerprint(), output="text_md5")])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "text_md5"])
+
+
+SQL_FINGERPRINT_DOCS = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_quality_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline([Feature("text", QualityScore())])
+    out = pipe.fit_transform(ds).select_columns(["doc_id", "words", "mean_wlen", "alpha_frac", "quality"])
+    return _round_cols(out, {"mean_wlen": 4, "alpha_frac": 4, "quality": 6})
+
+
+SQL_QUALITY_DOCS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
+       ROUND(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             * 1.0 / len(regexp_extract_all(text, '[A-Za-z0-9]+')), 4) AS mean_wlen,
+       ROUND(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             * 1.0 / length(text), 4) AS alpha_frac,
+       ROUND(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             * 1.0 / length(text)
+             * LEAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 256) / 256.0, 6) AS quality
+FROM documents
+"""
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_distinct_lang_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").count().map_batches(
+        lambda t: t.rename_columns(["lang", "n_docs"]), batch_format="pyarrow"
+    )
+
+
+SQL_DISTINCT_LANG_COUNTS = """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+def q_knn_embeddings(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = qdf[qdf["vec_id"] < 2].sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_brute(emb, q, embedding_col="embedding", id_col="vec_id", k=5)
+    return _cast_cols(out.select_columns(["query_idx", "vec_id"]), {"query_idx": pa.int64()})
+
+
+SQL_KNN_EMBEDDINGS = """
+WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 2)
+SELECT query_idx, vec_id FROM (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS score
+  FROM embeddings e CROSS JOIN q
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_idx ORDER BY score DESC, vec_id) <= 5
+"""
+
+
+# -- rows-only checks (no SQL equivalent) -----------------------------------
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, est_threshold=0.5, concurrency=2)
+
+
+def q_simhash_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3, concurrency=2)
+
+
+def q_langid_docs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "pred_lang", "stop_frac"]
+    )
+
+
+def q_embedding_near_dups(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "topk_orders": q_topk_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "lag_lead_events": q_lag_lead_events,
+    "rolling_mean_events": q_rolling_mean_events,
+    "sessionize_events": q_sessionize_events,
+    "ffill_events": q_ffill_events,
+    "asof_click_purchase": q_asof_click_purchase,
+    "tumbling_window_events": q_tumbling_window_events,
+    "standardize_docs": q_standardize_docs,
+    "count_encode_lang": q_count_encode_lang,
+    "ordinal_encode_lang": q_ordinal_encode_lang,
+    "minmax_orders": q_minmax_orders,
+    "target_encode_priority": q_target_encode_priority,
+    "value_replace_discount": q_value_replace_discount,
+    "null_indicator_events": q_null_indicator_events,
+    "kbins_orders": q_kbins_orders,
+    "winsorize_orders": q_winsorize_orders,
+    "token_count_docs": q_token_count_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "quality_docs": q_quality_docs,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "distinct_lang_counts": q_distinct_lang_counts,
+    "knn_embeddings": q_knn_embeddings,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_docs": q_simhash_docs,
+    "langid_docs": q_langid_docs,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLE_SQL = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "lag_lead_events": SQL_LAG_LEAD_EVENTS,
+    "rolling_mean_events": SQL_ROLLING_MEAN_EVENTS,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "ffill_events": SQL_FFILL_EVENTS,
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "tumbling_window_events": SQL_TUMBLING_WINDOW_EVENTS,
+    "standardize_docs": SQL_STANDARDIZE_DOCS,
+    "count_encode_lang": SQL_COUNT_ENCODE_LANG,
+    "ordinal_encode_lang": SQL_ORDINAL_ENCODE_LANG,
+    "minmax_orders": SQL_MINMAX_ORDERS,
+    "target_encode_priority": SQL_TARGET_ENCODE_PRIORITY,
+    "value_replace_discount": SQL_VALUE_REPLACE_DISCOUNT,
+    "null_indicator_events": SQL_NULL_INDICATOR_EVENTS,
+    "kbins_orders": SQL_KBINS_ORDERS,
+    "winsorize_orders": SQL_WINSORIZE_ORDERS,
+    "token_count_docs": SQL_TOKEN_COUNT_DOCS,
+    "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "quality_docs": SQL_QUALITY_DOCS,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
+    "knn_embeddings": SQL_KNN_EMBEDDINGS,
+}

@@ -32,11 +32,16 @@ class KeyedTransform(Transform):
     and group-start indices; returns {output_name: np.ndarray}.
     """
 
-    def __init__(self, key: str, order_by: str | None = None):
+    def __init__(self, key: str, order_by=None):
         self.key = key
-        self.order_by = order_by
+        if order_by is None:
+            self.order_by: tuple[str, ...] = ()
+        elif isinstance(order_by, str):
+            self.order_by = (order_by,)
+        else:
+            self.order_by = tuple(order_by)
 
-    def partition_spec(self) -> tuple[str, str | None]:
+    def partition_spec(self) -> tuple[str, tuple[str, ...]]:
         return (self.key, self.order_by)
 
     def transform_sorted(
@@ -47,7 +52,7 @@ class KeyedTransform(Transform):
     # KeyedTransforms are executed by the pipeline's keyed pass; direct
     # transform_table would lose cross-batch group boundaries.
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
-        tbl = sort_table(table, [self.key] + ([self.order_by] if self.order_by else []))
+        tbl = sort_table(table, [self.key, *self.order_by])
         codes = wnp.group_codes(tbl.column(self.key).to_numpy(zero_copy_only=False))
         starts = wnp.group_starts(codes)
         out = self.transform_sorted(tbl, codes, starts, cols)
@@ -209,7 +214,7 @@ def apply_keyed(
     ds,
     transforms: list[tuple[KeyedTransform, list[str], list[str]]],
     key: str,
-    order_by: str | None,
+    order_by=None,
     *,
     num_buckets: int = 64,
 ):
@@ -218,7 +223,11 @@ def apply_keyed(
     transforms: list of (transform, input_cols, output_names). Returns the
     dataset with all output columns appended (original columns preserved).
     """
-    sort_keys = [key] + ([order_by] if order_by else [])
+    if order_by is None:
+        order_by = ()
+    elif isinstance(order_by, str):
+        order_by = (order_by,)
+    sort_keys = [key, *order_by]
 
     def per_bucket(table: pa.Table) -> pa.Table:
         table = table.drop_columns([BUCKET_COL])

@@ -1,0 +1,158 @@
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ballet_ray.stages.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ballet_ray.stages.multimodal import featurize_media, synthetic_media_table
+from ballet_ray.stages.similarity import embedding_near_dup_pairs, knn_brute, lsh_knn
+from ballet_ray.stages.text import Fingerprint, QualityScore, RegexTokenCount, LangId, hash_tokenize
+from ballet_ray.feature import Feature
+from ballet_ray.pipeline import FeatureEngineeringPipeline
+
+
+def _docs(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_regex_token_count_and_fingerprint(sf_dir):
+    ds = _docs(sf_dir)
+    pipe = FeatureEngineeringPipeline(
+        [Feature("text", RegexTokenCount()), Feature("text", Fingerprint())]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    import re
+
+    pat = re.compile(r"[A-Za-z0-9]+")
+    for _, r in out.head(20).iterrows():
+        assert r["text_ntok"] == len(pat.findall(r["text"]))
+        assert r["text_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+
+
+def test_quality_score(sf_dir):
+    out = (
+        FeatureEngineeringPipeline([Feature("text", QualityScore())])
+        .fit_transform(_docs(sf_dir))
+        .to_pandas()
+    )
+    assert (out["quality"] >= 0).all() and (out["quality"] <= 1).all()
+    assert (out["words"] > 0).all()
+
+
+def test_langid_actor_stage(sf_dir):
+    out = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow", concurrency=2).to_pandas()
+    assert set(out["pred_lang"]) <= {"en", "de", "fr", "es", "und"}
+    assert (out["stop_frac"] >= 0).all()
+
+
+def test_hash_tokenize_canonical_shape(sf_dir):
+    out = _docs(sf_dir).map_batches(
+        lambda t: hash_tokenize(t), batch_format="pyarrow"
+    )
+    pdf = out.to_pandas()
+    assert (pdf["n_tok"] == pdf["tokens"].map(len)).all()
+    # deterministic across runs
+    pdf2 = _docs(sf_dir).map_batches(lambda t: hash_tokenize(t), batch_format="pyarrow").to_pandas()
+    a = pdf.sort_values("doc_id")["tokens"].iloc[0]
+    b = pdf2.sort_values("doc_id")["tokens"].iloc[0]
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_dedup():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+        }
+    )
+    out = exact_dedup(rd.from_pandas(df).repartition(3), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]  # min id per distinct text
+
+
+def test_minhash_lsh_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and arrow buffers in distributed systems"
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [base, near, far, base]})
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(df).repartition(2), est_threshold=0.4, concurrency=2
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 4) in found  # identical docs must be found
+    assert (1, 2) in found or (2, 4) in found  # near-dup should bucket together
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_ngram_jaccard_verification():
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e f g", "a b c d e f h"]})
+    ds = rd.from_pandas(df)
+    pairs = rd.from_items([{"id_a": 1, "id_b": 2}])
+    out = ngram_jaccard_pairs(ds, pairs, k=3).to_pandas()
+    # shingles: doc1 has 5, doc2 has 5, 4 common -> j = 4/6
+    assert np.isclose(out["jaccard"].iloc[0], 4 / 6)
+
+
+def test_simhash_identical_docs():
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["x y z w q r s t u v"] * 2 + ["totally other words entirely unlike"]})
+    pairs = simhash_pairs(rd.from_pandas(df), max_hamming=3, concurrency=2).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_knn_brute_matches_numpy(sf_dir):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    q = mat[:2]
+    out = knn_brute(emb, q, embedding_col="embedding", id_col="vec_id", k=5).to_pandas()
+    # numpy oracle
+    def cos(m):
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return n
+    scores = cos(mat) @ cos(q).T
+    for qi in range(2):
+        exp = set(pdf["vec_id"].to_numpy()[np.argsort(-scores[:, qi])[:5]])
+        got = set(out[out["query_idx"] == qi]["vec_id"])
+        assert got == exp
+
+
+def test_lsh_knn_self_hit(sf_dir):
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_knn(emb, mat[:1], embedding_col="embedding", id_col="vec_id", k=3).to_pandas()
+    # the query vector itself lives in its own bucket -> must be its own top hit
+    assert out.sort_values("score", ascending=False)["vec_id"].iloc[0] == pdf["vec_id"].iloc[0]
+
+
+def test_embedding_near_dup_pairs():
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16).astype(np.float32)
+    base[3] = base[0] + 0.001 * rng.randn(16)  # near-dup of row 0
+    df = pd.DataFrame({"vec_id": range(6), "embedding": list(base)})
+    out = embedding_near_dup_pairs(
+        rd.from_pandas(df), embedding_col="embedding", id_col="vec_id", dim=16, threshold=0.99
+    ).to_pandas()
+    assert (0, 3) in {tuple(sorted(p)) for p in zip(out["id_a"], out["id_b"])}
+
+
+def test_media_plumbing():
+    tbl = synthetic_media_table(32)
+    ds = rd.from_arrow(tbl)
+    out = featurize_media(ds, out_dim=8, batch_size=8, concurrency=2).to_pandas()
+    assert len(out) == 32
+    feats = np.stack(out["media_feat"].to_numpy())
+    assert feats.shape == (32, 8)
+    # deterministic fake decoder
+    out2 = featurize_media(rd.from_arrow(tbl), out_dim=8, batch_size=8, concurrency=2).to_pandas()
+    a = out.sort_values("media_id")["media_feat"].iloc[0]
+    b = out2.sort_values("media_id")["media_feat"].iloc[0]
+    assert np.allclose(a, b)
