@@ -65,7 +65,15 @@ def transform_dataset_single(ds, transform: Transform, cols: list[str]):
 class FeatureEngineeringPipeline:
     """Ordered Features → one fitted, reusable Dataset-to-Dataset function."""
 
-    def __init__(self, features, *, num_buckets: int = 64):
+    def __init__(
+        self,
+        features,
+        *,
+        num_buckets: int = 64,
+        skew_threshold: int | None = None,
+        slice_target: int = 250_000,
+        hot_sample_frac: float = 1.0,
+    ):
         if features is None:
             features = []
         if isinstance(features, Feature):
@@ -78,6 +86,9 @@ class FeatureEngineeringPipeline:
             features = [Feature(input=[], transformer=NullTransform(), name="null")]
         self.features = features
         self.num_buckets = num_buckets
+        self.skew_threshold = skew_threshold
+        self.slice_target = slice_target
+        self.hot_sample_frac = hot_sample_frac
         self._fitted = False
 
     # ------------------------------------------------------------------
@@ -181,7 +192,16 @@ class FeatureEngineeringPipeline:
             ds = ds.map_batches(fused, batch_format="pyarrow")
 
         for (key, order_by), transforms in keyed_groups.items():
-            ds = apply_keyed(ds, transforms, key, order_by, num_buckets=self.num_buckets)
+            ds = apply_keyed(
+                ds,
+                transforms,
+                key,
+                order_by,
+                num_buckets=self.num_buckets,
+                skew_threshold=self.skew_threshold,
+                slice_target=self.slice_target,
+                hot_sample_frac=self.hot_sample_frac,
+            )
 
         if keep != "all":
             feat_cols = [o for _, _, outs in batch_feats for o in outs] + [

@@ -97,30 +97,38 @@ def _merge_bucket(
     return out
 
 
-def _hot_key_plan(ds, by, on, skew_threshold, slice_target):
+def _hot_key_plan(ds, by, on, skew_threshold, slice_target, sample_frac: float = 1.0):
     """Keys-only pre-pass: entities with > skew_threshold rows and their
-    per-key time-slice parameters {key: (t0_us, slice_us)}."""
+    per-key time-slice parameters {key: (t0_us, slice_us)}.
+
+    ``sample_frac < 1`` detects hot keys from a row sample (hot keys are by
+    definition frequent, so a modest sample finds them reliably) — the scale
+    path that keeps the pre-pass shuffle at frac × keys. Counts are scaled
+    back up; slice assignment stays consistent for all rows because slices
+    clip at 0 below the sampled t0 and extend unbounded above."""
     from ray.data.aggregate import Count, Max, Min
 
-    stats = (
-        ds.select_columns([by, on])
-        .groupby(by)
-        .aggregate(
-            Count(alias_name="n"),
-            Min(on, alias_name="tmin"),
-            Max(on, alias_name="tmax"),
-        )
+    projected = ds.select_columns([by, on])
+    threshold = skew_threshold
+    if sample_frac < 1.0:
+        projected = projected.random_sample(sample_frac, seed=1754)
+        threshold = max(1, int(skew_threshold * sample_frac))
+    stats = projected.groupby(by).aggregate(
+        Count(alias_name="n"),
+        Min(on, alias_name="tmin"),
+        Max(on, alias_name="tmax"),
     )
 
     def flt(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t.column("n"), skew_threshold))
+        return t.filter(pc.greater(t.column("n"), threshold))
 
     pdf = stats.map_batches(flt, batch_format="pyarrow").to_pandas()
     plan = {}
     for rec in pdf.to_dict("records"):
         tmin = np.datetime64(rec["tmin"], "us").astype("int64")
         tmax = np.datetime64(rec["tmax"], "us").astype("int64")
-        n_slices = max(2, int(np.ceil(rec["n"] / slice_target)))
+        est_n = rec["n"] / sample_frac
+        n_slices = max(2, int(np.ceil(est_n / slice_target)))
         slice_us = max(1, int(tmax - tmin) // n_slices + 1)
         plan[rec[by]] = (int(tmin), int(slice_us))
     return plan

@@ -51,6 +51,42 @@ class GroupwiseTransform(FittedTransform):
         proto = self.transformer
         gcol = self.groupby
 
+        # Fast path: inner transforms whose fit is pure per-column moments
+        # (StandardScaler, MinMaxScaler, SimpleImputer(mean), ...) fit via a
+        # tree-reduce grouped aggregate — no row shuffle at all.
+        reqs = proto.agg_requests(cols) if hasattr(proto, "agg_requests") else []
+        if reqs and all(r[0] == "moments" for r in reqs):
+            from ray.data.aggregate import Count, Max, Mean, Min, Std
+
+            aggs = []
+            for c in cols:
+                aggs += [
+                    Count(c, ignore_nulls=True, alias_name=f"{c}::count"),
+                    Mean(c, alias_name=f"{c}::mean"),
+                    Std(c, ddof=0, alias_name=f"{c}::std0"),
+                    Std(c, ddof=1, alias_name=f"{c}::std1"),
+                    Min(c, alias_name=f"{c}::min"),
+                    Max(c, alias_name=f"{c}::max"),
+                ]
+            pdf = (
+                ds.select_columns([gcol] + [c for c in cols if c != gcol])
+                .groupby(gcol)
+                .aggregate(*aggs)
+                .to_pandas()
+            )
+            self.fitted_ = {}
+            for rec in pdf.to_dict("records"):
+                inner = copy.deepcopy(proto)
+                results = {
+                    ("moments", c): {
+                        k: rec[f"{c}::{k}"] for k in ("count", "mean", "std0", "std1", "min", "max")
+                    }
+                    for c in cols
+                }
+                inner.bind_fit_results(cols, results)
+                self.fitted_[rec[gcol]] = pickle.dumps(inner)
+            return self
+
         def fit_group(t: pa.Table) -> pa.Table:
             inner = copy.deepcopy(proto)
             inner.fit_table(t, cols)

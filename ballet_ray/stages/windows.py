@@ -30,7 +30,15 @@ class KeyedTransform(Transform):
     ``transform_sorted(values_table, codes, starts, cols)`` receives the
     bucket table already sorted by (key, order) plus precomputed group codes
     and group-start indices; returns {output_name: np.ndarray}.
+
+    ``lookback`` / ``lookahead``: how many preceding / following rows of the
+    same entity the transform needs for exact results — used by the skew
+    path to carry boundary rows across time-sliced sub-partitions of hot
+    entities.
     """
+
+    lookback: int = 0
+    lookahead: int = 0
 
     def __init__(self, key: str, order_by=None):
         self.key = key
@@ -63,12 +71,22 @@ def _vals(table: pa.Table, c: str) -> np.ndarray:
     return table.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
 
 
+def _ts_us_col(col) -> np.ndarray:
+    """Timestamp/numeric column → int64 MICROSECONDS (a raw int64 cast of
+    timestamp[ns] would silently be nanoseconds)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 class Lag(KeyedTransform):
     """shift(k) within each entity ordered by ``order_by`` (k<0 = lead)."""
 
-    def __init__(self, k: int, key: str, order_by: str | None = None):
+    def __init__(self, k: int, key: str, order_by=None):
         super().__init__(key, order_by)
         self.k = k
+        self.lookback = max(k, 0)
+        self.lookahead = max(-k, 0)
 
     def transform_sorted(self, table, codes, starts, cols):
         return {
@@ -86,9 +104,11 @@ class Lag(KeyedTransform):
 class MultiLag(KeyedTransform):
     """Several lags in one pass (reference make_multi_lagger, ballet/eng/ts.py:25-41)."""
 
-    def __init__(self, lags: list[int], key: str, order_by: str | None = None):
+    def __init__(self, lags: list[int], key: str, order_by=None):
         super().__init__(key, order_by)
         self.lags = list(lags)
+        self.lookback = max([k for k in lags if k > 0], default=0)
+        self.lookahead = max([-k for k in lags if k < 0], default=0)
 
     def transform_sorted(self, table, codes, starts, cols):
         out = {}
@@ -106,9 +126,10 @@ class MultiLag(KeyedTransform):
 
 
 class RollingMean(KeyedTransform):
-    def __init__(self, window: int, key: str, order_by: str | None = None):
+    def __init__(self, window: int, key: str, order_by=None):
         super().__init__(key, order_by)
         self.window = window
+        self.lookback = window - 1
 
     def transform_sorted(self, table, codes, starts, cols):
         return {
@@ -121,9 +142,10 @@ class RollingMean(KeyedTransform):
 
 
 class RollingSum(KeyedTransform):
-    def __init__(self, window: int, key: str, order_by: str | None = None):
+    def __init__(self, window: int, key: str, order_by=None):
         super().__init__(key, order_by)
         self.window = window
+        self.lookback = window - 1
 
     def transform_sorted(self, table, codes, starts, cols):
         return {
@@ -151,13 +173,13 @@ class Sessionize(KeyedTransform):
     session increments when ts - previous ts > gap (first row of an entity
     is session 0) — SURVEY.md §2.8."""
 
-    def __init__(self, gap_seconds: float, key: str, order_by: str | None = None):
+    def __init__(self, gap_seconds: float, key: str, order_by=None):
         super().__init__(key, order_by)
         self.gap_us = int(gap_seconds * 1_000_000)
+        self.lookback = 1
 
     def transform_sorted(self, table, codes, starts, cols):
-        c = cols[0]
-        ts = table.column(c).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us_col(table.column(cols[0]))
         return {"session_id": wnp.sessionize(ts, codes, self.gap_us)}
 
     def output_names(self, cols):
@@ -185,7 +207,7 @@ class RollingMeanTime(KeyedTransform):
         self.ts_col = ts_col
 
     def transform_sorted(self, table, codes, starts, cols):
-        ts = table.column(self.ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us_col(table.column(self.ts_col))
         out = {}
         n = len(ts)
         # window start index: first j >= group_start with ts[j] >= ts[i]-range;
@@ -210,6 +232,126 @@ class RollingMeanTime(KeyedTransform):
         return [f"{c}_rtmean" for c in cols]
 
 
+def _append_outputs(tbl: pa.Table, names, outs: dict) -> pa.Table:
+    for want, have in zip(names, list(outs)):
+        arr = outs[have]
+        tbl = tbl.append_column(
+            want, arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr)
+        )
+    return tbl
+
+
+def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_max, gaps):
+    """Narrow pre-pass over hot entities only: one summary row per
+    (key, time-slice) with the tail rows, last non-null values, internal
+    session-boundary counts and row count — everything the main pass needs
+    to make sliced windows exact across slice boundaries."""
+    import pickle
+
+    import pandas as pd
+
+    value_cols = sorted({c for _, cols, _ in transforms for c in cols})
+    order_col = order_by[0]
+    narrow_cols = [key, *dict.fromkeys([*order_by, *value_cols])]
+
+    hot_keys = np.array(list(hot_plan))
+
+    def keep_hot_and_slice(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        m = np.isin(keys, hot_keys)
+        t = t.filter(pa.array(m))
+        if t.num_rows == 0:
+            return t.append_column("__slice_id", pa.array(np.empty(0, dtype=np.int64)))
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        ts = _ts_us_col(t.column(order_col))
+        sid = np.zeros(len(keys), dtype=np.int64)
+        for k, (t0, slice_us) in hot_plan.items():
+            mk = keys == k
+            if mk.any():
+                sid[mk] = hot_ids[k] * 1_000_000 + np.maximum((ts[mk] - t0) // slice_us, 0)
+        return t.append_column("__slice_id", pa.array(sid))
+
+    narrow = ds.select_columns(narrow_cols).map_batches(keep_hot_and_slice, batch_format="pyarrow")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        t = sort_table(t.drop_columns(["__slice_id"]) if False else t, [*order_by])
+        k = t.column(key)[0].as_py()
+        sid = int(t.column("__slice_id")[0].as_py())
+        ts = _ts_us_col(t.column(order_col))
+        n = t.num_rows
+        tail_lo = max(0, n - w_max)
+        summary = {
+            "n": n,
+            "first_ts": int(ts[0]),
+            "last_ts": int(ts[-1]),
+            "tail": {c: _vals(t, c)[tail_lo:] for c in value_cols},
+            "tail_ts": ts[tail_lo:],
+            "head": {c: _vals(t, c)[:w_max] for c in value_cols},
+            "head_ts": ts[:w_max],
+            "last_valid": {},
+            "bounds": {},
+        }
+        for c in value_cols:
+            v = _vals(t, c)
+            ok = ~np.isnan(v)
+            summary["last_valid"][c] = float(v[np.flatnonzero(ok)[-1]]) if ok.any() else None
+        for g in gaps:
+            summary["bounds"][g] = int(((ts[1:] - ts[:-1]) > g).sum()) if n > 1 else 0
+        return pa.table({"key": [k], "slice_id": [sid], "blob": [pickle.dumps(summary)]})
+
+    rows = narrow.groupby("__slice_id").map_groups(summarize, batch_format="pyarrow").to_pandas()
+
+    carries: dict[int, dict] = {}
+    rows["hot_idx"] = rows["slice_id"] // 1_000_000
+    for _, grp in rows.groupby("hot_idx"):
+        grp = grp.sort_values("slice_id")
+        summaries = [(int(r["slice_id"]), pickle.loads(r["blob"])) for _, r in grp.iterrows()]
+        # forward pass: lookback carries
+        run_tail = {c: np.empty(0) for c in value_cols}
+        run_tail_ts = np.empty(0, dtype=np.int64)
+        run_last_valid = {c: None for c in value_cols}
+        run_rows = 0
+        run_sessions = {g: 0 for g in gaps}
+        prev_last_ts = None
+        for sid, s in summaries:
+            carries[sid] = {
+                "tail": {c: run_tail[c].copy() for c in value_cols},
+                "tail_ts": run_tail_ts.copy(),
+                "last_valid": dict(run_last_valid),
+                "prior_rows": run_rows,
+                "prior_sessions": dict(run_sessions),
+            }
+            entry = {g: (1 if prev_last_ts is not None and (s["first_ts"] - prev_last_ts) > g else 0) for g in gaps}
+            for g in gaps:
+                run_sessions[g] += s["bounds"][g] + entry[g]
+            run_rows += s["n"]
+            prev_last_ts = s["last_ts"]
+            for c in value_cols:
+                v = s["tail"][c]
+                run_tail[c] = np.concatenate([run_tail[c], v])[-w_max:] if w_max else np.empty(0)
+                ok = ~np.isnan(v)
+                if ok.any():
+                    run_last_valid[c] = float(v[np.flatnonzero(ok)[-1]])
+                elif s["last_valid"][c] is not None:
+                    run_last_valid[c] = s["last_valid"][c]
+            run_tail_ts = np.concatenate([run_tail_ts, s["tail_ts"]])[-w_max:] if w_max else run_tail_ts
+        # backward pass: lookahead carries (head rows of following slices)
+        run_head = {c: np.empty(0) for c in value_cols}
+        run_head_ts = np.empty(0, dtype=np.int64)
+        for sid, s in reversed(summaries):
+            carries[sid]["head"] = {c: run_head[c].copy() for c in value_cols}
+            carries[sid]["head_ts"] = run_head_ts.copy()
+            if s["n"] >= w_max:
+                run_head = {c: s["head"][c][:w_max] for c in value_cols}
+                run_head_ts = s["head_ts"][:w_max]
+            else:
+                run_head = {
+                    c: np.concatenate([s["head"][c], run_head[c]])[:w_max] for c in value_cols
+                }
+                run_head_ts = np.concatenate([s["head_ts"], run_head_ts])[:w_max]
+    return carries
+
+
 def apply_keyed(
     ds,
     transforms: list[tuple[KeyedTransform, list[str], list[str]]],
@@ -217,11 +359,24 @@ def apply_keyed(
     order_by=None,
     *,
     num_buckets: int = 64,
+    skew_threshold: int | None = None,
+    slice_target: int = 250_000,
+    hot_sample_frac: float = 1.0,
 ):
-    """Run all keyed transforms sharing (key, order_by) in ONE shuffle.
+    """Run all keyed transforms sharing (key, order_by) in ONE main shuffle.
 
     transforms: list of (transform, input_cols, output_names). Returns the
     dataset with all output columns appended (original columns preserved).
+
+    Skew: when ``skew_threshold`` is set, entities with more rows than the
+    threshold (found by a keys-only count pre-pass) are time-sliced into
+    sub-partitions of ~``slice_target`` rows. Window correctness across
+    slice boundaries is preserved exactly: a narrow summary pre-pass plus a
+    driver-side prefix combine produce, per (entity, slice), the previous
+    ``max(lookback)`` rows, last non-null values, prior row count and prior
+    session count; each hot slice is computed on a carry-extended array and
+    trimmed/offset back. Transforms that need whole-entity context
+    (GroupedFunctionTransform) disable slicing for safety.
     """
     if order_by is None:
         order_by = ()
@@ -229,19 +384,142 @@ def apply_keyed(
         order_by = (order_by,)
     sort_keys = [key, *order_by]
 
-    def per_bucket(table: pa.Table) -> pa.Table:
-        table = table.drop_columns([BUCKET_COL])
-        tbl = sort_table(table, sort_keys)
-        keys_np = tbl.column(key).to_numpy(zero_copy_only=False)
-        codes = wnp.group_codes(keys_np)
-        starts = wnp.group_starts(codes)
-        for t, cols, names in transforms:
-            outs = t.transform_sorted(tbl, codes, starts, cols)
-            produced = list(outs)
-            for want, have in zip(names, produced):
-                arr = outs[have]
-                tbl = tbl.append_column(want, pa.array(arr) if not isinstance(arr, (pa.Array, pa.ChunkedArray)) else arr)
-        return tbl
+    sliceable = bool(order_by) and all(
+        not type(t).__name__ == "GroupedFunctionTransform" and not isinstance(t, RollingMeanTime)
+        for t, _, _ in transforms
+    )
+    hot_plan, hot_ids, carries = {}, {}, {}
+    if skew_threshold is not None and sliceable:
+        from ballet_ray.stages.asof import _hot_key_plan
 
-    b = bucketize(ds, key, num_buckets)
+        hot_plan = _hot_key_plan(
+            ds, key, order_by[0], skew_threshold, slice_target, sample_frac=hot_sample_frac
+        )
+        hot_ids = {k: i for i, k in enumerate(hot_plan)}
+        if hot_plan:
+            w_max = max((t.lookback for t, _, _ in transforms), default=0)
+            gaps = sorted({t.gap_us for t, _, _ in transforms if isinstance(t, Sessionize)})
+            carries = _summarize_hot_slices(
+                ds, transforms, key, order_by, hot_plan, hot_ids, max(w_max, 1), gaps
+            )
+
+    order_col = order_by[0] if order_by else None
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ballet_ray.functions.partition import stable_hash_array
+
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        b = (stable_hash_array(keys) % np.uint64(num_buckets)).astype(np.int64)
+        if hot_plan:
+            ts = _ts_us_col(t.column(order_col))
+            for k, (t0, slice_us) in hot_plan.items():
+                mk = keys == k
+                if mk.any():
+                    sl = np.maximum((ts[mk] - t0) // slice_us, 0)
+                    b[mk] = num_buckets + hot_ids[k] * 1_000_000 + sl
+        return t.append_column(BUCKET_COL, pa.array(b))
+
+    needed_cols = sorted(
+        {c for _, cols, _ in transforms for c in cols} | {key, *order_by}
+    )
+
+    def _narrow_sorted(table: pa.Table, order_np: np.ndarray) -> pa.Table:
+        """Gather ONLY the columns the kernels read, in sorted order — the
+        payload (token lists etc.) is never sorted or copied."""
+        cols = {}
+        for c in needed_cols:
+            col = table.column(c)
+            if pa.types.is_timestamp(col.type):
+                cols[c] = pa.array(_ts_us_col(col)[order_np].astype("datetime64[us]"))
+            else:
+                cols[c] = pa.array(col.to_numpy(zero_copy_only=False)[order_np])
+        return pa.table(cols)
+
+    def per_bucket(table: pa.Table) -> pa.Table:
+        bucket_id = int(table.column(BUCKET_COL)[0].as_py())
+        table = table.drop_columns([BUCKET_COL]).combine_chunks()
+        n = table.num_rows
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            table.select([k for k in [key, *order_by]]),
+            sort_keys=[(k, "ascending") for k in [key, *order_by]],
+        ).to_numpy(zero_copy_only=False)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+
+        if bucket_id < num_buckets or not carries:
+            narrow = _narrow_sorted(table, order)
+            codes = wnp.group_codes(narrow.column(key).to_numpy(zero_copy_only=False))
+            starts = wnp.group_starts(codes)
+            for t, cols, names in transforms:
+                outs = t.transform_sorted(narrow, codes, starts, cols)
+                scattered = {nm: np.asarray(v)[inv] for nm, v in outs.items()}
+                table = _append_outputs(table, names, scattered)
+            return table
+
+        # hot slice: single entity, carry-extended compute on narrow arrays
+        carry = carries.get(bucket_id - num_buckets, None)
+        tail_n = len(carry["tail_ts"]) if carry else 0
+        head_n = len(carry.get("head_ts", ())) if carry else 0
+        narrow = _narrow_sorted(table, order)
+        value_cols = sorted({c for _, cols, _ in transforms for c in cols})
+        ext_cols: dict[str, pa.Array] = {}
+        k_val = table.column(key)[0].as_py()
+        ext_n = tail_n + n + head_n
+        ext_cols[key] = pa.array(np.repeat(np.array([k_val], dtype=object), ext_n))
+        real_ts = _ts_us_col(narrow.column(order_col))
+        parts_ts = [real_ts]
+        if carry:
+            parts_ts = [carry["tail_ts"], real_ts, carry.get("head_ts", np.empty(0, dtype=np.int64))]
+        ext_ts = np.concatenate(parts_ts)
+        if pa.types.is_timestamp(table.column(order_col).type):
+            ext_cols[order_col] = pa.array(ext_ts.astype("datetime64[us]"))
+        else:
+            ext_cols[order_col] = pa.array(ext_ts)
+        for c in value_cols:
+            if c == order_col:
+                continue
+            real = _vals(narrow, c)
+            if carry:
+                ext = np.concatenate(
+                    [
+                        carry["tail"].get(c, np.full(tail_n, np.nan)),
+                        real,
+                        carry.get("head", {}).get(c, np.full(head_n, np.nan)),
+                    ]
+                )
+            else:
+                ext = real
+            ext_cols[c] = pa.array(ext)
+        ext_tbl = pa.table(ext_cols)
+        codes0 = np.zeros(ext_n, dtype=np.int64)
+        starts0 = np.zeros(ext_n, dtype=np.int64)
+        for t, cols, names in transforms:
+            outs = t.transform_sorted(ext_tbl, codes0, starts0, cols)
+            adjusted = {}
+            out_items = list(outs.items())
+            hi = tail_n + n
+            for j, (name, arr) in enumerate(out_items):
+                arr = np.asarray(arr)
+                if isinstance(t, Sessionize):
+                    base = arr[tail_n - 1] if tail_n else 0
+                    prior = carry["prior_sessions"].get(t.gap_us, 0) if carry else 0
+                    adjusted[name] = (arr[tail_n:hi] - base + prior).astype(np.int64)[inv]
+                elif isinstance(t, CumCount):
+                    prior = carry["prior_rows"] if carry else 0
+                    adjusted[name] = (arr[tail_n:hi] - tail_n + prior).astype(np.int64)[inv]
+                elif isinstance(t, FFill):
+                    v = arr[tail_n:hi].astype(np.float64)
+                    if carry:
+                        lv = carry["last_valid"].get(cols[j % len(cols)])
+                        if lv is not None:
+                            v = np.where(np.isnan(v), lv, v)
+                    adjusted[name] = v[inv]
+                else:
+                    adjusted[name] = arr[tail_n:hi][inv]
+            table = _append_outputs(table, names, adjusted)
+        return table
+
+    b = ds.map_batches(add_bucket, batch_format="pyarrow")
     return b.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")

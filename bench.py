@@ -1,0 +1,172 @@
+"""Benchmark harness. Prints ONE JSON line with the headline number.
+
+Headline: feature-vector materialization over a deterministic synthetic
+token corpus (the north-rule canonical table, ~2M rows / ~0.5B tokens,
+cached under /tmp) — fused batch features + fitted per-source scaling +
+one co-partition pass of windowed features (lag1, rolling mean 3,
+sessionize), consumed by a streaming aggregate. Also times a set of
+representative sf-table pipelines (groupby/sort/join/window/as-of/dedup).
+
+Usage:
+  python bench.py               # one JSON line (respects RAY_GRAFT_CPUS, default 32)
+  python bench.py --scaling     # run at 8 and 32 CPUs in fresh processes,
+                                # print throughputs + scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", 2_000_000))
+CORPUS_DIR = f"/tmp/ballet_ray_bench_corpus_{CORPUS_ROWS}"
+
+
+def ensure_corpus() -> str:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(CORPUS_DIR) and len(os.listdir(CORPUS_DIR)) >= 32:
+        return CORPUS_DIR
+    from ballet_ray.schema import write_corpus
+
+    t0 = time.time()
+    write_corpus(CORPUS_DIR, rows=CORPUS_ROWS, shards=32, n_docs=200_000, with_ts=True)
+    print(f"# generated corpus in {time.time()-t0:.1f}s", file=sys.stderr)
+    return CORPUS_DIR
+
+
+def headline_pipeline(corpus_dir: str):
+    import ray.data as rd
+
+    from ballet_ray.feature import Feature
+    from ballet_ray.pipeline import FeatureEngineeringPipeline
+    from ballet_ray.stages.core import Log1p, TokenCount
+    from ballet_ray.stages.encoders import StandardScaler
+    from ballet_ray.stages.groupwise import GroupwiseTransform
+    from ballet_ray.stages.windows import Lag, RollingMean, Sessionize
+
+    ds = rd.read_parquet(corpus_dir)
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("tokens", TokenCount(), output="token_count"),
+            Feature("n_tok", Log1p(), output="log_n_tok"),
+            Feature("n_tok", GroupwiseTransform(StandardScaler(), groupby="source"), output="n_tok_z"),
+            Feature("n_tok", Lag(1, key="doc_id", order_by="event_ts")),
+            Feature("n_tok", RollingMean(3, key="doc_id", order_by="event_ts")),
+            Feature("event_ts", Sessionize(3600, key="doc_id", order_by="event_ts")),
+        ],
+        num_buckets=128,
+        skew_threshold=100_000,  # hot doc_id (~25% of rows) gets time-sliced
+        slice_target=50_000,
+        hot_sample_frac=0.05,  # detect hot keys from a sample (scale path)
+    )
+    out = pipe.fit_transform(ds)
+    from ray.data.aggregate import Count, Sum
+
+    agg = out.aggregate(Count(alias_name="rows"), Sum("n_tok", alias_name="tokens"))
+    return agg["rows"], agg["tokens"]
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    corpus_dir = ensure_corpus()
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    # push-based sort shuffle: ~1.5x faster than the default pull-based
+    # strategy for the payload-carrying keyed co-partition pass (measured)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).count()
+
+    t0 = time.time()
+    rows, tokens = headline_pipeline(corpus_dir)
+    headline_sec = time.time() - t0
+
+    from ballet_ray.pipelines import driver_queries as dq
+
+    query_subset = {
+        "tpch_q1": dq.q_tpch_q1,
+        "revenue_by_nation": dq.q_revenue_by_nation,
+        "lag_lead_events": dq.q_lag_lead_events,
+        "asof_click_purchase": dq.q_asof_click_purchase,
+        "exact_dedup_docs": dq.q_exact_dedup_docs,
+        "minhash_dedup_docs": dq.q_minhash_dedup_docs,
+        "knn_embeddings": dq.q_knn_embeddings,
+    }
+    qtimes = {}
+    for name, fn in query_subset.items():
+        tq = time.time()
+        res = fn(sf_dir)
+        # force full execution
+        res.count()
+        qtimes[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "feature_materialization_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "corpus_rows": int(rows),
+        "corpus_tokens": int(tokens),
+        "rows_per_sec": round(rows / headline_sec),
+        "tokens_per_sec": round(tokens / headline_sec),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    ensure_corpus()
+    res = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        res[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = res[8]["value"], res[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t8,
+        "sec_32": t32,
+        "rows_per_sec_8": res[8]["rows_per_sec"],
+        "rows_per_sec_32": res[32]["rows_per_sec"],
+        "tokens_per_sec_8": res[8]["tokens_per_sec"],
+        "tokens_per_sec_32": res[32]["tokens_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

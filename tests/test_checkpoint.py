@@ -1,0 +1,95 @@
+"""Checkpoint/resume: clean run == resumed run, manifests carry lineage."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from ballet_ray.feature import Feature
+from ballet_ray.pipeline import FeatureEngineeringPipeline
+from ballet_ray.stages.core import Log1p, TokenCount
+from ballet_ray.stages.encoders import StandardScaler
+from ballet_ray.stages.groupwise import GroupwiseTransform
+from ballet_ray.stages.windows import Lag, Sessionize
+from ballet_ray.state.checkpoint import CheckpointedBackfill
+
+
+def _pipe():
+    return FeatureEngineeringPipeline(
+        [
+            Feature("tokens", TokenCount(), output="token_count"),
+            Feature("n_tok", Log1p(), output="log_n_tok"),
+            Feature("n_tok", GroupwiseTransform(StandardScaler(), groupby="source"), output="n_tok_z"),
+            Feature("n_tok", Lag(1, key="doc_id", order_by="event_ts")),
+            Feature("event_ts", Sessionize(3600, key="doc_id", order_by="event_ts")),
+        ]
+    )
+
+
+def _read_all(features_dir):
+    parts = sorted(os.listdir(features_dir))
+    dfs = [pq.read_table(os.path.join(features_dir, p)).to_pandas() for p in parts if p.startswith("part=")]
+    out = pd.concat(dfs, ignore_index=True)
+    return out.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+
+
+def test_checkpoint_run_resume_equals_clean(tmp_path, corpus_dir):
+    out_a = str(tmp_path / "run_a")
+    out_b = str(tmp_path / "run_b")
+
+    # clean run A
+    run = CheckpointedBackfill(out_a, key="doc_id", num_partitions=8)
+    summary = run.run(corpus_dir, _pipe())
+    assert summary["partitions_processed"] > 0
+    a = _read_all(os.path.join(out_a, "features"))
+
+    # run B, then simulate failure: delete half the outputs+manifests, resume
+    run_b = CheckpointedBackfill(out_b, key="doc_id", num_partitions=8)
+    run_b.run(corpus_dir, _pipe())
+    for k in range(0, 8, 2):
+        m = os.path.join(out_b, "manifest", f"part-{k}.json")
+        d = os.path.join(out_b, "features", f"part={k}")
+        if os.path.exists(m):
+            os.remove(m)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    summary_b = CheckpointedBackfill(out_b, key="doc_id", num_partitions=8).run(corpus_dir, _pipe())
+    assert summary_b["partitions_resumed"] > 0  # skipped completed parts
+    b = _read_all(os.path.join(out_b, "features"))
+
+    # identical content
+    assert len(a) == len(b)
+    for c in ["token_count", "log_n_tok", "n_tok_z", "n_tok_lag1", "session_id"]:
+        assert np.allclose(a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True), c
+    # token arrays bit-equal
+    for x, y in zip(a["tokens"].head(50), b["tokens"].head(50)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_manifests_carry_lineage(tmp_path, corpus_dir):
+    out = str(tmp_path / "runm")
+    CheckpointedBackfill(out, key="doc_id", num_partitions=4).run(corpus_dir, _pipe())
+    mans = sorted(os.listdir(os.path.join(out, "manifest")))
+    assert len(mans) == 4
+    man = json.load(open(os.path.join(out, "manifest", mans[0])))
+    for field in ("part", "input_files", "rows", "tokens", "checksum", "wall_s"):
+        assert field in man
+    # rows in manifests == corpus rows
+    total = sum(json.load(open(os.path.join(out, "manifest", m)))["rows"] for m in mans)
+    assert total == rd.read_parquet(corpus_dir).count()
+
+
+def test_checkpoint_output_matches_streaming_pipeline(tmp_path, corpus_dir):
+    """Bucket-local computation must equal the streaming keyed pass."""
+    out = str(tmp_path / "runc")
+    CheckpointedBackfill(out, key="doc_id", num_partitions=4).run(corpus_dir, _pipe())
+    a = _read_all(os.path.join(out, "features"))
+    stream = _pipe().fit_transform(rd.read_parquet(corpus_dir)).to_pandas()
+    stream = stream.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
+    for c in ["token_count", "n_tok_z", "n_tok_lag1", "session_id"]:
+        assert np.allclose(a[c].to_numpy(dtype=float), stream[c].to_numpy(dtype=float), equal_nan=True), c

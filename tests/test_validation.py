@@ -1,0 +1,181 @@
+"""Validation suite: entropy/MI sanity (reference test style,
+tests/validation/test_entropy.py), accepters on the regression fixture
+(tests/util.py:119-142: informative col accepted, noise rejected), and the
+15 feature-API checks."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ballet_ray.feature import Feature
+from ballet_ray.stages.core import IdentityTransform, Log1p
+from ballet_ray.validation.accepters import (
+    AlwaysAccepter,
+    CompoundAccepter,
+    GFSSFAccepter,
+    GFSSFPruner,
+    MutualInformationAccepter,
+    NeverAccepter,
+    NoOpPruner,
+    RandomAccepter,
+    VarianceThresholdAccepter,
+)
+from ballet_ray.validation.discover import discover
+from ballet_ray.validation.entropy import (
+    digamma,
+    estimate_conditional_information,
+    estimate_entropy,
+    estimate_mutual_information,
+)
+from ballet_ray.validation.feature_checks import check_feature_api
+
+
+# ---------------------------------------------------------------- entropy
+
+def test_digamma_matches_known_values():
+    # ψ(1) = -γ, ψ(2) = 1-γ, ψ(0.5) = -γ-2ln2
+    gamma = 0.5772156649015329
+    assert np.isclose(digamma(np.array([1.0]))[0], -gamma, atol=1e-8)
+    assert np.isclose(digamma(np.array([2.0]))[0], 1 - gamma, atol=1e-8)
+    assert np.isclose(digamma(np.array([0.5]))[0], -gamma - 2 * np.log(2), atol=1e-8)
+
+
+def test_disc_entropy_uniform():
+    # 8 equally likely symbols -> ln 8
+    x = np.repeat(np.arange(8), 10)
+    assert np.isclose(estimate_entropy(x), np.log(8), atol=1e-9)
+
+
+def test_entropy_constant_is_zero():
+    assert estimate_entropy(np.ones(100)) == 0.0
+
+
+def test_mi_informative_vs_uninformative():
+    # reference-style inequality (tests/validation/test_entropy.py:222-261):
+    # I(x; x_noisy) > I(x; const) and copies have high MI
+    rng = np.random.RandomState(1754)
+    x = np.arange(1, 101, dtype=float) + rng.randn(100) * 1e-6
+    y_copy = x.copy()
+    y_const = np.ones(100)
+    mi_copy = estimate_mutual_information(x, y_copy)
+    mi_const = estimate_mutual_information(x, y_const)
+    assert mi_copy > mi_const
+    assert mi_const == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cmi_redundant_feature_is_low():
+    rng = np.random.RandomState(7)
+    x = rng.randn(300)
+    y = x + 0.1 * rng.randn(300)
+    # conditioning on a copy of x should wipe out most of I(x;y)
+    cmi = estimate_conditional_information(x, y, x.copy())
+    mi = estimate_mutual_information(x, y)
+    assert cmi < mi
+
+
+# ---------------------------------------------------------------- accepters
+
+def _regression_fixture(n=500, seed=1754):
+    """1 informative column + noise columns + continuous target
+    (reference tests/util.py:119-142)."""
+    rng = np.random.RandomState(seed)
+    a0 = rng.randn(n)
+    z = rng.randn(n, 3)
+    y = 3 * a0 + 0.1 * rng.randn(n)
+    return a0[:, None], z, y[:, None]
+
+
+def test_variance_threshold_accepter():
+    assert VarianceThresholdAccepter(0.05).judge(np.random.RandomState(0).randn(200, 2))
+    assert not VarianceThresholdAccepter(0.05).judge(np.full((200, 1), 3.0))
+
+
+def test_variance_threshold_distributed(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    assert VarianceThresholdAccepter(0.05).judge(ds, cols=["o_totalprice"])
+
+
+def test_mi_accepter_informative_vs_noise():
+    a0, z, y = _regression_fixture()
+    assert MutualInformationAccepter(0.05).judge(a0, y)
+    # KSG has finite-sample bias (~0.3 nats at n=500 for independent data),
+    # so the reject case uses a threshold above the bias floor
+    assert not MutualInformationAccepter(1.0).judge(z[:, :1], y)
+    # and the informative feature carries far more information than noise
+    mi_info = estimate_mutual_information(a0, y)
+    mi_noise = estimate_mutual_information(z[:, :1], y)
+    assert mi_info > 5 * mi_noise
+
+
+def test_mi_accepter_nan_policy():
+    a0, _, y = _regression_fixture()
+    y2 = y.copy()
+    y2[0] = np.nan
+    assert not MutualInformationAccepter(0.05, handle_nan_targets="fail").judge(a0, y2)
+    assert MutualInformationAccepter(0.05, handle_nan_targets="ignore").judge(a0, y2)
+
+
+def test_gfssf_accepts_informative_rejects_noise():
+    # explicit lambdas above the KSG finite-sample bias floor (the default
+    # H(y)/64 is semantics-parity with the reference but sits below the
+    # estimator's ~0.1-nat bias at n=500)
+    a0, z, y = _regression_fixture()
+    acc = GFSSFAccepter(lmbda_1=0.25, lmbda_2=0.25)
+    assert acc.judge(a0, {}, y)  # informative feature accepted
+    accepted = {"a0": a0}
+    assert not acc.judge(z[:, :1], accepted, y)  # pure noise rejected
+
+
+def test_gfssf_pruner_prunes_redundant():
+    a0, _, y = _regression_fixture()
+    accepted = {"a0": a0, "a0_copy": a0.copy()}
+    pruner = GFSSFPruner(lmbda_1=0.25, lmbda_2=0.25)
+    redundant = pruner.prune(accepted, y)
+    assert len(redundant) >= 1  # one of the two copies is redundant
+
+
+def test_trivial_policies():
+    assert AlwaysAccepter().judge()
+    assert not NeverAccepter().judge()
+    r1, r2 = RandomAccepter(p=0.5, seed=1), RandomAccepter(p=0.5, seed=1)
+    assert r1.judge() == r2.judge()  # seeded determinism
+    assert NoOpPruner().prune() == []
+    a0, _, y = _regression_fixture()
+    assert CompoundAccepter([AlwaysAccepter(), NeverAccepter()], agg="any").judge()
+    assert not CompoundAccepter([AlwaysAccepter(), NeverAccepter()], agg="all").judge()
+
+
+# ---------------------------------------------------------------- feature API
+
+def test_feature_api_checks_pass_for_good_feature(corpus_dir):
+    ds = rd.read_parquet(corpus_dir)
+    results = check_feature_api(Feature("n_tok", Log1p()), ds)
+    failed = [name for name, ok, _ in results if not ok]
+    assert not failed, failed
+    assert len(results) == 15
+
+
+def test_feature_api_checks_catch_bad_feature(corpus_dir):
+    ds = rd.read_parquet(corpus_dir)
+
+    class RowDropper(IdentityTransform):
+        def transform_table(self, table, cols):
+            return table.select(cols).slice(0, max(0, table.num_rows - 1))
+
+    results = dict(
+        (name, ok) for name, ok, _ in check_feature_api(Feature("n_tok", RowDropper()), ds)
+    )
+    assert not results["HasCorrectOutputDimensionsCheck"]
+
+
+def test_discover_summary(corpus_dir):
+    ds = rd.read_parquet(corpus_dir)
+    feats = [Feature("n_tok", Log1p(), name="log tokens"), Feature("n_tok", IdentityTransform(), name="raw")]
+    df = discover(feats, ds, y_col="n_tok", sample_cap=500)
+    assert len(df) == 2
+    assert {"mean", "std", "min", "max", "nunique", "mutual_information"} <= set(df.columns)
+    # identity feature carries maximal information about the target
+    assert df.loc[df["name"] == "raw", "mutual_information"].iloc[0] >= df[
+        "mutual_information"
+    ].min()
