@@ -1,0 +1,83 @@
+"""Config-driven table loading (reference ballet/util/io.py:120-129 and the
+project template's load_data — CSV tables declared in ballet.yml).
+
+Config shape::
+
+    {"tables": [{"name": "entities", "path": "data/entities.parquet",
+                 "format": "parquet", "columns": [...]},
+                {"name": "targets", "path": "data/targets.csv"}],
+     "splits": {"train": "data/train", "val": "data/val"}}
+
+Every reader returns a lazy ``ray.data.Dataset`` with column pruning pushed
+into the read where the format supports it (Parquet).
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+_READERS = {
+    "parquet": lambda path, columns: rd.read_parquet(path, columns=columns),
+    "csv": lambda path, columns: _project(rd.read_csv(path), columns),
+    "json": lambda path, columns: _project(rd.read_json(path), columns),
+    "text": lambda path, columns: rd.read_text(path),
+    "binary": lambda path, columns: rd.read_binary_files(path, include_paths=True),
+}
+
+
+def _project(ds, columns):
+    return ds.select_columns(columns) if columns else ds
+
+
+def _infer_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lstrip(".").lower()
+    return {"pq": "parquet", "jsonl": "json", "txt": "text"}.get(ext, ext or "parquet")
+
+
+def load_table(path: str, *, format: str | None = None, columns: list[str] | None = None):
+    fmt = format or _infer_format(path)
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported table format {fmt!r}; known: {sorted(_READERS)}")
+    return _READERS[fmt](path, columns)
+
+
+def load_table_from_config(input_dir: str, table_config: dict):
+    """One table entry → Dataset (reference load_table_from_config)."""
+    path = table_config["path"]
+    if not os.path.isabs(path):
+        path = os.path.join(input_dir, path)
+    return load_table(
+        path,
+        format=table_config.get("format"),
+        columns=table_config.get("columns"),
+    )
+
+
+class TableRegistry:
+    """All of a project's tables, loaded lazily by name."""
+
+    def __init__(self, input_dir: str, config: dict):
+        self.input_dir = input_dir
+        self.config = config
+        self._tables = {t["name"]: t for t in config.get("tables", [])}
+
+    def names(self) -> list[str]:
+        return list(self._tables)
+
+    def load(self, name: str):
+        if name not in self._tables:
+            raise KeyError(f"unknown table {name!r}; known: {self.names()}")
+        return load_table_from_config(self.input_dir, self._tables[name])
+
+    def load_split(self, split: str):
+        """Split directory convention (reference data.splits,
+        ballet/validation/main.py:71-89)."""
+        splits = self.config.get("splits", {})
+        if split not in splits:
+            raise KeyError(f"unknown split {split!r}; known: {list(splits)}")
+        path = splits[split]
+        if not os.path.isabs(path):
+            path = os.path.join(self.input_dir, path)
+        return rd.read_parquet(path)

@@ -197,7 +197,8 @@ class SimpleImputer(FittedTransform):
             elif self.strategy == "median":
                 self.fitted_[c] = results[("quantile", c, (0.5,))][0]
             elif self.strategy == "most_frequent":
-                counts = results[("cats", c)]
+                # nulls are what we're imputing — never a candidate value
+                counts = {k: v for k, v in results[("cats", c)].items() if k is not None}
                 # deterministic tie-break: highest count, then smallest value
                 self.fitted_[c] = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
 
@@ -244,7 +245,8 @@ class OrdinalEncoder(FittedTransform):
 
     def bind_fit_results(self, cols, results):
         self.fitted_ = {
-            c: {v: i for i, v in enumerate(sorted(results[("cats", c)]))} for c in cols
+            c: {v: i for i, v in enumerate(sorted(k for k in results[("cats", c)] if k is not None))}
+            for c in cols
         }
 
     def fit_table(self, table, cols):
@@ -283,7 +285,7 @@ class OneHotEncoder(FittedTransform):
     def bind_fit_results(self, cols, results):
         self.fitted_ = {}
         for c in cols:
-            cats = sorted(results[("cats", c)])
+            cats = sorted(k for k in results[("cats", c)] if k is not None)
             if len(cats) > self.max_categories:
                 raise ValueError(f"{c}: {len(cats)} categories > max {self.max_categories}")
             self.fitted_[c] = cats
