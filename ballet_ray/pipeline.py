@@ -62,8 +62,41 @@ def transform_dataset_single(ds, transform: Transform, cols: list[str]):
     )
 
 
+def _apply_fused_plan(table: pa.Table, plan) -> pa.Table:
+    """Apply the fused batch-feature plan to one Arrow batch."""
+    out = table
+    for tr, cols, names in plan:
+        res = tr.transform_table(out, cols)
+        if list(res.column_names) != names:
+            res = res.rename_columns(names)
+        for cn in res.column_names:
+            col = res.column(cn)
+            if cn in out.column_names:
+                out = out.drop_columns([cn])
+            out = out.append_column(cn, col)
+    return out
+
+
+class FusedBatchStage:
+    """Actor-pool variant of the fused batch stage: the plan (including any
+    heavy fitted state — large category dictionaries, per-group transformer
+    maps) is deserialized ONCE per actor in ``__init__`` and amortized
+    across every batch the actor processes."""
+
+    def __init__(self, plan):
+        self.plan = plan
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        return _apply_fused_plan(table, self.plan)
+
+
 class FeatureEngineeringPipeline:
-    """Ordered Features → one fitted, reusable Dataset-to-Dataset function."""
+    """Ordered Features → one fitted, reusable Dataset-to-Dataset function.
+
+    ``actor_concurrency``: when set, the fused batch stage runs as an actor
+    pool (``map_batches(FusedBatchStage, concurrency=...)``) so fitted state
+    ships to each worker once instead of per task — use for heavy-state
+    encoders. ``batch_size`` tunes batch granularity for both modes."""
 
     def __init__(
         self,
@@ -73,6 +106,8 @@ class FeatureEngineeringPipeline:
         skew_threshold: int | None = None,
         slice_target: int = 250_000,
         hot_sample_frac: float = 1.0,
+        actor_concurrency: int | tuple[int, int] | None = None,
+        batch_size: int | None = None,
     ):
         if features is None:
             features = []
@@ -89,6 +124,8 @@ class FeatureEngineeringPipeline:
         self.skew_threshold = skew_threshold
         self.slice_target = slice_target
         self.hot_sample_frac = hot_sample_frac
+        self.actor_concurrency = actor_concurrency
+        self.batch_size = batch_size
         self._fitted = False
 
     # ------------------------------------------------------------------
@@ -126,8 +163,15 @@ class FeatureEngineeringPipeline:
         direct_fits = []  # (transform, cols, prior batch plan)
         applied: list[tuple[Transform, list[str], list[str]]] = []
         for f in self.features:
-            cols = f.resolve_input(virtual)
             t = f.transformer
+            try:
+                cols = f.resolve_input(virtual)
+            except KeyError:
+                if t.requires_fit:
+                    raise
+                # stateless feature whose inputs are absent from a narrow
+                # fit dataset (stats_ds): nothing to fit, skip it here
+                continue
             derived = any(c not in base_names for c in cols)
             if t.requires_fit:
                 if not derived and t.agg_requests(cols) and type(t).fit is Transform.fit:
@@ -169,27 +213,26 @@ class FeatureEngineeringPipeline:
         self._fitted = True
         return self
 
-    def transform(self, ds, keep: list[str] | str = "all"):
+    def transform(self, ds, keep: list[str] | str = "all", stats_ds=None):
         schema = dataset_schema(ds)
         batch_feats, keyed_groups = self._plan(schema)
 
         if batch_feats:
             plan = [(f.transformer, cols, outs) for f, cols, outs in batch_feats]
-
-            def fused(table: pa.Table) -> pa.Table:
-                out = table
-                for tr, cols, names in plan:
-                    res = tr.transform_table(out, cols)
-                    if list(res.column_names) != names:
-                        res = res.rename_columns(names)
-                    for cn in res.column_names:
-                        col = res.column(cn)
-                        if cn in out.column_names:
-                            out = out.drop_columns([cn])
-                        out = out.append_column(cn, col)
-                return out
-
-            ds = ds.map_batches(fused, batch_format="pyarrow")
+            if self.actor_concurrency is not None:
+                ds = ds.map_batches(
+                    FusedBatchStage,
+                    fn_constructor_kwargs={"plan": plan},
+                    batch_format="pyarrow",
+                    batch_size=self.batch_size,
+                    concurrency=self.actor_concurrency,
+                )
+            else:
+                ds = ds.map_batches(
+                    lambda t, p=plan: _apply_fused_plan(t, p),
+                    batch_format="pyarrow",
+                    batch_size=self.batch_size,
+                )
 
         for (key, order_by), transforms in keyed_groups.items():
             ds = apply_keyed(
@@ -201,6 +244,7 @@ class FeatureEngineeringPipeline:
                 skew_threshold=self.skew_threshold,
                 slice_target=self.slice_target,
                 hot_sample_frac=self.hot_sample_frac,
+                stats_ds=stats_ds,
             )
 
         if keep != "all":
@@ -211,8 +255,11 @@ class FeatureEngineeringPipeline:
             ds = ds.select_columns(base + feat_cols)
         return ds
 
-    def fit_transform(self, ds, keep: list[str] | str = "all"):
-        return self.fit(ds).transform(ds, keep=keep)
+    def fit_transform(self, ds, keep: list[str] | str = "all", stats_ds=None):
+        # narrow stats_ds (column-pruned read of the same rows) accelerates
+        # the fit pass and the keyed pre-passes; results are identical
+        self.fit(stats_ds if stats_ds is not None else ds)
+        return self.transform(ds, keep=keep, stats_ds=stats_ds)
 
     def output_names(self, schema: pa.Schema) -> list[str]:
         batch_feats, keyed_groups = self._plan(schema)

@@ -106,13 +106,29 @@ def _hot_key_plan(ds, by, on, skew_threshold, slice_target, sample_frac: float =
     path that keeps the pre-pass shuffle at frac × keys. Counts are scaled
     back up; slice assignment stays consistent for all rows because slices
     clip at 0 below the sampled t0 and extend unbounded above."""
-    from ray.data.aggregate import Count, Max, Min
-
     projected = ds.select_columns([by, on])
     threshold = skew_threshold
     if sample_frac < 1.0:
-        projected = projected.random_sample(sample_frac, seed=1754)
+        # hot keys are by definition frequent: count them on a driver-side
+        # row sample (one narrow scan + a pandas value_counts) instead of a
+        # full distributed groupby — the pre-pass must stay cheap relative
+        # to the main shuffle it is protecting
+        pdf_s = projected.random_sample(sample_frac, seed=1754).to_pandas()
         threshold = max(1, int(skew_threshold * sample_frac))
+        counts = pdf_s[by].value_counts()
+        hot = counts[counts > threshold]
+        plan = {}
+        for k, n in hot.items():
+            sub = pdf_s[pdf_s[by] == k][on].values.astype("datetime64[us]").astype("int64")
+            tmin, tmax = int(sub.min()), int(sub.max())
+            est_n = n / sample_frac
+            n_slices = max(2, int(np.ceil(est_n / slice_target)))
+            slice_us = max(1, (tmax - tmin) // n_slices + 1)
+            plan[k] = (tmin, slice_us)
+        return plan
+
+    from ray.data.aggregate import Count, Max, Min
+
     stats = projected.groupby(by).aggregate(
         Count(alias_name="n"),
         Min(on, alias_name="tmin"),
@@ -127,8 +143,7 @@ def _hot_key_plan(ds, by, on, skew_threshold, slice_target, sample_frac: float =
     for rec in pdf.to_dict("records"):
         tmin = np.datetime64(rec["tmin"], "us").astype("int64")
         tmax = np.datetime64(rec["tmax"], "us").astype("int64")
-        est_n = rec["n"] / sample_frac
-        n_slices = max(2, int(np.ceil(est_n / slice_target)))
+        n_slices = max(2, int(np.ceil(rec["n"] / slice_target)))
         slice_us = max(1, int(tmax - tmin) // n_slices + 1)
         plan[rec[by]] = (int(tmin), int(slice_us))
     return plan

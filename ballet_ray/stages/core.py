@@ -140,6 +140,53 @@ class TokenCount(Transform):
         return [f"{c}_count" for c in cols]
 
 
+class TokenStats(Transform):
+    """Per-row statistics over a list<int32> token column: mean token id,
+    Shannon entropy over ``buckets`` hash buckets, and the fraction of
+    token ids above ``rare_cutoff``. Fully vectorized over the flattened
+    token buffer (bincount on a combined row×bucket index — no per-row
+    Python), so cost is O(total tokens) of pure numpy arithmetic."""
+
+    def __init__(self, buckets: int = 64, rare_cutoff: int = 45_000):
+        self.buckets = buckets
+        self.rare_cutoff = rare_cutoff
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        c = cols[0]
+        col = table.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        safe_lens = np.maximum(lens, 1)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        sums = np.bincount(row_idx, weights=flat, minlength=n)
+        mean_tok = sums / safe_lens
+
+        b = self.buckets
+        hist = np.bincount(row_idx * b + (flat % b), minlength=n * b).reshape(n, b)
+        p = hist / safe_lens[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(p > 0, p * np.log(p), 0.0).sum(axis=1)
+
+        rare = np.bincount(row_idx, weights=(flat >= self.rare_cutoff), minlength=n)
+        rare_frac = rare / safe_lens
+        return pa.table(
+            {
+                "mean_token": pa.array(mean_tok),
+                "token_entropy": pa.array(ent),
+                "rare_frac": pa.array(rare_frac),
+            }
+        )
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return ["mean_token", "token_entropy", "rare_frac"]
+
+
 class ArrowExprTransform(Transform):
     """Arbitrary vectorized table→columns function, declared output names.
 

@@ -362,6 +362,7 @@ def apply_keyed(
     skew_threshold: int | None = None,
     slice_target: int = 250_000,
     hot_sample_frac: float = 1.0,
+    stats_ds=None,
 ):
     """Run all keyed transforms sharing (key, order_by) in ONE main shuffle.
 
@@ -392,15 +393,19 @@ def apply_keyed(
     if skew_threshold is not None and sliceable:
         from ballet_ray.stages.asof import _hot_key_plan
 
+        # pre-passes only touch (key, order, value) columns: a caller-provided
+        # narrow dataset (e.g. a column-pruned parquet read) avoids decoding
+        # the payload (token lists) in the serial pre-pass phases
+        pre_ds = stats_ds if stats_ds is not None else ds
         hot_plan = _hot_key_plan(
-            ds, key, order_by[0], skew_threshold, slice_target, sample_frac=hot_sample_frac
+            pre_ds, key, order_by[0], skew_threshold, slice_target, sample_frac=hot_sample_frac
         )
         hot_ids = {k: i for i, k in enumerate(hot_plan)}
         if hot_plan:
             w_max = max((t.lookback for t, _, _ in transforms), default=0)
             gaps = sorted({t.gap_us for t, _, _ in transforms if isinstance(t, Sessionize)})
             carries = _summarize_hot_slices(
-                ds, transforms, key, order_by, hot_plan, hot_ids, max(w_max, 1), gaps
+                pre_ds, transforms, key, order_by, hot_plan, hot_ids, max(w_max, 1), gaps
             )
 
     order_col = order_by[0] if order_by else None

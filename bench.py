@@ -20,7 +20,7 @@ import os
 import sys
 import time
 
-CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", 2_000_000))
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", 4_000_000))
 CORPUS_DIR = f"/tmp/ballet_ray_bench_corpus_{CORPUS_ROWS}"
 
 
@@ -42,15 +42,19 @@ def headline_pipeline(corpus_dir: str):
 
     from ballet_ray.feature import Feature
     from ballet_ray.pipeline import FeatureEngineeringPipeline
-    from ballet_ray.stages.core import Log1p, TokenCount
+    from ballet_ray.stages.core import Log1p, TokenCount, TokenStats
     from ballet_ray.stages.encoders import StandardScaler
     from ballet_ray.stages.groupwise import GroupwiseTransform
     from ballet_ray.stages.windows import Lag, RollingMean, Sessionize
 
     ds = rd.read_parquet(corpus_dir)
+    # narrow read for fit + keyed pre-passes: column pruning at the READ so
+    # the serial phases never decode the token payload
+    narrow = rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts", "n_tok", "source"])
     pipe = FeatureEngineeringPipeline(
         [
             Feature("tokens", TokenCount(), output="token_count"),
+            Feature("tokens", TokenStats()),  # per-token vectorized compute
             Feature("n_tok", Log1p(), output="log_n_tok"),
             Feature("n_tok", GroupwiseTransform(StandardScaler(), groupby="source"), output="n_tok_z"),
             Feature("n_tok", Lag(1, key="doc_id", order_by="event_ts")),
@@ -62,7 +66,7 @@ def headline_pipeline(corpus_dir: str):
         slice_target=50_000,
         hot_sample_frac=0.05,  # detect hot keys from a sample (scale path)
     )
-    out = pipe.fit_transform(ds)
+    out = pipe.fit_transform(ds, stats_ds=narrow)
     from ray.data.aggregate import Count, Sum
 
     agg = out.aggregate(Count(alias_name="rows"), Sum("n_tok", alias_name="tokens"))
