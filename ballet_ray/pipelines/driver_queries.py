@@ -301,11 +301,11 @@ def q_asof_click_purchase(sf_dir: str):
     clicks = ev.map_batches(split_left, batch_format="pyarrow")
     purchases = ev.map_batches(split_right, batch_format="pyarrow")
 
-    # dedupe right per (user, ts): keep max value (deterministic)
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nlargest(1, "value")
+    # dedupe right per (user, ts): keep max value (deterministic) — an
+    # aggregate, not map_groups: tree-reduce beats per-group pandas
+    from ray.data.aggregate import Max
 
-    purchases = purchases.groupby(["user_id", "ts"]).map_groups(dd, batch_format="pandas")
+    purchases = purchases.groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
     out = asof_join(
         clicks,
         purchases.map_batches(lambda t: t.rename_columns(["user_id", "ts", "last_purchase_value"]), batch_format="pyarrow"),
@@ -609,6 +609,162 @@ SELECT query_idx, vec_id FROM (
 """
 
 
+def q_cumcount_events(sf_dir: str):
+    from ballet_ray.stages.windows import CumCount
+
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(CumCount(key="user_id", order_by=["ts", "event_id"]), [], ["cum_count"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "cum_count"])
+    return out
+
+
+SQL_CUMCOUNT_EVENTS = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS cum_count
+FROM events
+"""
+
+
+def q_rolling_time_events(sf_dir: str):
+    from ballet_ray.stages.windows import RollingMeanTime
+
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(RollingMeanTime(3600, ts_col="ts", key="user_id"), ["value"], ["value_rtmean"])],
+        "user_id",
+        ["ts"],
+    ).select_columns(["event_id", "user_id", "value_rtmean"])
+    return _round_cols(_nan_to_null(out, ["value_rtmean"]), {"value_rtmean": 4})
+
+
+SQL_ROLLING_TIME_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS value_rtmean
+FROM events
+"""
+
+
+def q_backfill_grid(sf_dir: str):
+    """Backfill: latest event value per user at three fixed timestamps —
+    the north rule's entity×timestamp grid materialization."""
+    import ray.data as rdata
+
+    from ballet_ray.stages.asof import backfill
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    users = ev.groupby("user_id").count().select_columns(["user_id"]).to_pandas()
+    stamps = pd.to_datetime(["2024-01-10", "2024-02-01", "2024-03-01"]).values.astype("datetime64[us]")
+    grid = pd.DataFrame(
+        {
+            "user_id": np.repeat(users["user_id"].to_numpy(), len(stamps)),
+            "ts": np.tile(stamps, len(users)),
+        }
+    )
+    from ray.data.aggregate import Max
+
+    dedup = ev.groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
+    out = backfill(
+        rdata.from_pandas(grid), dedup, on="ts", by="user_id", feature_cols=["value"]
+    )
+    return out.select_columns(["user_id", "ts", "value"])
+
+
+SQL_BACKFILL_GRID = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+stamps AS (
+  SELECT * FROM (VALUES (TIMESTAMP '2024-01-10'), (TIMESTAMP '2024-02-01'),
+                        (TIMESTAMP '2024-03-01')) s(ts)
+),
+grid AS (SELECT user_id, ts FROM users CROSS JOIN stamps),
+dedup AS (SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts)
+SELECT g.user_id, g.ts, d.value
+FROM grid g ASOF LEFT JOIN dedup d ON g.user_id = d.user_id AND g.ts >= d.ts
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 orders by price per priority (grouped top-k)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(2)
+
+    return ds.groupby("o_orderpriority").map_groups(top2, batch_format="pandas")
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def q_semi_join_lineitems(sf_dir: str):
+    """Lineitems of the top-10 orders by price: broadcast semi join."""
+    from ballet_ray.stages.joins import semi_join_filter
+
+    top = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return semi_join_filter(li, top, key="l_orderkey")
+
+
+SQL_SEMI_JOIN_LINEITEMS = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+)
+"""
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — two-level pre-aggregation
+    (distinct pairs first, then count) instead of shipping raw rows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).count().select_columns(["event_type", "user_id"])
+    out = pairs.groupby("event_type").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n_users"]), batch_format="pyarrow"
+    )
+
+
+SQL_DISTINCT_USERS_PER_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
+def q_grouped_minmax_broadcast(sf_dir: str):
+    """Per-user min/max joined back to every row via broadcast — the
+    computed-small-side broadcast join pattern."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _events(sf_dir)
+    stats = ds.groupby("user_id").aggregate(
+        Min("value", alias_name="user_min"), Max("value", alias_name="user_max")
+    )
+    out = broadcast_join(ds, stats, key="user_id", value_cols=["user_min", "user_max"])
+    return out.select_columns(["event_id", "user_id", "user_min", "user_max"])
+
+
+SQL_GROUPED_MINMAX_BROADCAST = """
+SELECT event_id, user_id,
+       MIN(value) OVER (PARTITION BY user_id) AS user_min,
+       MAX(value) OVER (PARTITION BY user_id) AS user_max
+FROM events
+"""
+
+
 # -- rows-only checks (no SQL equivalent) -----------------------------------
 
 
@@ -663,6 +819,13 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "distinct_lang_counts": q_distinct_lang_counts,
     "knn_embeddings": q_knn_embeddings,
+    "cumcount_events": q_cumcount_events,
+    "rolling_time_events": q_rolling_time_events,
+    "backfill_grid": q_backfill_grid,
+    "topk_per_group": q_topk_per_group,
+    "semi_join_lineitems": q_semi_join_lineitems,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "grouped_minmax_broadcast": q_grouped_minmax_broadcast,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_docs": q_simhash_docs,
     "langid_docs": q_langid_docs,
@@ -694,4 +857,11 @@ ORACLE_SQL = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
+    "cumcount_events": SQL_CUMCOUNT_EVENTS,
+    "rolling_time_events": SQL_ROLLING_TIME_EVENTS,
+    "backfill_grid": SQL_BACKFILL_GRID,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
+    "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
+    "grouped_minmax_broadcast": SQL_GROUPED_MINMAX_BROADCAST,
 }

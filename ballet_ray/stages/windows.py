@@ -210,18 +210,22 @@ class RollingMeanTime(KeyedTransform):
         ts = _ts_us_col(table.column(self.ts_col))
         out = {}
         n = len(ts)
-        # window start index: first j >= group_start with ts[j] >= ts[i]-range;
-        # searchsorted over the whole sorted array then clipped to group start
-        # is correct because ts is sorted within groups.
+        if n == 0:
+            return {f"{c}_rtmean": np.empty(0) for c in cols}
+        # ts is sorted only WITHIN groups — offset each group by a gap wider
+        # than any window so a single global searchsorted stays in-group
+        span = int(ts.max() - ts.min()) + self.range_us + 1
+        ts_adj = ts + codes * span
+        lo = np.searchsorted(ts_adj, ts_adj - self.range_us, side="left")
+        lo = np.maximum(lo, starts)
+        # SQL RANGE frames include PEERS of the current row (same ts)
+        hi = np.searchsorted(ts_adj, ts_adj, side="right")
         for c in cols:
             v = _vals(table, c)
             cs = np.concatenate([[0.0], np.cumsum(np.where(np.isnan(v), 0.0, v))])
             cn = np.concatenate([[0], np.cumsum(~np.isnan(v))])
-            lo = np.searchsorted(ts, ts - self.range_us, side="left")
-            lo = np.maximum(lo, starts)
-            idx = np.arange(n)
-            s = cs[idx + 1] - cs[lo]
-            cnt = cn[idx + 1] - cn[lo]
+            s = cs[hi] - cs[lo]
+            cnt = cn[hi] - cn[lo]
             with np.errstate(invalid="ignore", divide="ignore"):
                 m = s / cnt
             m[cnt == 0] = np.nan
