@@ -236,6 +236,82 @@ class RollingMeanTime(KeyedTransform):
         return [f"{c}_rtmean" for c in cols]
 
 
+def compute_carry_extended(
+    narrow_sorted: pa.Table,
+    t: KeyedTransform,
+    cols: list[str],
+    key: str,
+    order_col: str,
+    carry: dict | None,
+) -> dict[str, np.ndarray]:
+    """Compute one keyed transform over a single-entity time slice, with the
+    slice's carry state (previous tail rows, following head rows, last-valid
+    values, prior session/row counts) restoring exact cross-slice window
+    semantics. ``narrow_sorted`` holds only the needed columns, sorted by
+    the order key. Returns outputs aligned to the sorted order.
+
+    Shared by the streaming keyed pass (apply_keyed) and the checkpointed
+    backfill's per-partition path.
+    """
+    n = narrow_sorted.num_rows
+    tail_n = len(carry["tail_ts"]) if carry else 0
+    head_n = len(carry.get("head_ts", ())) if carry else 0
+    value_cols = list(dict.fromkeys(cols))
+    ext_n = tail_n + n + head_n
+    ext_cols: dict[str, pa.Array] = {}
+    k_val = narrow_sorted.column(key)[0].as_py() if n else ""
+    ext_cols[key] = pa.array(np.repeat(np.array([k_val], dtype=object), ext_n))
+    real_ts = _ts_us_col(narrow_sorted.column(order_col))
+    parts_ts = [real_ts]
+    if carry:
+        parts_ts = [carry["tail_ts"], real_ts, carry.get("head_ts", np.empty(0, dtype=np.int64))]
+    ext_ts = np.concatenate(parts_ts)
+    if pa.types.is_timestamp(narrow_sorted.column(order_col).type):
+        ext_cols[order_col] = pa.array(ext_ts.astype("datetime64[us]"))
+    else:
+        ext_cols[order_col] = pa.array(ext_ts)
+    for c in value_cols:
+        if c == order_col:
+            continue
+        real = _vals(narrow_sorted, c)
+        if carry:
+            ext = np.concatenate(
+                [
+                    carry["tail"].get(c, np.full(tail_n, np.nan)),
+                    real,
+                    carry.get("head", {}).get(c, np.full(head_n, np.nan)),
+                ]
+            )
+        else:
+            ext = real
+        ext_cols[c] = pa.array(ext)
+    ext_tbl = pa.table(ext_cols)
+    codes0 = np.zeros(ext_n, dtype=np.int64)
+    starts0 = np.zeros(ext_n, dtype=np.int64)
+    outs = t.transform_sorted(ext_tbl, codes0, starts0, cols)
+    adjusted: dict[str, np.ndarray] = {}
+    hi = tail_n + n
+    for j, (name, arr) in enumerate(outs.items()):
+        arr = np.asarray(arr)
+        if isinstance(t, Sessionize):
+            base = arr[tail_n - 1] if tail_n else 0
+            prior = carry["prior_sessions"].get(t.gap_us, 0) if carry else 0
+            adjusted[name] = (arr[tail_n:hi] - base + prior).astype(np.int64)
+        elif isinstance(t, CumCount):
+            prior = carry["prior_rows"] if carry else 0
+            adjusted[name] = (arr[tail_n:hi] - tail_n + prior).astype(np.int64)
+        elif isinstance(t, FFill):
+            v = arr[tail_n:hi].astype(np.float64)
+            if carry:
+                lv = carry["last_valid"].get(cols[j % len(cols)])
+                if lv is not None:
+                    v = np.where(np.isnan(v), lv, v)
+            adjusted[name] = v
+        else:
+            adjusted[name] = arr[tail_n:hi]
+    return adjusted
+
+
 def _append_outputs(tbl: pa.Table, names, outs: dict) -> pa.Table:
     for want, have in zip(names, list(outs)):
         arr = outs[have]
@@ -469,65 +545,11 @@ def apply_keyed(
 
         # hot slice: single entity, carry-extended compute on narrow arrays
         carry = carries.get(bucket_id - num_buckets, None)
-        tail_n = len(carry["tail_ts"]) if carry else 0
-        head_n = len(carry.get("head_ts", ())) if carry else 0
         narrow = _narrow_sorted(table, order)
-        value_cols = sorted({c for _, cols, _ in transforms for c in cols})
-        ext_cols: dict[str, pa.Array] = {}
-        k_val = table.column(key)[0].as_py()
-        ext_n = tail_n + n + head_n
-        ext_cols[key] = pa.array(np.repeat(np.array([k_val], dtype=object), ext_n))
-        real_ts = _ts_us_col(narrow.column(order_col))
-        parts_ts = [real_ts]
-        if carry:
-            parts_ts = [carry["tail_ts"], real_ts, carry.get("head_ts", np.empty(0, dtype=np.int64))]
-        ext_ts = np.concatenate(parts_ts)
-        if pa.types.is_timestamp(table.column(order_col).type):
-            ext_cols[order_col] = pa.array(ext_ts.astype("datetime64[us]"))
-        else:
-            ext_cols[order_col] = pa.array(ext_ts)
-        for c in value_cols:
-            if c == order_col:
-                continue
-            real = _vals(narrow, c)
-            if carry:
-                ext = np.concatenate(
-                    [
-                        carry["tail"].get(c, np.full(tail_n, np.nan)),
-                        real,
-                        carry.get("head", {}).get(c, np.full(head_n, np.nan)),
-                    ]
-                )
-            else:
-                ext = real
-            ext_cols[c] = pa.array(ext)
-        ext_tbl = pa.table(ext_cols)
-        codes0 = np.zeros(ext_n, dtype=np.int64)
-        starts0 = np.zeros(ext_n, dtype=np.int64)
         for t, cols, names in transforms:
-            outs = t.transform_sorted(ext_tbl, codes0, starts0, cols)
-            adjusted = {}
-            out_items = list(outs.items())
-            hi = tail_n + n
-            for j, (name, arr) in enumerate(out_items):
-                arr = np.asarray(arr)
-                if isinstance(t, Sessionize):
-                    base = arr[tail_n - 1] if tail_n else 0
-                    prior = carry["prior_sessions"].get(t.gap_us, 0) if carry else 0
-                    adjusted[name] = (arr[tail_n:hi] - base + prior).astype(np.int64)[inv]
-                elif isinstance(t, CumCount):
-                    prior = carry["prior_rows"] if carry else 0
-                    adjusted[name] = (arr[tail_n:hi] - tail_n + prior).astype(np.int64)[inv]
-                elif isinstance(t, FFill):
-                    v = arr[tail_n:hi].astype(np.float64)
-                    if carry:
-                        lv = carry["last_valid"].get(cols[j % len(cols)])
-                        if lv is not None:
-                            v = np.where(np.isnan(v), lv, v)
-                    adjusted[name] = v[inv]
-                else:
-                    adjusted[name] = arr[tail_n:hi][inv]
-            table = _append_outputs(table, names, adjusted)
+            outs = compute_carry_extended(narrow, t, cols, key, order_col, carry)
+            scattered = {nm: np.asarray(v)[inv] for nm, v in outs.items()}
+            table = _append_outputs(table, names, scattered)
         return table
 
     b = ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -56,28 +56,66 @@ def _checksum_table(table: pa.Table) -> str:
     return f"{int(h):016x}"
 
 
-def transform_bucket_local(pipe, table: pa.Table) -> pa.Table:
+def transform_bucket_local(pipe, table: pa.Table, *, hot: bool = False, carry: dict | None = None) -> pa.Table:
     """Apply a fitted FeatureEngineeringPipeline to one in-memory bucket:
-    batch features append columns; keyed features compute bucket-locally
-    (valid because buckets hold whole entities)."""
+    batch features append columns; keyed features compute bucket-locally.
+    Non-hot buckets hold whole entities; hot buckets are single-entity time
+    slices whose exact window semantics come from the slice's ``carry``
+    state (stages/windows.py:compute_carry_extended)."""
+    from ballet_ray.stages.windows import compute_carry_extended
+
     out = table
     for f in pipe.features:
         cols = f.resolve_input(out.schema)
         t = f.transformer
         names = f.output_names(out.schema)
-        if isinstance(t, KeyedTransform):
-            # compute in (key, order) sort order, then scatter back so the
-            # appended columns align with `out`'s row order
+        if isinstance(t, KeyedTransform) and hot:
             sort_keys = [t.key, *t.order_by]
-            order = pc.sort_indices(out, sort_keys=[(k, "ascending") for k in sort_keys])
-            sorted_tbl = out.take(order)
+            order = pc.sort_indices(
+                out.select(sort_keys), sort_keys=[(k, "ascending") for k in sort_keys]
+            ).to_numpy(zero_copy_only=False)
+            narrow_cols = {}
+            for cname in dict.fromkeys([*sort_keys, *cols]):
+                col = out.column(cname)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_timestamp(col.type):
+                    v = col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+                    narrow_cols[cname] = pa.array(v.astype("datetime64[us]"))
+                else:
+                    narrow_cols[cname] = pa.array(col.to_numpy(zero_copy_only=False)[order])
+            sorted_tbl = pa.table(narrow_cols)
+            inv = np.empty(len(order), dtype=np.int64)
+            inv[order] = np.arange(len(order))
+            outs = compute_carry_extended(sorted_tbl, t, cols, t.key, t.order_by[0], carry)
+            for want, (have, arr) in zip(names, outs.items()):
+                out = out.append_column(want, pa.array(np.asarray(arr)[inv]))
+        elif isinstance(t, KeyedTransform):
+            # compute in (key, order) sort order over ONLY the narrow columns
+            # the kernel reads (never sorting the token payload), then
+            # scatter back so appended columns align with `out`'s row order
+            sort_keys = [t.key, *t.order_by]
+            order = pc.sort_indices(
+                out.select(sort_keys), sort_keys=[(k, "ascending") for k in sort_keys]
+            ).to_numpy(zero_copy_only=False)
+            narrow_cols = {}
+            for cname in dict.fromkeys([*sort_keys, *cols]):
+                col = out.column(cname)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if pa.types.is_timestamp(col.type):
+                    vals_np = col.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+                    narrow_cols[cname] = pa.array(vals_np.astype("datetime64[us]"))
+                else:
+                    narrow_cols[cname] = pa.array(col.to_numpy(zero_copy_only=False)[order])
+            sorted_tbl = pa.table(narrow_cols)
             from ballet_ray.functions import windows_np as wnp
 
             codes = wnp.group_codes(sorted_tbl.column(t.key).to_numpy(zero_copy_only=False))
             starts = wnp.group_starts(codes)
             outs = t.transform_sorted(sorted_tbl, codes, starts, cols)
             inv = np.empty(len(order), dtype=np.int64)
-            inv[order.to_numpy(zero_copy_only=False)] = np.arange(len(order))
+            inv[order] = np.arange(len(order))
             for want, (have, arr) in zip(names, outs.items()):
                 vals = np.asarray(arr)[inv]
                 out = out.append_column(want, pa.array(vals))
@@ -93,14 +131,82 @@ def transform_bucket_local(pipe, table: pa.Table) -> pa.Table:
 
 
 class CheckpointedBackfill:
-    def __init__(self, out_dir: str, *, key: str = "doc_id", num_partitions: int = 32):
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        key: str = "doc_id",
+        num_partitions: int = 32,
+        skew_threshold: int | None = None,
+        slice_target: int = 250_000,
+        hot_sample_frac: float = 1.0,
+        fit_columns: list[str] | None = None,
+    ):
         self.out_dir = out_dir
         self.key = key
         self.num_partitions = num_partitions
+        self.skew_threshold = skew_threshold
+        self.slice_target = slice_target
+        self.hot_sample_frac = hot_sample_frac
+        self.fit_columns = fit_columns
         self.buckets_dir = os.path.join(out_dir, "buckets")
         self.features_dir = os.path.join(out_dir, "features")
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.state_dir = os.path.join(out_dir, "state")
+
+    # ------------------------------------------------------------------
+    def _keyed_specs(self, pipe):
+        """(order_col, transforms) of the pipeline's keyed features on our
+        partition key (the only ones phase-1 slicing must respect)."""
+        transforms = []
+        order_col = None
+        for f in pipe.features:
+            t = f.transformer
+            if isinstance(t, KeyedTransform) and t.key == self.key and t.order_by:
+                transforms.append((t, [c for c in ([f.input] if isinstance(f.input, str) else list(f.input))], None))
+                order_col = t.order_by[0]
+        return order_col, transforms
+
+    def _hot_state(self, pipe, input_path: str):
+        """Compute (or load from the run's state dir) the hot-entity plan
+        and per-slice carries — persisted so a resume sees identical
+        partitioning."""
+        import pickle
+
+        path = os.path.join(self.state_dir, "hot.pkl")
+        os.makedirs(self.state_dir, exist_ok=True)
+        if os.path.exists(path):
+            with open(path, "rb") as fh:
+                return pickle.load(fh)
+        hot_plan, hot_ids, carries = {}, {}, {}
+        order_col, transforms = self._keyed_specs(pipe)
+        if self.skew_threshold is not None and order_col is not None:
+            import ray.data as rd
+
+            from ballet_ray.stages.asof import _hot_key_plan
+            from ballet_ray.stages.windows import Sessionize, _summarize_hot_slices
+
+            value_cols = sorted({c for _, cols, _ in transforms for c in cols})
+            narrow = rd.read_parquet(
+                input_path, columns=list(dict.fromkeys([self.key, order_col, *value_cols]))
+            )
+            hot_plan = _hot_key_plan(
+                narrow, self.key, order_col, self.skew_threshold, self.slice_target,
+                sample_frac=self.hot_sample_frac,
+            )
+            hot_ids = {k: i for i, k in enumerate(hot_plan)}
+            if hot_plan:
+                w_max = max((t.lookback for t, _, _ in transforms), default=0)
+                gaps = sorted({t.gap_us for t, _, _ in transforms if isinstance(t, Sessionize)})
+                carries = _summarize_hot_slices(
+                    narrow, transforms, self.key, (order_col,), hot_plan, hot_ids, max(w_max, 1), gaps
+                )
+        state = {"hot_plan": hot_plan, "hot_ids": hot_ids, "carries": carries, "order_col": order_col}
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(state, fh)
+        os.replace(tmp, path)
+        return state
 
     # ------------------------------------------------------------------
     def _completed_parts(self) -> set[int]:
@@ -127,7 +233,7 @@ class CheckpointedBackfill:
         os.replace(tmp, path)
         return pipe
 
-    def _phase1_bucketize(self, input_path: str):
+    def _phase1_bucketize(self, input_path: str, hot_state: dict):
         import ray.data as rd
 
         marker = os.path.join(self.buckets_dir, "_COMPLETE")
@@ -138,10 +244,24 @@ class CheckpointedBackfill:
         os.makedirs(self.buckets_dir, exist_ok=True)
         ds = rd.read_parquet(input_path)
         key, P = self.key, self.num_partitions
+        hot_plan = hot_state["hot_plan"]
+        hot_ids = hot_state["hot_ids"]
+        order_col = hot_state["order_col"]
 
         def add_part(t: pa.Table) -> pa.Table:
-            h = stable_hash_array(t.column(key).to_numpy(zero_copy_only=False))
-            return t.append_column("part", pa.array((h % np.uint64(P)).astype(np.int64)))
+            keys = t.column(key).to_numpy(zero_copy_only=False)
+            part = (stable_hash_array(keys) % np.uint64(P)).astype(np.int64)
+            if hot_plan:
+                from ballet_ray.stages.windows import _ts_us_col
+
+                ts = _ts_us_col(t.column(order_col))
+                for k, (t0, slice_us) in hot_plan.items():
+                    mk = keys == k
+                    if mk.any():
+                        sl = np.maximum((ts[mk] - t0) // slice_us, 0)
+                        # hot entities get their own sliced partitions above P
+                        part[mk] = P + hot_ids[k] * 1_000_000 + sl
+            return t.append_column("part", pa.array(part))
 
         ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
             self.buckets_dir, partition_cols=["part"]
@@ -159,17 +279,29 @@ class CheckpointedBackfill:
         os.makedirs(self.features_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
 
-        self._phase1_bucketize(input_path)
-        pipe = self._fit_or_load(pipe, rd.read_parquet(input_path))
+        hot_state = self._hot_state(pipe, input_path)
+        self._phase1_bucketize(input_path, hot_state)
+        t_p1 = time.time()
+        fit_ds = rd.read_parquet(input_path, columns=self.fit_columns) if self.fit_columns else rd.read_parquet(input_path)
+        pipe = self._fit_or_load(pipe, fit_ds)
+        t_fit = time.time()
 
         done = self._completed_parts()
-        todo = [k for k in range(self.num_partitions) if k not in done]
+        # partitions are whatever phase 1 wrote (hash buckets + hot slices)
+        all_parts = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.buckets_dir)
+            if d.startswith("part=")
+        )
         part_dirs = {
-            k: os.path.join(self.buckets_dir, f"part={k}") for k in todo
-            if os.path.isdir(os.path.join(self.buckets_dir, f"part={k}"))
+            k: os.path.join(self.buckets_dir, f"part={k}")
+            for k in all_parts
+            if k not in done
         }
 
         features_dir, manifest_dir = self.features_dir, self.manifest_dir
+        P = self.num_partitions
+        carries = hot_state["carries"]
         pipe_ref = ray.put(pipe)
 
         @ray.remote
@@ -177,7 +309,10 @@ class CheckpointedBackfill:
             t0 = time.time()
             table = pq.read_table(bucket_dir)
             p = ray.get(pipe_ref)
-            out = transform_bucket_local(p, table)
+            if k >= P:
+                out = transform_bucket_local(p, table, hot=True, carry=carries.get(k - P))
+            else:
+                out = transform_bucket_local(p, table)
             if "part" in out.column_names:
                 out = out.drop_columns(["part"])
             tmp = os.path.join(features_dir, f".tmp-part={k}")
@@ -206,9 +341,12 @@ class CheckpointedBackfill:
 
         manifests = ray.get([process.remote(k, d) for k, d in part_dirs.items()])
         return {
-            "partitions_total": self.num_partitions,
+            "partitions_total": len(all_parts),
             "partitions_resumed": len(done),
             "partitions_processed": len(manifests),
             "rows_processed": sum(m["rows"] for m in manifests),
             "wall_s": round(time.time() - t_start, 3),
+            "phase1_s": round(t_p1 - t_start, 3),
+            "fit_s": round(t_fit - t_p1, 3),
+            "phase2_s": round(time.time() - t_fit, 3),
         }

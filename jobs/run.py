@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--key", default="doc_id")
+    ap.add_argument("--skew-threshold", type=int, default=None)
+    ap.add_argument("--slice-target", type=int, default=250_000)
+    ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     args = ap.parse_args()
 
     import ray
@@ -65,7 +68,13 @@ def main() -> None:
 
     t0 = time.time()
     summary = CheckpointedBackfill(
-        args.out, key=args.key, num_partitions=args.partitions
+        args.out,
+        key=args.key,
+        num_partitions=args.partitions,
+        skew_threshold=args.skew_threshold,
+        slice_target=args.slice_target,
+        hot_sample_frac=args.hot_sample_frac,
+        fit_columns=["doc_id", "event_ts", "n_tok", "source"],
     ).run(args.input, build_pipeline())
     dt = time.time() - t0
     summary["wall_s_total"] = round(dt, 3)

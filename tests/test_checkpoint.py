@@ -93,3 +93,31 @@ def test_checkpoint_output_matches_streaming_pipeline(tmp_path, corpus_dir):
     stream = stream.sort_values(["doc_id", "event_ts"]).reset_index(drop=True)
     for c in ["token_count", "n_tok_z", "n_tok_lag1", "session_id"]:
         assert np.allclose(a[c].to_numpy(dtype=float), stream[c].to_numpy(dtype=float), equal_nan=True), c
+
+
+def test_checkpoint_skew_sliced_matches_unsliced(tmp_path, corpus_dir):
+    """Hot-entity time slicing in phase 1 must not change any feature value
+    (cross-slice carries restore exact window semantics)."""
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "sliced")
+    CheckpointedBackfill(out_a, key="doc_id", num_partitions=8).run(corpus_dir, _pipe())
+    runb = CheckpointedBackfill(
+        out_b, key="doc_id", num_partitions=8, skew_threshold=300, slice_target=200
+    )
+    runb.run(corpus_dir, _pipe())
+    # the hot doc must actually have been sliced into >1 partitions
+    parts = [d for d in os.listdir(os.path.join(out_b, "buckets")) if d.startswith("part=")]
+    hot_parts = [d for d in parts if int(d.split("=")[1]) >= 8]
+    assert len(hot_parts) >= 2, parts
+    a = _read_all(os.path.join(out_a, "features"))
+    b = _read_all(os.path.join(out_b, "features"))
+    assert len(a) == len(b)
+    for c in ["token_count", "log_n_tok", "n_tok_z", "n_tok_lag1", "session_id"]:
+        assert np.allclose(a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True), c
+    # per-partition row counts bounded by ~slice size for hot parts
+    import json as _json
+
+    for d in hot_parts:
+        k = int(d.split("=")[1])
+        man = _json.load(open(os.path.join(out_b, "manifest", f"part-{k}.json")))
+        assert man["rows"] <= 3 * 200, man
