@@ -22,8 +22,13 @@ streaming ~100 TB of pre-tokenized Parquet through the object store.
 """
 
 from ballet_ray.feature import Feature
-from ballet_ray.pipeline import FeatureEngineeringPipeline
+from ballet_ray.pipeline import EncoderPipeline, FeatureEngineeringPipeline
 
 RANDOM_STATE = 1754  # mirrors reference ballet/util/__init__.py:18
 
-__all__ = ["Feature", "FeatureEngineeringPipeline", "RANDOM_STATE"]
+__all__ = [
+    "EncoderPipeline",
+    "Feature",
+    "FeatureEngineeringPipeline",
+    "RANDOM_STATE",
+]

@@ -214,6 +214,12 @@ class FeatureEngineeringPipeline:
         return self
 
     def transform(self, ds, keep: list[str] | str = "all", stats_ds=None):
+        """keep="all" preserves every input column; a column list keeps only
+        those plus the feature columns — and, crucially, lets the planner
+        DROP unneeded payload columns (token lists) before the keyed
+        co-partition shuffle, which is the reference's feature-matrix
+        semantics (ballet/pipeline.py:48-65) and avoids moving bytes the
+        output never uses."""
         schema = dataset_schema(ds)
         batch_feats, keyed_groups = self._plan(schema)
 
@@ -233,6 +239,20 @@ class FeatureEngineeringPipeline:
                     batch_format="pyarrow",
                     batch_size=self.batch_size,
                 )
+
+        if keep != "all" and keyed_groups:
+            # shed columns the keyed passes and the final output don't need
+            # BEFORE the shuffle (wide payloads dominate shuffle bytes)
+            base_keep = [keep] if isinstance(keep, str) else list(keep)
+            needed = set(base_keep)
+            for (k, ob), transforms in keyed_groups.items():
+                needed |= {k, *ob}
+                for _, cols, _ in transforms:
+                    needed |= set(cols)
+            produced = {o for _, _, outs in batch_feats for o in outs}
+            needed |= produced  # batch feature outputs are part of the matrix
+            avail = set(schema.names) | produced
+            ds = ds.select_columns(sorted(needed & avail))
 
         for (key, order_by), transforms in keyed_groups.items():
             ds = apply_keyed(

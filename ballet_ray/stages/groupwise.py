@@ -56,35 +56,16 @@ class GroupwiseTransform(FittedTransform):
         # tree-reduce grouped aggregate — no row shuffle at all.
         reqs = proto.agg_requests(cols) if hasattr(proto, "agg_requests") else []
         if reqs and all(r[0] == "moments" for r in reqs):
-            from ray.data.aggregate import Count, Max, Mean, Min, Std
+            from ballet_ray.state.fitstate import grouped_moments_fast
 
-            aggs = []
-            for c in cols:
-                aggs += [
-                    Count(c, ignore_nulls=True, alias_name=f"{c}::count"),
-                    Mean(c, alias_name=f"{c}::mean"),
-                    Std(c, ddof=0, alias_name=f"{c}::std0"),
-                    Std(c, ddof=1, alias_name=f"{c}::std1"),
-                    Min(c, alias_name=f"{c}::min"),
-                    Max(c, alias_name=f"{c}::max"),
-                ]
-            pdf = (
-                ds.select_columns([gcol] + [c for c in cols if c != gcol])
-                .groupby(gcol)
-                .aggregate(*aggs)
-                .to_pandas()
-            )
+            stats = grouped_moments_fast(ds, gcol, cols)
+            groups = set().union(*(stats[c].keys() for c in cols))
             self.fitted_ = {}
-            for rec in pdf.to_dict("records"):
+            for g in groups:
                 inner = copy.deepcopy(proto)
-                results = {
-                    ("moments", c): {
-                        k: rec[f"{c}::{k}"] for k in ("count", "mean", "std0", "std1", "min", "max")
-                    }
-                    for c in cols
-                }
+                results = {("moments", c): stats[c][g] for c in cols}
                 inner.bind_fit_results(cols, results)
-                self.fitted_[rec[gcol]] = pickle.dumps(inner)
+                self.fitted_[g] = pickle.dumps(inner)
             return self
 
         def fit_group(t: pa.Table) -> pa.Table:

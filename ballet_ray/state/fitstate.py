@@ -135,18 +135,77 @@ class FitPlanner:
 
     @staticmethod
     def _grouped_moments(ds, col: str, by: str) -> dict:
-        out = ds.groupby(by).aggregate(
-            Count(col, ignore_nulls=True, alias_name="count"),
-            Mean(col, alias_name="mean"),
-            Std(col, ddof=0, alias_name="std0"),
-            Min(col, alias_name="min"),
-            Max(col, alias_name="max"),
-        )
-        pdf = out.to_pandas()
-        return {
-            rec[by]: {k: rec[k] for k in ("count", "mean", "std0", "min", "max")}
-            for rec in pdf.to_dict("records")
-        }
+        return grouped_moments_fast(ds, by, [col])[col]
+
+
+def grouped_moments_fast(ds, by: str, cols: list[str]) -> dict:
+    """Per-group {count, mean, std0, std1, min, max} for every col, via
+    per-batch partial aggregation: each batch emits ONE row per group with
+    (n, Σx, Σx², min, max); the groupby then reduces a few thousand partial
+    rows instead of shuffling every input row. Returns
+    {col: {group: stats}}."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t.column(by).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(groups, return_inverse=True)
+        data = {by: uniq}
+        for c in cols:
+            x = t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~np.isnan(x)
+            n = np.bincount(inv, weights=ok, minlength=len(uniq))
+            x0 = np.where(ok, x, 0.0)
+            s = np.bincount(inv, weights=x0, minlength=len(uniq))
+            ss = np.bincount(inv, weights=x0 * x0, minlength=len(uniq))
+            mn = np.full(len(uniq), np.inf)
+            mx = np.full(len(uniq), -np.inf)
+            np.minimum.at(mn, inv[ok], x[ok])
+            np.maximum.at(mx, inv[ok], x[ok])
+            data[f"{c}::n"] = n
+            data[f"{c}::s"] = s
+            data[f"{c}::ss"] = ss
+            data[f"{c}::mn"] = mn
+            data[f"{c}::mx"] = mx
+        return pa.table({k: pa.array(v) for k, v in data.items()})
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            _Sum(f"{c}::n", alias_name=f"{c}::n"),
+            _Sum(f"{c}::s", alias_name=f"{c}::s"),
+            _Sum(f"{c}::ss", alias_name=f"{c}::ss"),
+            _Min(f"{c}::mn", alias_name=f"{c}::mn"),
+            _Max(f"{c}::mx", alias_name=f"{c}::mx"),
+        ]
+    pdf = (
+        ds.select_columns([by] + [c for c in cols if c != by])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .aggregate(*aggs)
+        .to_pandas()
+    )
+    out: dict = {c: {} for c in cols}
+    for rec in pdf.to_dict("records"):
+        for c in cols:
+            n = float(rec[f"{c}::n"])
+            s, ss = float(rec[f"{c}::s"]), float(rec[f"{c}::ss"])
+            mean = s / n if n else 0.0
+            var0 = max(ss / n - mean * mean, 0.0) if n else 0.0
+            var1 = var0 * n / (n - 1) if n > 1 else 0.0
+            out[c][rec[by]] = {
+                "count": n,
+                "mean": mean,
+                "std0": float(np.sqrt(var0)),
+                "std1": float(np.sqrt(var1)),
+                "min": float(rec[f"{c}::mn"]),
+                "max": float(rec[f"{c}::mx"]),
+            }
+    return out
 
 
 def skewness_from_moments(count: float, m2: float, m3: float) -> float:

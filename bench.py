@@ -66,7 +66,12 @@ def headline_pipeline(corpus_dir: str):
         slice_target=50_000,
         hot_sample_frac=0.05,  # detect hot keys from a sample (scale path)
     )
-    out = pipe.fit_transform(ds, stats_ds=narrow)
+    # reference feature-matrix semantics: output = keys + feature columns
+    # (the token payload is consumed by the fused batch stage, then shed
+    # before the keyed shuffle — projection pushdown through the pipeline)
+    out = pipe.fit_transform(
+        ds, keep=["doc_id", "event_ts", "n_tok", "source"], stats_ds=narrow
+    )
     from ray.data.aggregate import Count, Sum
 
     agg = out.aggregate(Count(alias_name="rows"), Sum("n_tok", alias_name="tokens"))

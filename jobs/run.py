@@ -52,12 +52,14 @@ def main() -> None:
     ap.add_argument("--skew-threshold", type=int, default=None)
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
+    ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()

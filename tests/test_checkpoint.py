@@ -121,3 +121,20 @@ def test_checkpoint_skew_sliced_matches_unsliced(tmp_path, corpus_dir):
         k = int(d.split("=")[1])
         man = _json.load(open(os.path.join(out_b, "manifest", f"part-{k}.json")))
         assert man["rows"] <= 3 * 200, man
+
+
+def test_two_clean_runs_identical_checksums(tmp_path, corpus_dir):
+    """Determinism under parallelism (SURVEY §5.2 item 5): two independent
+    clean runs produce byte-identical per-partition content checksums."""
+    import json as _json
+
+    outs = []
+    for name in ("d1", "d2"):
+        out = str(tmp_path / name)
+        CheckpointedBackfill(out, key="doc_id", num_partitions=8).run(corpus_dir, _pipe())
+        sums = {}
+        for m in os.listdir(os.path.join(out, "manifest")):
+            j = _json.load(open(os.path.join(out, "manifest", m)))
+            sums[j["part"]] = j["checksum"]
+        outs.append(sums)
+    assert outs[0] == outs[1]
