@@ -130,3 +130,13 @@ def test_backfill_grid():
     )
     vals = out["f1"].tolist()
     assert vals[0] == 1.0 and vals[1] == 2.0 and np.isnan(vals[2]) and vals[3] == 7.0
+
+
+def test_asof_skew_strict_mode():
+    """Skew slicing with allow_exact=False: carry rows must still win on
+    slice-boundary timestamp ties (side=2 tie ordering)."""
+    left, right = _mk(seed=23, n_left=2500, n_right=600, n_keys=4)
+    left.loc[: len(left) // 2, "k"] = "hot"
+    right.loc[: len(right) // 3, "k"] = "hot"
+    right = right.drop_duplicates(subset=["k", "ts"]).reset_index(drop=True)
+    _run_and_compare(left, right, allow_exact=False, skew_threshold=200, slice_target=100)
