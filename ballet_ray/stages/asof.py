@@ -56,6 +56,7 @@ def _merge_bucket(
     right_cols: list[str],
     left_cols: list[str],
     allow_exact: bool,
+    audit: bool = False,
 ) -> pa.Table:
     """Vectorized in-bucket as-of merge: left rows + matched right values."""
     side = table.column(_SIDE).to_numpy(zero_copy_only=False)
@@ -94,6 +95,12 @@ def _merge_bucket(
         col = table.column(c).take(take_idx)
         col = pc.if_else(valid, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, pa.scalar(None, type=col.type))
         out = out.append_column(c, col)
+    if audit:
+        # leakage audit: the source timestamp each joined value came from —
+        # a verifier can assert matched_source_ts <= the row's own ts
+        src_ts = table.column(on).take(take_idx)
+        src_ts = pc.if_else(valid, src_ts.combine_chunks() if isinstance(src_ts, pa.ChunkedArray) else src_ts, pa.scalar(None, type=src_ts.type))
+        out = out.append_column("matched_source_ts", src_ts)
     return out
 
 
@@ -200,9 +207,15 @@ def asof_join(
     num_buckets: int = 64,
     skew_threshold: int | None = None,
     slice_target: int = 250_000,
+    audit: bool = False,
 ):
     """Backward as-of join of two Datasets. Output = left's columns plus
-    ``right_cols`` (null where the entity has no right row at/before ts)."""
+    ``right_cols`` (null where the entity has no right row at/before ts).
+    ``audit=True`` appends ``matched_source_ts`` — the right-side timestamp
+    each value came from — so zero temporal leakage is checkable per row.
+    (Carry rows are re-timestamped at their slice start, so under the skew
+    path the audit column is an upper bound on the true source ts — still
+    never after the left row's ts.)"""
     import ray.data as rd
 
     from ballet_ray.pipeline import dataset_schema
@@ -271,7 +284,7 @@ def asof_join(
 
     def per_bucket(t: pa.Table) -> pa.Table:
         t = t.drop_columns([BUCKET_COL])
-        return _merge_bucket(t, on, by, right_cols, left_cols, allow_exact)
+        return _merge_bucket(t, on, by, right_cols, left_cols, allow_exact, audit=audit)
 
     return both.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
 

@@ -140,3 +140,16 @@ def test_asof_skew_strict_mode():
     right.loc[: len(right) // 3, "k"] = "hot"
     right = right.drop_duplicates(subset=["k", "ts"]).reset_index(drop=True)
     _run_and_compare(left, right, allow_exact=False, skew_threshold=200, slice_target=100)
+
+
+def test_asof_audit_column_proves_no_leakage():
+    """audit=True appends matched_source_ts; every row must satisfy
+    matched_source_ts <= ts (zero temporal leakage, checkable per row)."""
+    left, right = _mk(seed=29)
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="ts", by="k",
+        right_cols=["val"], audit=True,
+    ).to_pandas()
+    m = out["matched_source_ts"].notna()
+    assert m.any()
+    assert (out.loc[m, "matched_source_ts"] <= out.loc[m, "ts"]).all()
