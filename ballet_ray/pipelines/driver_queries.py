@@ -790,6 +790,24 @@ def q_embedding_near_dups(sf_dir: str):
     return embedding_near_dup_pairs(emb, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.95)
 
 
+def q_minhash_cluster_dedup_docs(sf_dir: str):
+    """End-to-end near-dedup: LSH pairs → connected components → keep one
+    representative per cluster (rows-only: LSH-dependent)."""
+    from ballet_ray.stages.dedup import dedup_by_minhash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_by_minhash(ds, est_threshold=0.6, concurrency=2).select_columns(["doc_id"])
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """KMV-sketch approximate COUNT(DISTINCT user_id) per event_type
+    (rows-only: approximate by design; see tests for error bounds)."""
+    from ballet_ray.stages.sketches import approx_distinct_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ds, "user_id", "event_type", k=256)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -830,6 +848,8 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "langid_docs": q_langid_docs,
     "embedding_near_dups": q_embedding_near_dups,
+    "minhash_cluster_dedup_docs": q_minhash_cluster_dedup_docs,
+    "approx_distinct_users": q_approx_distinct_users,
 }
 
 ORACLE_SQL = {

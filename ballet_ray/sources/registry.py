@@ -55,6 +55,21 @@ def load_table_from_config(input_dir: str, table_config: dict):
     )
 
 
+_WRITERS = {
+    "parquet": lambda ds, path, kw: ds.write_parquet(path, **kw),
+    "csv": lambda ds, path, kw: ds.write_csv(path, **kw),
+    "json": lambda ds, path, kw: ds.write_json(path, **kw),
+}
+
+
+def write_table(ds, path: str, *, format: str | None = None, **kwargs) -> None:
+    """Write a Dataset to a directory of part files (parquet/csv/json)."""
+    fmt = format or _infer_format(path)
+    if fmt not in _WRITERS:
+        raise ValueError(f"unsupported sink format {fmt!r}; known: {sorted(_WRITERS)}")
+    _WRITERS[fmt](ds, path, kwargs)
+
+
 class TableRegistry:
     """All of a project's tables, loaded lazily by name."""
 

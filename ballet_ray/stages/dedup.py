@@ -244,6 +244,70 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3, concurren
     return pairs.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
 
 
+def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10):
+    """Near-dup pairs → per-id cluster representative (the minimum id of its
+    connected component) via iterative min-label propagation: each round is
+    a flat emission of (node, candidate_label) edges in both directions
+    plus self-labels, reduced by a grouped min — no driver-side union-find,
+    so component assignment scales with the pair count. Converges in
+    O(diameter) rounds; near-dup clusters are almost always tiny, so
+    ``max_rounds`` is a formality. Returns (id, cluster_rep) rows for every
+    id that appears in a pair."""
+    import ray.data as rdata
+
+    from ray.data.aggregate import Min
+
+    def seed(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate([a, b])),
+                "label": pa.array(np.concatenate([np.minimum(a, b)] * 2)),
+            }
+        )
+
+    labels = (
+        pairs.map_batches(seed, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Min("label", alias_name="label"))
+    )
+    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+
+    for _ in range(max_rounds):
+        ldf = labels.to_pandas()
+        lmap = dict(zip(ldf[id_col], ldf["label"]))
+        la = edges["id_a"].map(lmap)
+        lb = edges["id_b"].map(lmap)
+        if (la == lb).all():
+            break
+        prop = pd.DataFrame(
+            {
+                id_col: np.concatenate([edges["id_a"], edges["id_b"], ldf[id_col]]),
+                "label": np.concatenate([np.minimum(la, lb)] * 2 + [ldf["label"]]),
+            }
+        )
+        labels = (
+            rdata.from_pandas(prop)
+            .groupby(id_col)
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels.map_batches(
+        lambda t: t.rename_columns([id_col, "cluster_rep"]), batch_format="pyarrow"
+    )
+
+
+def dedup_by_minhash(ds, *, text_col: str = "text", id_col: str = "doc_id", **lsh_kwargs):
+    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
+    components → keep one representative row (the min id) per cluster."""
+    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    clusters = assign_clusters(pairs, id_col=id_col).to_pandas()
+    losers = clusters[clusters[id_col] != clusters["cluster_rep"]][id_col].to_numpy()
+    from ballet_ray.stages.joins import semi_join_filter
+
+    return semi_join_filter(ds, losers, key=id_col, invert=True)
+
+
 def ngram_jaccard_pairs(ds, pairs, *, text_col="text", id_col="doc_id", k: int = 3, threshold: float = 0.0):
     """Exact n-gram Jaccard for candidate pairs. The texts of both sides are
     attached via broadcast lookups (candidate sets are small relative to the

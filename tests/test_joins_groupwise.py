@@ -100,3 +100,15 @@ def test_grouped_function_transform():
     exp = df.groupby("name")["value"].transform("sum")
     merged = out.merge(df.assign(exp=exp), on=["name", "year"], suffixes=("", "_src"))
     assert np.allclose(merged["group_sum"], merged["exp"])
+
+
+def test_write_table_sinks(tmp_path, sf_dir):
+    import ray.data as rd
+
+    from ballet_ray.sources.registry import load_table, write_table
+
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    for fmt in ("parquet", "csv", "json"):
+        out = str(tmp_path / fmt)
+        write_table(ds, out, format=fmt)
+        assert load_table(out, format=fmt).count() == ds.count()

@@ -1,0 +1,84 @@
+"""Property-based tests: the O(n) window kernels must match pandas group
+semantics for arbitrary key layouts, NaN patterns, and window sizes."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ballet_ray.functions import windows_np as wnp
+
+
+@st.composite
+def grouped_series(draw):
+    n = draw(st.integers(1, 120))
+    n_keys = draw(st.integers(1, 6))
+    keys = np.sort(np.array(draw(st.lists(st.integers(0, n_keys - 1), min_size=n, max_size=n))))
+    vals = np.array(draw(st.lists(st.floats(-100, 100, allow_nan=False), min_size=n, max_size=n)))
+    nan_mask = np.array(draw(st.lists(st.booleans(), min_size=n, max_size=n)))
+    vals = np.where(nan_mask, np.nan, vals)
+    return keys, vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_series(), st.integers(-4, 4))
+def test_lag_matches_pandas(data, k):
+    keys, vals = data
+    codes = wnp.group_codes(keys)
+    got = wnp.lag(vals, codes, k)
+    exp = pd.Series(vals).groupby(keys).shift(k).to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_series(), st.integers(1, 6))
+def test_rolling_mean_matches_pandas(data, w):
+    keys, vals = data
+    codes = wnp.group_codes(keys)
+    starts = wnp.group_starts(codes)
+    got = wnp.rolling_mean(vals, starts, w)
+    exp = (
+        pd.Series(vals).groupby(keys).rolling(w, min_periods=1).mean().reset_index(drop=True).to_numpy()
+    )
+    assert np.allclose(got, exp, equal_nan=True, atol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_series())
+def test_ffill_matches_pandas(data):
+    keys, vals = data
+    codes = wnp.group_codes(keys)
+    starts = wnp.group_starts(codes)
+    got = wnp.ffill(vals, starts)
+    exp = pd.Series(vals).groupby(keys).ffill().to_numpy()
+    assert np.allclose(got, exp, equal_nan=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_series(), st.integers(1, 1000))
+def test_sessionize_matches_pandas(data, gap):
+    keys, vals = data
+    n = len(keys)
+    # build per-group increasing timestamps with random deltas
+    rng = np.random.RandomState(0)
+    deltas = rng.randint(1, 2000, n).astype(np.int64)
+    codes = wnp.group_codes(keys)
+    starts = wnp.group_starts(codes)
+    ts = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        ts[i] = deltas[i] if i == starts[i] else ts[i - 1] + deltas[i]
+    got = wnp.sessionize(ts, codes, gap)
+    s = pd.Series(ts)
+    gapped = s.groupby(keys).diff() > gap
+    exp = gapped.groupby(keys).cumsum().to_numpy()
+    assert (got == exp).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(grouped_series())
+def test_cum_count_matches_pandas(data):
+    keys, vals = data
+    codes = wnp.group_codes(keys)
+    got = wnp.cum_count(codes)
+    exp = pd.Series(vals).groupby(keys).cumcount().to_numpy()
+    assert (got == exp).all()
