@@ -799,6 +799,17 @@ def q_minhash_cluster_dedup_docs(sf_dir: str):
     return dedup_by_minhash(ds, est_threshold=0.6, concurrency=2).select_columns(["doc_id"])
 
 
+def q_streaming_session_events(sf_dir: str):
+    """Incremental per-entity windowing via bucket state actors (rows-only:
+    the streaming path; equality with the batch pass is pytest-verified)."""
+    from ballet_ray.stages.streaming import streaming_window_features
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return streaming_window_features(
+        ds, key="user_id", ts_col="ts", value_col="value", gap_seconds=1800, num_buckets=4
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """KMV-sketch approximate COUNT(DISTINCT user_id) per event_type
     (rows-only: approximate by design; see tests for error bounds)."""
@@ -849,6 +860,7 @@ QUERIES = {
     "langid_docs": q_langid_docs,
     "embedding_near_dups": q_embedding_near_dups,
     "minhash_cluster_dedup_docs": q_minhash_cluster_dedup_docs,
+    "streaming_session_events": q_streaming_session_events,
     "approx_distinct_users": q_approx_distinct_users,
 }
 

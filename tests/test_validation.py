@@ -179,3 +179,53 @@ def test_discover_summary(corpus_dir):
     assert df.loc[df["name"] == "raw", "mutual_information"].iloc[0] >= df[
         "mutual_information"
     ].min()
+
+
+# --------------------------------------------------------- KSG golden parity
+# fixtures hand-verified in the reference test suite
+# (tests/validation/test_entropy.py:23-112) — our estimator internals must
+# reproduce the same epsilons and in-radius counts.
+
+
+def test_ksg_epsilon_golden_diagonal():
+    """Diagonal 5-point grid, k=3, chebyshev: epsilon = 2 × kth distance
+    (reference test_compute_epsilon golden [6,4,4,4,6])."""
+    from ballet_ray.validation.entropy import _compute_epsilon
+
+    x = np.array([[0.5, 0.5], [1.5, 1.5], [2.5, 2.5], [3.5, 3.5], [4.5, 4.5]])
+    eps = _compute_epsilon(x)
+    assert np.allclose(eps, [6.0, 4.0, 4.0, 4.0, 6.0])
+
+
+def test_ksg_radius_counts_golden():
+    """Strictly-within-radius counts incl. self (reference test_compute_nx_i
+    golden [2,5,2,2,1]); points ON the margin are excluded."""
+    from ballet_ray.validation.entropy import _count_strictly_within
+
+    x = np.array([[0, 0], [1, 0], [0, 1], [1, 1], [0.5, 0.5]], dtype=float)
+    radius = np.array([0.7, 10, 1, 0.7, 0.1])
+    nx = _count_strictly_within(x, radius)
+    assert nx.tolist() == [2, 5, 2, 2, 1]
+
+
+def test_empirical_probability_golden():
+    from ballet_ray.validation.entropy import _disc_entropy
+
+    # H of [1,1,2,3,2,1,1,2]: p = [1/2, 3/8, 1/8]
+    x = np.array([1, 1, 2, 3, 2, 1, 1, 2])
+    p = np.array([4 / 8, 3 / 8, 1 / 8])
+    expected = float(-(p * np.log(p)).sum())
+    assert np.isclose(_disc_entropy(x), expected)
+
+
+def test_discreteness_heuristics():
+    """Reference _is_column_disc cases (ballet/validation/entropy.py:65-99)."""
+    from ballet_ray.validation.entropy import _is_column_disc
+
+    assert _is_column_disc(np.arange(100))  # integral dtype
+    assert _is_column_disc(np.arange(100).astype(float))  # near-integer floats
+    rng = np.random.RandomState(0)
+    cont = rng.randn(100) + 0.1  # continuous: unique, non-integer
+    assert not _is_column_disc(cont)
+    rep = np.concatenate([np.full(30, 0.5), rng.randn(10) + 7.77])  # heavy repeats
+    assert _is_column_disc(rep)
