@@ -20,7 +20,7 @@ def grouped_series(draw):
     return keys, vals
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(grouped_series(), st.integers(-4, 4))
 def test_lag_matches_pandas(data, k):
     keys, vals = data
@@ -30,7 +30,7 @@ def test_lag_matches_pandas(data, k):
     assert np.allclose(got, exp, equal_nan=True)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(grouped_series(), st.integers(1, 6))
 def test_rolling_mean_matches_pandas(data, w):
     keys, vals = data
@@ -43,7 +43,7 @@ def test_rolling_mean_matches_pandas(data, w):
     assert np.allclose(got, exp, equal_nan=True, atol=1e-9)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(grouped_series())
 def test_ffill_matches_pandas(data):
     keys, vals = data
@@ -54,7 +54,7 @@ def test_ffill_matches_pandas(data):
     assert np.allclose(got, exp, equal_nan=True)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(grouped_series(), st.integers(1, 1000))
 def test_sessionize_matches_pandas(data, gap):
     keys, vals = data
@@ -74,7 +74,7 @@ def test_sessionize_matches_pandas(data, gap):
     assert (got == exp).all()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(grouped_series())
 def test_cum_count_matches_pandas(data):
     keys, vals = data
