@@ -96,5 +96,24 @@ class Feature:
             out = out.rename_columns(names)
         return out
 
+    # -- reference API conveniences (ballet/feature.py:85-135: fit/transform
+    # delegate to a singleton one-feature pipeline) ---------------------
+    def as_feature_engineering_pipeline(self):
+        from ballet_ray.pipeline import FeatureEngineeringPipeline
+
+        return FeatureEngineeringPipeline([self])
+
+    def fit(self, ds):
+        self._pipeline = self.as_feature_engineering_pipeline().fit(ds)
+        return self
+
+    def transform(self, ds):
+        if not hasattr(self, "_pipeline"):
+            raise RuntimeError("Feature.transform called before fit")
+        return self._pipeline.transform(ds)
+
+    def fit_transform(self, ds):
+        return self.fit(ds).transform(ds)
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Feature(input={self.input!r}, transformer={type(self.transformer).__name__}, output={self.output})"

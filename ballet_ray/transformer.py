@@ -212,16 +212,57 @@ def validate_transform_api(t) -> None:
             raise TypeError(f"{t!r} does not implement {attr}()")
 
 
+class NestedFeatureTransform(Transform):
+    """A Feature used as a transformer step inside another Feature
+    (reference nested-feature support, evidence tests/test_pipeline.py:23-40,
+    tests/test_transformer.py:147-158): the nested feature reads its OWN
+    declared input columns, ignoring the outer feature's."""
+
+    def __init__(self, feature):
+        if callable(feature.input) and not isinstance(feature.input, (str, list, tuple)):
+            raise TypeError("nested features need explicit input columns")
+        self.feature = feature
+        self._cols = [feature.input] if isinstance(feature.input, str) else list(feature.input)
+
+    @property
+    def requires_fit(self):  # type: ignore[override]
+        return self.feature.transformer.requires_fit
+
+    def agg_requests(self, cols):
+        return self.feature.transformer.agg_requests(self._cols)
+
+    def bind_fit_results(self, cols, results):
+        self.feature.transformer.bind_fit_results(self._cols, results)
+
+    def fit(self, ds, cols):
+        if self.requires_fit:
+            self.feature.transformer.fit(ds, self._cols)
+        return self
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        return self.feature.transform_table(table)
+
+    def output_names(self, cols):
+        inferred = self.feature.transformer.output_names(self._cols)
+        if self.feature.output is not None and len(self.feature.output) == len(inferred):
+            return list(self.feature.output)
+        return inferred
+
+
 def desugar_transformer(t) -> Transform:
     """Reference desugaring rules (ballet/transformer.py:290-309):
     None → Identity; bare callable → robust function transform;
-    list/tuple of steps → chain; Transform passes through."""
+    list/tuple of steps → chain; a Feature → nested-feature step;
+    Transform passes through."""
+    from ballet_ray.feature import Feature
     from ballet_ray.stages.core import IdentityTransform
 
     if t is None:
         return IdentityTransform()
     if isinstance(t, Transform):
         return t
+    if isinstance(t, Feature):
+        return NestedFeatureTransform(t)
     if isinstance(t, (list, tuple)):
         return ChainTransform([desugar_transformer(s) for s in t])
     if callable(t):

@@ -108,3 +108,18 @@ def test_empty_pipeline_null_feature(corpus_dir):
     pipe = FeatureEngineeringPipeline([])
     out = pipe.fit_transform(ds)
     assert out.count() == ds.count()
+
+
+def test_feature_singleton_pipeline_api(corpus_dir):
+    """Reference parity: Feature.fit/transform delegate to a one-feature
+    pipeline (ballet/feature.py:85-135)."""
+    import ray.data as rd
+
+    from ballet_ray.stages.core import Log1p
+
+    f = Feature("n_tok", Log1p(), output="l")
+    ds = rd.read_parquet(corpus_dir)
+    out = f.fit_transform(ds).to_pandas()
+    assert np.allclose(out["l"], np.log1p(out["n_tok"]))
+    p = f.as_feature_engineering_pipeline()
+    assert len(p.features) == 1

@@ -246,3 +246,19 @@ def test_table_registry(tmp_path, corpus_dir):
     assert load_table(str(p)).count() == 2
     with pytest.raises(KeyError):
         reg.load("nope")
+
+
+def test_nested_feature_as_transformer():
+    """A Feature used as another Feature's transformer reads its OWN input
+    (reference nested-feature evidence, tests/test_pipeline.py:23-40)."""
+    inner = Feature("b", np.log1p, output="log_b")
+    outer = Feature("a", inner, output="nested_out")
+    df = pd.DataFrame({"a": [0.0, 0.0], "b": [1.0, np.e - 1]})
+    out = (
+        FeatureEngineeringPipeline([outer])
+        .fit_transform(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("b")
+    )
+    # the nested feature ignored column 'a' and transformed 'b'
+    assert np.allclose(out["nested_out"], np.log1p(df.sort_values("b")["b"]))
