@@ -2,98 +2,240 @@
 embedding-cosine near-dup.
 
 All are Dataset→Dataset and shuffle only small derived columns (hashes,
-signatures, pair ids) — never the payload. Patterns follow the standard
+band buckets, pair ids) — never the payload. Patterns follow the standard
 published LSH constructions (Broder '97 minhash, Charikar '02 simhash):
 
-- exact:   md5(content) → groupby(hash) → keep min id      (one shuffle of ids)
-- minhash: word-shingles → k minhashes → b bands → groupby (band, band_hash)
-           → candidate pairs → estimated Jaccard from signature agreement
-- simhash: 64-bit hyperplane-free signature; near-dup = small Hamming
-           distance found via band buckets
-- ngram-jaccard: exact verification of candidate pairs (hash-join texts in)
-- embedding: cosine ≥ threshold within LSH buckets (see similarity.py)
+- exact:   128-bit content hash → groupby(hash) → emit LOSER ids (all but
+           the min id) → anti-join. The loser set is bounded by the
+           duplicate count; for worst-case inputs a fully distributed
+           left-anti hash join path is available (``resolve="join"``).
+- minhash: word-shingles → k minhashes → b bands → groupby (band,
+           band_hash) over (id, band, band_hash) ONLY — the 64-perm
+           signature ships once per doc through a hash join at verify
+           time, not once per band through the bucket shuffle.
+- simhash: 64-bit signature; near-dup = small Hamming distance found via
+           16-bit pigeonhole band buckets.
+- ngram-jaccard: exact verification of candidate pairs; texts are
+           attached by two distributed hash joins (never a driver dict).
+- embedding: cosine ≥ threshold within LSH buckets (see similarity.py).
+
+Cluster resolution (``assign_clusters``) is distributed min-label
+propagation: edges and labels stay Datasets; each round is two hash joins
+plus a grouped min, and convergence is decided by an aggregated
+changed-label count — nothing funnels through the driver.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ballet_ray.functions.hashing import mix
+from ballet_ray.functions.partition import stable_hash_array
 from ballet_ray.stages.text import _WORD_RE
 
+_EMPTY_PAIRS = {"id_a": [], "id_b": []}
 
-def add_content_hash(ds, col: str, out: str = "content_md5"):
+
+# ---------------------------------------------------------------------------
+# vectorized shingle / word hashing (shared by minhash, simhash, jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _word_hash_batch(texts: list, *, lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """All texts of a batch → (flat uint64 word hashes, offsets[n+1]).
+
+    The only per-row Python work is the regex ``findall``; hashing is ONE
+    vectorized siphash pass (``pd.util.hash_array`` with its fixed
+    process-stable key) over the flattened word list of the whole batch.
+    """
+    words: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        ws = _WORD_RE.findall(t.lower() if lower else t) if t else []
+        words.extend(ws)
+        offsets[i + 1] = len(words)
+    if not words:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat = stable_hash_array(np.asarray(words, dtype=object))
+    return flat.astype(np.uint64), offsets
+
+
+def _shingle_hash_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes for a whole batch → (flat uint64, offsets[n+1]).
+
+    Docs with fewer than ``k`` words are padded (parity with the padded
+    single-doc construction) so every doc contributes ≥1 shingle. Shingle
+    hashes are a vectorized ``mix`` of the k member word hashes.
+    """
+    pad = stable_hash_array(np.asarray(["_"], dtype=object)).astype(np.uint64)[0]
+    wh, woff = _word_hash_batch(texts)
+    n = len(texts)
+    sh_parts: list[np.ndarray] = []
+    soff = np.empty(n + 1, dtype=np.int64)
+    soff[0] = 0
+    # group docs by the vectorization-friendly invariant: shingle i of a doc
+    # mixes word hashes [i, i+k); doc boundaries forbid one flat pass, so
+    # build a padded per-doc view then mix all shingles of the batch at once.
+    lens = np.diff(woff)
+    slens = np.maximum(lens, k) - k + 1
+    total = int(slens.sum())
+    cols = [np.empty(total, dtype=np.uint64) for _ in range(k)]
+    pos = 0
+    for i in range(n):
+        m = lens[i]
+        w = wh[woff[i] : woff[i + 1]]
+        if m < k:
+            w = np.concatenate([w, np.full(k - m, pad, dtype=np.uint64)])
+            m = k
+        s = m - k + 1
+        for j in range(k):
+            cols[j][pos : pos + s] = w[j : j + s]
+        soff[i + 1] = pos + s
+        pos += s
+    flat = mix(*cols) if total else np.empty(0, dtype=np.uint64)
+    return flat, soff
+
+
+def _shingle_set(text: str, k: int = 3) -> np.ndarray:
+    """Unique shingle hashes of one doc (used by jaccard verification)."""
+    flat, _ = _shingle_hash_batch([text], k)
+    return np.unique(flat)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_H128_KEY_A = "0123456789123456"
+_H128_KEY_B = "6543219876543210"
+
+
+def add_content_hash(ds, col: str, out: str = "content_h"):
+    """Append two independent 64-bit content hashes (vectorized siphash with
+    two keys → 128 bits total: collision-safe at 10^12 docs, unlike a single
+    64-bit hash whose birthday bound is ~10^4 collisions at that scale)."""
+
     def f(t: pa.Table) -> pa.Table:
-        vals = t.column(col).to_pylist()
-        return t.append_column(
-            out, pa.array([hashlib.md5(v.encode()).hexdigest() if v is not None else None for v in vals])
+        vals = t.column(col).to_numpy(zero_copy_only=False).astype(object)
+        h1 = pd.util.hash_array(vals, hash_key=_H128_KEY_A, categorize=False)
+        h2 = pd.util.hash_array(vals, hash_key=_H128_KEY_B, categorize=False)
+        return t.append_column(f"{out}1", pa.array(h1.astype(np.int64))).append_column(
+            f"{out}2", pa.array(h2.astype(np.int64))
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def exact_dedup(ds, col: str, id_col: str):
+def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_partitions: int | None = None):
     """Keep one row per distinct value of ``col`` (the min ``id_col`` —
-    deterministic). Shuffles only (hash, id); payload never moves: winners
-    are selected as an id set, then the full rows are semi-join filtered."""
-    hashed = add_content_hash(ds.select_columns([col, id_col]), col)
+    deterministic; works for string and integer ids).
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    Only (hash128, id) is shuffled; the grouped pass emits the LOSER ids
+    (every id but the winner), a set bounded by the duplicate count — the
+    inverse of collecting the near-corpus-sized winner set.
 
-    winners = (
-        hashed.groupby("content_md5")
-        .map_groups(keep_first, batch_format="pandas")
-        .select_columns([id_col])
+    resolve="broadcast" (default): losers are broadcast and anti-filtered —
+    right when duplicates are a small fraction of the corpus.
+    resolve="join": fully distributed left-anti hash join (losers carry a
+    marker, ``Dataset.join`` left_outer, keep unmatched) — right when the
+    duplicate count itself could exceed driver memory.
+    """
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+    hashed = add_content_hash(ds.select_columns([col, id_col]), col).select_columns(
+        ["content_h1", "content_h2", id_col]
     )
-    ids = winners.to_pandas()[id_col].to_numpy()
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return g.iloc[0:0][[id_col]]
+        return g.sort_values(id_col).iloc[1:][[id_col]]
+
+    loser_ds = hashed.groupby(["content_h1", "content_h2"]).map_groups(
+        losers, batch_format="pandas"
+    ).materialize()
+    if loser_ds.count() == 0:  # no duplicates at all → identity
+        return ds
+
     from ballet_ray.stages.joins import semi_join_filter
 
-    return semi_join_filter(ds, ids, key=id_col)
+    if resolve == "broadcast":
+        ids = loser_ds.to_pandas()[id_col].to_numpy()
+        return semi_join_filter(ds, ids, key=id_col, invert=True)
+
+    marked = loser_ds.map_batches(
+        lambda t: t.append_column("__loser", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = ds.join(
+        marked, join_type="left_outer", num_partitions=num_partitions, on=(id_col,)
+    )
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("__loser")))
+        return t.drop_columns(["__loser"])
+
+    return joined.map_batches(keep_winners, batch_format="pyarrow")
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64)."""
-    ws = _WORD_RE.findall(text.lower()) if text else []
-    if len(ws) < k:
-        ws = ws + ["_"] * (k - len(ws))
-    sh = [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
-    out = np.empty(len(sh), dtype=np.uint64)
-    for i, s in enumerate(sh):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-        )
-    return out
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
 
 
 class MinHasher:
-    """Actor-pool stage: text → num_perm minhash values (vectorized over
-    shingles with the affine-permutation trick a*x+b over uint64)."""
+    """Actor-pool stage: text → num_perm minhash values.
 
-    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1754):
+    Shingle hashing is one vectorized pass per batch (`_shingle_hash_batch`);
+    the per-doc signature is the column-min of the affine permutations
+    a*x+b over the doc's shingle slice (the standard one-permutation-family
+    trick), done in chunks so the (shingles × perms) temporary stays small.
+    """
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1754, text_col: str = "text"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) | np.uint64(1)
         self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
         self.k = k
+        self.text_col = text_col
+
+    def signatures(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        flat, off = _shingle_hash_batch(texts, self.k)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            perms = flat[:, None] * self.a[None, :] + self.b[None, :]
+        np.minimum.reduceat(perms, off[:-1], axis=0, out=out)
+        return out
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        with np.errstate(over="ignore"):
-            m = (sh[:, None] * self.a[None, :] + self.b[None, :]).min(axis=0)
-        return m
+        return self.signatures([text])[0]
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        texts = table.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.num_perm), np.uint64)
-        # store as fixed-size list of int64 (reinterpreted bits)
+        sigs = self.signatures(table.column(self.text_col).to_pylist())
         flat = sigs.astype(np.int64).ravel()
         arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), self.num_perm)
         return table.append_column("minhash", arr)
+
+
+def _emit_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs within one bucket. Buckets above ``max_bucket`` rows
+    degrade to star pairs (min id anchored to every member): O(n) instead of
+    O(n²), connectivity preserved for identical docs; some near-dup pairs in
+    a degenerate bucket may be missed (documented recall cap)."""
+    n = len(ids)
+    if n > max_bucket:
+        return np.full(n - 1, ids[0]), ids[1:]
+    iu = np.triu_indices(n, 1)
+    return ids[iu[0]], ids[iu[1]]
 
 
 def minhash_lsh_pairs(
@@ -106,42 +248,61 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     est_threshold: float = 0.5,
     concurrency: int = 4,
+    max_bucket: int = 5000,
+    num_partitions: int | None = None,
 ):
-    """Near-duplicate candidate pairs via MinHash-LSH.
+    """Near-duplicate pairs via MinHash-LSH.
 
-    sign → explode to (band, band_hash, id, sig) rows → groupby band bucket
-    → pairs within bucket → dedupe pairs → estimated Jaccard = fraction of
+    sign → explode to (id, band, band_hash) rows — the signature itself is
+    NOT replicated per band — → groupby band bucket → candidate (id_a, id_b)
+    → dedupe → two hash joins attach each side's signature (as binary;
+    Acero joins reject list payloads) → estimated Jaccard = fraction of
     agreeing minhashes; keep pairs ≥ est_threshold.
     Returns a Dataset of (id_a, id_b, est_jaccard).
     """
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
     rows_per_band = num_perm // bands
 
     projected = ds.select_columns([id_col, text_col])
-    signed = projected.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency,
+    # signatures are consumed twice (band explode + verify join): drop the
+    # text payload, then materialize only (id, minhash) — 512 B/doc, not the
+    # corpus
+    signed = (
+        projected.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={"num_perm": num_perm, "k": shingle_k, "text_col": text_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .select_columns([id_col, "minhash"])
+        .materialize()
     )
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sig = np.asarray(t.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(ids), num_perm)
-        out_ids, out_band, out_bh, out_sig = [], [], [], []
+        sig = (
+            np.asarray(
+                t.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            )
+            .reshape(len(ids), num_perm)
+            .astype(np.uint64)
+        )
+        out_ids, out_band, out_bh = [], [], []
         for b in range(bands):
-            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band].astype(np.uint64)
+            seg = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
             # process-stable band hash (builtin hash() is salted per process
             # and would break cross-task bucketing)
             bh = (mix(*[seg[:, j] for j in range(rows_per_band)]) >> np.uint64(1)).astype(np.int64)
             out_ids.append(ids)
             out_band.append(np.full(len(ids), b, dtype=np.int32))
             out_bh.append(bh)
-            out_sig.append(sig)
-        sigs = np.concatenate(out_sig)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_ids)),
                 "band": pa.array(np.concatenate(out_band)),
                 "band_hash": pa.array(np.concatenate(out_bh)),
-                "minhash": pa.FixedSizeListArray.from_arrays(pa.array(sigs.ravel()), num_perm),
             }
         )
 
@@ -149,56 +310,134 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col).reset_index(drop=True)
-        sigs = np.stack(g["minhash"].to_numpy())
-        ids = g[id_col].to_numpy()
-        ia, ib, est = [], [], []
-        for i in range(len(g)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j_off, e in enumerate(agree):
-                if e >= est_threshold:
-                    ia.append(ids[i])
-                    ib.append(ids[i + 1 + j_off])
-                    est.append(float(e))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+            return pd.DataFrame(_EMPTY_PAIRS)
+        ids = np.sort(g[id_col].to_numpy())
+        ia, ib = _emit_pairs(ids, max_bucket)
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+    candidates = exploded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # a pair can surface from several bands — dedupe
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # a pair can surface from several bands — dedupe (tree-reduce count, not
+    # per-group pandas)
+    pairs = (
+        candidates.groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+        # compact away the hash-shuffle's schema-less empty blocks before the
+        # Acero signature joins
+        .repartition(max(2, num_partitions // 2))
+    )
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
+    # one-row-per-doc signature table, signature as binary for the join
+    def sig_blob(t: pa.Table) -> pa.Table:
+        sig = (
+            np.asarray(
+                t.column("minhash").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            )
+            .reshape(len(t), num_perm)
+            .astype(np.uint64)
+        )
+        blobs = [row.tobytes() for row in sig]
+        return pa.table({id_col: t.column(id_col), "sig": pa.array(blobs, type=pa.binary())})
+
+    sigs = signed.map_batches(sig_blob, batch_format="pyarrow")
+    sig_a = sigs.map_batches(lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow")
+    sig_b = sigs.map_batches(lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow")
+    joined = pairs.join(sig_a, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(sig_b, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": t.column("id_a"),
+                    "id_b": t.column("id_b"),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        sa = np.frombuffer(b"".join(t.column("sig_a").to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        sb = np.frombuffer(b"".join(t.column("sig_b").to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        est = (sa == sb).mean(axis=1)
+        out = pa.table(
+            {
+                "id_a": t.column("id_a"),
+                "id_b": t.column("id_b"),
+                "est_jaccard": pa.array(est, type=pa.float64()),
+            }
+        )
+        return out.filter(pa.array(est >= est_threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 class SimHasher:
-    """64-bit SimHash over word hashes (Charikar '02)."""
+    """64-bit SimHash over word hashes (Charikar '02) — batch-vectorized:
+    one siphash pass over the batch's words, bit unpack + per-doc
+    ``add.reduceat``, no per-word Python loop."""
 
-    def __init__(self):
-        self.word = _WORD_RE
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def signatures(self, texts: list) -> np.ndarray:
+        n = len(texts)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        wh, off = _word_hash_batch(texts)
+        if len(wh) == 0:
+            return np.zeros(n, dtype=np.uint64)
+        bits = ((wh[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = 2 * bits - 1  # (m, 64) in {-1, +1}
+        # empty docs contribute no rows, so the flat array is exactly the
+        # concatenation of non-empty docs' words: reduceat over non-empty
+        # starts reduces one doc per segment; empty docs keep acc == 0.
+        lens = np.diff(off)
+        nonempty = lens > 0
+        acc = np.zeros((n, 64), dtype=np.int64)
+        acc[nonempty] = np.add.reduceat(contrib, off[:-1][nonempty], axis=0)
+        sig = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+        return sig
 
     def signature(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in self.word.findall(text.lower()) if text else []:
-            h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-            acc += np.where(bits == 1, 1, -1)
-        sig = np.packbits((acc > 0).astype(np.uint8))
-        return int.from_bytes(sig.tobytes(), "little")
+        return int(self.signatures([text])[0])
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        texts = table.column("text").to_pylist()
-        sigs = np.array([self.signature(t) for t in texts], dtype=np.uint64)
+        sigs = self.signatures(table.column(self.text_col).to_pylist())
         return table.append_column("simhash", pa.array(sigs.astype(np.int64)))
 
 
-def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3, concurrency: int = 4):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    b = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def simhash_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    max_bucket: int = 5000,
+):
     """Near-dup pairs whose 64-bit simhash Hamming distance <= max_hamming.
     Bucket by each of 4 16-bit bands (pigeonhole: distance<=3 ⇒ at least one
-    band equal), verify distance within buckets."""
-    signed = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    band equal), verify distance within buckets (vectorized popcount)."""
+    signed = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -226,15 +465,14 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3, concurren
         g = g.sort_values(id_col).reset_index(drop=True)
         sigs = g["simhash"].to_numpy().astype(np.uint64)
         ids = g[id_col].to_numpy()
-        ia, ib, hd = [], [], []
-        for i in range(len(g)):
-            x = sigs[i + 1 :] ^ sigs[i]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            for j_off in np.flatnonzero(dist <= max_hamming):
-                ia.append(ids[i])
-                ib.append(ids[i + 1 + j_off])
-                hd.append(int(dist[j_off]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": hd})
+        ia, ib = _emit_pairs(ids, max_bucket)
+        if len(ia) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        sa = sigs[np.searchsorted(ids, ia)]
+        sb = sigs[np.searchsorted(ids, ib)]
+        dist = _popcount64(sa ^ sb)
+        keep = dist <= max_hamming
+        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "hamming": dist[keep]})
 
     pairs = exploded.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
 
@@ -244,18 +482,33 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3, concurren
     return pairs.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
 
 
-def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10):
-    """Near-dup pairs → per-id cluster representative (the minimum id of its
-    connected component) via iterative min-label propagation: each round is
-    a flat emission of (node, candidate_label) edges in both directions
-    plus self-labels, reduced by a grouped min — no driver-side union-find,
-    so component assignment scales with the pair count. Converges in
-    O(diameter) rounds; near-dup clusters are almost always tiny, so
-    ``max_rounds`` is a formality. Returns (id, cluster_rep) rows for every
-    id that appears in a pair."""
-    import ray.data as rdata
+# ---------------------------------------------------------------------------
+# connected components / end-to-end dedup
+# ---------------------------------------------------------------------------
 
+
+def _rename(ds, names: list[str]):
+    return ds.map_batches(lambda t, n=tuple(names): t.rename_columns(list(n)), batch_format="pyarrow")
+
+
+def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10, num_partitions: int | None = None):
+    """Near-dup pairs → per-id cluster representative (the minimum id of its
+    connected component) via fully distributed min-label propagation.
+
+    Edges and labels stay Datasets end to end: each round hash-joins the
+    current labels onto both endpoints of every edge, emits (node,
+    min(label_a, label_b)) both ways, reduces by a grouped ``Min``, and
+    decides convergence from an aggregated changed-label count — the driver
+    only ever sees that one integer. Works for integer AND string ids
+    (lexicographic min). Converges in O(component diameter) rounds;
+    near-dup clusters are almost always tiny, so ``max_rounds`` is a
+    formality. Returns (id, cluster_rep) rows for every id in a pair.
+    """
     from ray.data.aggregate import Min
+
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
 
     def seed(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
@@ -267,64 +520,138 @@ def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10):
             }
         )
 
+    # .repartition() after every aggregate/join: Ray's hash-shuffle operators
+    # emit schema-less empty blocks for empty partitions, which Acero joins
+    # reject; repartition compacts them away.
+    edges = pairs.select_columns(["id_a", "id_b"]).repartition(num_partitions).materialize()
     labels = (
-        pairs.map_batches(seed, batch_format="pyarrow")
+        edges.map_batches(seed, batch_format="pyarrow")
         .groupby(id_col)
         .aggregate(Min("label", alias_name="label"))
+        .repartition(num_partitions)
+        .materialize()
     )
-    edges = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+
+    def disagreeing(t: pa.Table) -> pa.Table:
+        # join partitions can emit empty schema-less blocks — guard
+        if "label_a" not in t.column_names:
+            return pa.table({"one": pa.array([], type=pa.int8())})
+        t = t.filter(pc.not_equal(t.column("label_a"), t.column("label_b")))
+        return pa.table({"one": pa.array(np.ones(len(t), dtype=np.int8))})
+
+    def emit(t: pa.Table) -> pa.Table:
+        if "label_a" not in t.column_names:
+            return pa.table({id_col: pa.array([]), "label": pa.array([])})
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        m = np.minimum(
+            t.column("label_a").to_numpy(zero_copy_only=False),
+            t.column("label_b").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {id_col: pa.array(np.concatenate([a, b])), "label": pa.array(np.concatenate([m, m]))}
+        )
 
     for _ in range(max_rounds):
-        ldf = labels.to_pandas()
-        lmap = dict(zip(ldf[id_col], ldf["label"]))
-        la = edges["id_a"].map(lmap)
-        lb = edges["id_b"].map(lmap)
-        if (la == lb).all():
-            break
-        prop = pd.DataFrame(
-            {
-                id_col: np.concatenate([edges["id_a"], edges["id_b"], ldf[id_col]]),
-                "label": np.concatenate([np.minimum(la, lb)] * 2 + [ldf["label"]]),
-            }
+        # attach both endpoints' labels to every edge (two hash joins)
+        la = edges.join(
+            _rename(labels, ["id_a", "label_a"]),
+            join_type="inner", num_partitions=num_partitions, on=("id_a",),
         )
+        lab = la.join(
+            _rename(labels, ["id_b", "label_b"]),
+            join_type="inner", num_partitions=num_partitions, on=("id_b",),
+        ).materialize()
+        # fixed point: no edge's endpoints disagree. The driver sees one int.
+        changed = lab.map_batches(disagreeing, batch_format="pyarrow").count()
+        if changed == 0:
+            break
+        # every emitted candidate min(label_a, label_b) ≤ the endpoint's own
+        # current label (label_a IS id_a's label), so the grouped Min both
+        # propagates and preserves — no union with the old labels needed.
         labels = (
-            rdata.from_pandas(prop)
+            lab.map_batches(emit, batch_format="pyarrow")
             .groupby(id_col)
             .aggregate(Min("label", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
         )
-    return labels.map_batches(
-        lambda t: t.rename_columns([id_col, "cluster_rep"]), batch_format="pyarrow"
+    return _rename(labels, [id_col, "cluster_rep"])
+
+
+def dedup_by_minhash(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", resolve: str = "broadcast",
+    num_partitions: int | None = None, **lsh_kwargs,
+):
+    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
+    components → keep one representative row (the min id) per cluster.
+
+    The loser set (ids whose cluster_rep differs) is bounded by the
+    duplicate count. resolve="broadcast" anti-filters via a broadcast id
+    set; resolve="join" does a fully distributed left-anti hash join for
+    corpora where even the duplicate count exceeds driver memory.
+    """
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    clusters = assign_clusters(pairs, id_col=id_col, num_partitions=num_partitions)
+    loser_ds = clusters.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column(id_col), t.column("cluster_rep"))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    if resolve == "broadcast":
+        losers = loser_ds.to_pandas()[id_col].to_numpy()
+        from ballet_ray.stages.joins import semi_join_filter
+
+        return semi_join_filter(ds, losers, key=id_col, invert=True)
+
+    marked = loser_ds.map_batches(
+        lambda t: t.append_column("__loser", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = ds.join(marked, join_type="left_outer", num_partitions=num_partitions, on=(id_col,))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("__loser"))).drop_columns(["__loser"]),
+        batch_format="pyarrow",
     )
 
 
-def dedup_by_minhash(ds, *, text_col: str = "text", id_col: str = "doc_id", **lsh_kwargs):
-    """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
-    components → keep one representative row (the min id) per cluster."""
-    pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, **lsh_kwargs)
-    clusters = assign_clusters(pairs, id_col=id_col).to_pandas()
-    losers = clusters[clusters[id_col] != clusters["cluster_rep"]][id_col].to_numpy()
-    from ballet_ray.stages.joins import semi_join_filter
-
-    return semi_join_filter(ds, losers, key=id_col, invert=True)
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(ds, pairs, *, text_col="text", id_col="doc_id", k: int = 3, threshold: float = 0.0):
-    """Exact n-gram Jaccard for candidate pairs. The texts of both sides are
-    attached via broadcast lookups (candidate sets are small relative to the
-    corpus; at larger pair counts switch to two hash joins)."""
-    import ray
+def ngram_jaccard_pairs(
+    ds, pairs, *, text_col="text", id_col="doc_id", k: int = 3, threshold: float = 0.0,
+    num_partitions: int | None = None,
+):
+    """Exact n-gram Jaccard for candidate pairs. Texts are attached via TWO
+    distributed hash joins (pairs⋈texts on id_a, then id_b) — the corpus is
+    never collected to the driver."""
+    from ballet_ray.stages.joins import default_join_partitions
 
-    texts = ds.select_columns([id_col, text_col]).to_pandas()
-    ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+    num_partitions = default_join_partitions(num_partitions)
+    texts = ds.select_columns([id_col, text_col])
+    ta = _rename(texts, ["id_a", "__text_a"])
+    tb = _rename(texts, ["id_b", "__text_b"])
+    joined = pairs.join(ta, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(tb, join_type="inner", num_partitions=num_partitions, on=("id_b",))
 
     def verify(t: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        ja = []
-        for a, b in zip(t.column("id_a").to_pylist(), t.column("id_b").to_pylist()):
-            sa = set(_shingle_hashes(lookup.get(a, ""), k).tolist())
-            sb = set(_shingle_hashes(lookup.get(b, ""), k).tolist())
-            ja.append(len(sa & sb) / max(1, len(sa | sb)))
-        out = t.append_column("jaccard", pa.array(ja, type=pa.float64()))
-        return out.filter(pa.array(np.asarray(ja) >= threshold))
+        texts_a = t.column("__text_a").to_pylist()
+        texts_b = t.column("__text_b").to_pylist()
+        fa, oa = _shingle_hash_batch([x or "" for x in texts_a], k)
+        fb, ob = _shingle_hash_batch([x or "" for x in texts_b], k)
+        ja = np.empty(len(texts_a), dtype=np.float64)
+        for i in range(len(texts_a)):
+            sa = np.unique(fa[oa[i] : oa[i + 1]])
+            sb = np.unique(fb[ob[i] : ob[i + 1]])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            ja[i] = inter / max(1, len(sa) + len(sb) - inter)
+        out = t.drop_columns(["__text_a", "__text_b"]).append_column(
+            "jaccard", pa.array(ja, type=pa.float64())
+        )
+        return out.filter(pa.array(ja >= threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")

@@ -19,6 +19,24 @@ import pyarrow as pa
 import ray
 
 
+def default_join_partitions(requested: int | None = None) -> int:
+    """Pick a hash-join partition count that cannot starve the cluster.
+
+    Ray's hash-shuffle join runs one aggregator actor per partition; asking
+    for more partitions than cores on a small cluster deadlocks the
+    streaming executor (observed at 16 partitions on 4 CPUs). Default to
+    half the cluster CPUs, capped at 32 — callers running on a real
+    multi-node cluster should pass an explicit count sized to the data.
+    """
+    if requested is not None:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(32, cpus // 2))
+
+
 def _small_side_to_frame(small) -> pd.DataFrame:
     if isinstance(small, pd.DataFrame):
         return small

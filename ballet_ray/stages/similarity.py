@@ -118,22 +118,56 @@ def lsh_knn(ds, queries: np.ndarray, *, embedding_col: str, id_col: str, k: int 
     return knn_brute(bucketed.map_batches(keep, batch_format="pyarrow"), q, embedding_col=embedding_col, id_col=id_col, k=k)
 
 
-def embedding_near_dup_pairs(ds, *, embedding_col: str, id_col: str, dim: int, threshold: float = 0.95, num_bits: int = 10):
-    """Pairs with cosine >= threshold found within LSH buckets."""
+def embedding_near_dup_pairs(
+    ds, *, embedding_col: str, id_col: str, dim: int, threshold: float = 0.95,
+    num_bits: int = 10, max_bucket: int = 4096,
+):
+    """Pairs with cosine >= threshold found within LSH buckets.
+
+    Buckets above ``max_bucket`` rows (a degenerate bucket — e.g. zero
+    vectors all hashing together) are NOT processed all-pairs: rows are
+    sorted by their projection onto a fixed direction and compared within
+    overlapping sliding windows (stride = max_bucket/2), bounding every
+    GEMM at max_bucket² while keeping nearby vectors co-windowed
+    (documented recall cap for adversarial buckets)."""
     bucketed = lsh_bucketize(ds.select_columns([id_col, embedding_col]), embedding_col=embedding_col, dim=dim, num_bits=num_bits)
+    rng = np.random.RandomState(1754)
+    direction = rng.randn(dim).astype(np.float32)
+    direction /= np.linalg.norm(direction)
+
+    def _window_pairs(m: np.ndarray, ids: np.ndarray):
+        s = m @ m.T
+        iu = np.triu_indices(len(m), 1)
+        sel = s[iu] >= threshold
+        return ids[iu[0][sel]], ids[iu[1][sel]], s[iu][sel].astype(np.float64)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        n = len(g)
+        if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = g.sort_values(id_col).reset_index(drop=True)
         m = _normalize(np.stack(g[embedding_col].to_numpy()).astype(np.float32))
         ids = g[id_col].to_numpy()
-        s = m @ m.T
-        ia, ib, cs = [], [], []
-        iu = np.triu_indices(len(g), 1)
-        for i, j in zip(*iu):
-            if s[i, j] >= threshold:
-                ia.append(ids[i]); ib.append(ids[j]); cs.append(float(s[i, j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        if n <= max_bucket:
+            ia, ib, cs = _window_pairs(m, ids)
+            return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        order = np.argsort(m @ direction, kind="stable")
+        m, ids = m[order], ids[order]
+        stride = max(1, max_bucket // 2)
+        seen = {}
+        for start in range(0, n - 1, stride):
+            w = slice(start, min(n, start + max_bucket))
+            ia, ib, cs = _window_pairs(m[w], ids[w])
+            for a, b, c in zip(ia, ib, cs):
+                key = (a, b) if a <= b else (b, a)
+                seen.setdefault(key, float(c))
+            if w.stop >= n:
+                break
+        if not seen:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ks = list(seen)
+        return pd.DataFrame(
+            {"id_a": [k[0] for k in ks], "id_b": [k[1] for k in ks], "cosine": [seen[k] for k in ks]}
+        )
 
     return bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")

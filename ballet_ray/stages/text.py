@@ -31,16 +31,16 @@ _STOPWORDS = {
 
 
 class RegexTokenCount(Transform):
-    """# of ``[A-Za-z0-9]+`` matches — DuckDB-parity token counting."""
+    """# of ``[A-Za-z0-9]+`` matches — DuckDB-parity token counting.
+
+    Fully vectorized: ``pc.count_substring_regex`` is a C++ RE2 kernel, no
+    per-row Python loop."""
 
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
         out = {}
         for c in cols:
-            texts = table.column(c).to_pylist()
-            out[f"{c}_ntok"] = pa.array(
-                [len(_WORD_RE.findall(t)) if t is not None else None for t in texts],
-                type=pa.int64(),
-            )
+            n = pc.count_substring_regex(table.column(c), pattern="[A-Za-z0-9]+")
+            out[f"{c}_ntok"] = pc.cast(n, pa.int64())
         return pa.table(out)
 
     def output_names(self, cols):
@@ -75,18 +75,18 @@ class QualityScore(Transform):
 
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
         c = cols[0]
-        texts = table.column(c).to_pylist()
-        n = len(texts)
-        words = np.zeros(n, dtype=np.int64)
-        wlen = np.zeros(n, dtype=np.float64)
-        tlen = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            ms = _WORD_RE.findall(t)
-            words[i] = len(ms)
-            wlen[i] = sum(len(m) for m in ms)
-            tlen[i] = len(t)
+        # all three statistics via vectorized RE2/utf8 kernels (null → 0,
+        # matching the previous per-row behavior)
+        col = pc.fill_null(pc.cast(table.column(c), pa.string()), "")
+        words = pc.count_substring_regex(col, pattern="[A-Za-z0-9]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        wlen = (
+            pc.utf8_length(pc.replace_substring_regex(col, pattern="[^A-Za-z0-9]", replacement=""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        tlen = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
             mean_wlen = np.where(words > 0, wlen / words, 0.0)
             alpha_frac = np.where(tlen > 0, wlen / tlen, 0.0)
@@ -106,42 +106,72 @@ class QualityScore(Transform):
 
 class LangId:
     """Stopword-hit language scorer — actor-pool stage (regex compiled and
-    stopword tables built once per actor in ``__init__``). Emits the argmax
-    language and its hit fraction. Heuristic: rows-only oracle."""
+    hashed stopword tables built once per actor in ``__init__``). Emits the
+    argmax language (first language in table order on ties, 'und' when no
+    stopword hits) and its hit fraction.
 
-    def __init__(self):
+    Vectorized: tokens of the whole batch are hashed in one siphash pass;
+    per-language hits are an ``isin`` + per-doc ``add.reduceat`` — the only
+    per-row Python work is the regex findall."""
+
+    def __init__(self, text_col: str = "text"):
+        from ballet_ray.functions.partition import stable_hash_array
+
         self.word = re.compile(r"[a-z0-9]+")
-        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self.text_col = text_col
+        self.langs = list(_STOPWORDS)
+        self._hash = stable_hash_array
+        self.stop_hashes = {
+            k: np.sort(stable_hash_array(np.asarray(sorted(v), dtype=object)))
+            for k, v in _STOPWORDS.items()
+        }
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        texts = table.column("text").to_pylist()
-        langs, fracs = [], []
-        for t in texts:
-            toks = self.word.findall(t.lower()) if t else []
-            best, best_hits = "und", 0
-            for lang, stop in self.tables.items():
-                hits = sum(1 for w in toks if w in stop)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-            fracs.append(best_hits / max(1, len(toks)))
-        return table.append_column("pred_lang", pa.array(langs)).append_column(
+        texts = table.column(self.text_col).to_pylist()
+        n = len(texts)
+        toks: list[str] = []
+        off = np.empty(n + 1, dtype=np.int64)
+        off[0] = 0
+        for i, t in enumerate(texts):
+            toks.extend(self.word.findall(t.lower()) if t else [])
+            off[i + 1] = len(toks)
+        lens = np.diff(off)
+        nonempty = lens > 0
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if toks:
+            flat = self._hash(np.asarray(toks, dtype=object))
+            for j, lang in enumerate(self.langs):
+                m = np.isin(flat, self.stop_hashes[lang]).astype(np.int64)
+                hits[nonempty, j] = np.add.reduceat(m, off[:-1][nonempty])
+        best_hits = hits.max(axis=1)
+        best_idx = hits.argmax(axis=1)  # first max — matches strict-> update order
+        langs = np.where(best_hits > 0, np.asarray(self.langs, dtype=object)[best_idx], "und")
+        fracs = best_hits / np.maximum(1, lens)
+        return table.append_column("pred_lang", pa.array(langs.astype(object))).append_column(
             "stop_frac", pa.array(fracs, type=pa.float64())
         )
 
 
 def hash_tokenize(table: pa.Table, text_col: str = "text", vocab: int = 50_257) -> pa.Table:
-    """text → (tokens list<int32>, n_tok) by hashing whitespace words into a
-    fixed vocab — turns any text table into the canonical north-rule shape."""
+    """text → (tokens list<int32>, n_tok) by hashing words into a fixed
+    vocab — turns any text table into the canonical north-rule shape.
+    One vectorized siphash pass over the batch's flattened word list (the
+    per-row work is only the regex findall)."""
+    from ballet_ray.functions.partition import stable_hash_array
+
     texts = table.column(text_col).to_pylist()
-    offsets = [0]
-    flat: list[int] = []
-    for t in texts:
-        ws = _WORD_RE.findall(t) if t else []
-        flat.extend(int(hashlib.blake2b(w.encode(), digest_size=4).hexdigest(), 16) % vocab for w in ws)
-        offsets.append(len(flat))
+    words: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for i, t in enumerate(texts):
+        words.extend(_WORD_RE.findall(t) if t else [])
+        offsets[i + 1] = len(words)
+    if words:
+        flat = (stable_hash_array(np.asarray(words, dtype=object)) % np.uint64(vocab)).astype(np.int32)
+    else:
+        flat = np.empty(0, dtype=np.int32)
     tokens = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(np.asarray(flat, dtype=np.int32))
+        pa.array(offsets, type=pa.int32()), pa.array(flat)
     )
-    n_tok = pa.array(np.diff(np.asarray(offsets)).astype(np.int32))
+    n_tok = pa.array(np.diff(offsets).astype(np.int32))
     return table.append_column("tokens", tokens).append_column("n_tok", n_tok)

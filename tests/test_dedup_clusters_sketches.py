@@ -55,3 +55,76 @@ def test_approx_distinct_per_group(sf_dir):
     for _, r in got.iterrows():
         e = exact[r["event_type"]]
         assert abs(r["approx_nd"] - e) / e < 0.15
+
+
+def test_exact_dedup_string_ids():
+    """North-rule schema has doc_id:string — dedup must not assume numeric ids."""
+    from ballet_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["d05", "d01", "d03", "d02", "d04"],
+            "text": ["aa", "aa", "bb", "bb", "cc"],
+        }
+    )
+    for resolve in ("broadcast", "join"):
+        out = exact_dedup(
+            rd.from_pandas(df).repartition(2), "text", "doc_id", resolve=resolve
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == ["d01", "d02", "d04"], resolve
+
+
+def test_assign_clusters_string_ids():
+    pairs = rd.from_items(
+        [
+            {"id_a": "a", "id_b": "b"},
+            {"id_a": "b", "id_b": "c"},
+            {"id_a": "x", "id_b": "y"},
+        ]
+    )
+    out = assign_clusters(pairs).to_pandas().set_index("doc_id")["cluster_rep"].to_dict()
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_minhash_simhash_custom_text_col():
+    """text_col parameter must actually be honored (was hard-coded 'text')."""
+    from ballet_ray.stages.dedup import minhash_lsh_pairs, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    df = pd.DataFrame({"doc_id": [1, 2], "body": [base, base]})
+    mh = minhash_lsh_pairs(
+        rd.from_pandas(df), text_col="body", est_threshold=0.8, concurrency=1
+    ).to_pandas()
+    assert {tuple(sorted(p)) for p in zip(mh["id_a"], mh["id_b"])} == {(1, 2)}
+    sh = simhash_pairs(rd.from_pandas(df), text_col="body", concurrency=1).to_pandas()
+    assert {tuple(sorted(p)) for p in zip(sh["id_a"], sh["id_b"])} == {(1, 2)}
+
+
+def test_minhash_bucket_cap_keeps_connectivity():
+    """A degenerate bucket (many identical docs) above max_bucket degrades to
+    star pairs: O(n) work, and end-to-end dedup still keeps exactly one copy."""
+    base = "identical content repeated many times across the corpus for the cap test tonight"
+    n = 20
+    df = pd.DataFrame({"doc_id": list(range(n)), "text": [base] * n})
+    kept = dedup_by_minhash(
+        rd.from_pandas(df).repartition(3), est_threshold=0.9, concurrency=1, max_bucket=5
+    ).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
+
+
+def test_ngram_jaccard_distributed_joins():
+    """Jaccard verify must work when pairs reference a subset of docs and
+    must attach texts by hash join (no corpus dict on the driver)."""
+    from ballet_ray.stages.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f g", "a b c d e f h", "unrelated words here entirely"],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    pairs = rd.from_items([{"id_a": 1, "id_b": 2}])
+    out = ngram_jaccard_pairs(ds, pairs, k=3).to_pandas()
+    assert len(out) == 1
+    assert np.isclose(out["jaccard"].iloc[0], 4 / 6)

@@ -156,3 +156,22 @@ def test_media_plumbing():
     a = out.sort_values("media_id")["media_feat"].iloc[0]
     b = out2.sort_values("media_id")["media_feat"].iloc[0]
     assert np.allclose(a, b)
+
+
+def test_embedding_near_dup_bucket_cap():
+    """One degenerate LSH bucket (identical embeddings) above max_bucket must
+    complete with bounded windows and still find the duplicate pairs."""
+    from ballet_ray.stages.similarity import embedding_near_dup_pairs
+
+    n, d = 60, 8
+    vec = np.ones(d, dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": [vec.copy() for _ in range(n)]})
+    out = embedding_near_dup_pairs(
+        rd.from_pandas(df), embedding_col="embedding", id_col="vec_id", dim=d,
+        threshold=0.99, max_bucket=16,
+    ).to_pandas()
+    # windows of 16 with stride 8 over 60 identical rows: every adjacent pair
+    # is found; connectivity for cluster assignment is guaranteed
+    found = {tuple(sorted(p)) for p in zip(out["id_a"], out["id_b"])}
+    for i in range(n - 1):
+        assert (i, i + 1) in found
