@@ -785,6 +785,44 @@ def q_langid_docs(sf_dir: str):
     )
 
 
+def _langid_sql() -> str:
+    """The stopword scorer expressed in SQL: per-doc token list → hits per
+    language → argmax (ties broken by table order, 'und' when 0 hits);
+    stop_frac = best_hits / max(1, n_tokens). Both sides compute the same
+    IEEE double division, so no rounding is needed."""
+    from ballet_ray.stages.text import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang in _STOPWORDS for w in sorted(_STOPWORDS[lang])
+    )
+    tie = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {i}" for i, lang in enumerate(_STOPWORDS)
+    ) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+sw(lang, tok) AS (VALUES {rows}),
+hits AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS h
+  FROM toks t JOIN sw s ON t.tok = s.tok
+  GROUP BY t.doc_id, s.lang
+),
+best AS (
+  SELECT doc_id, lang, h FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, {tie}) = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS pred_lang,
+       COALESCE(b.h, 0) * 1.0 / GREATEST(1, COALESCE(c.n_tok, 0)) AS stop_frac
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN best b USING (doc_id)
+"""
+
+
 def q_embedding_near_dups(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dup_pairs(emb, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.95)
@@ -800,23 +838,52 @@ def q_minhash_cluster_dedup_docs(sf_dir: str):
 
 
 def q_streaming_session_events(sf_dir: str):
-    """Incremental per-entity windowing via bucket state actors (rows-only:
-    the streaming path; equality with the batch pass is pytest-verified)."""
+    """Incremental per-entity windowing via per-bucket streaming consumers
+    (state carried across chunks); oracled against the equivalent batch
+    window SQL — (user_id, ts) is unique in events, so ordering is
+    deterministic."""
     from ballet_ray.stages.streaming import streaming_window_features
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    return streaming_window_features(
+    out = streaming_window_features(
         ds, key="user_id", ts_col="ts", value_col="value", gap_seconds=1800, num_buckets=4
     )
+    return _nan_to_null(out, ["value_lag1"])
+
+
+SQL_STREAMING_SESSION_EVENTS = """
+SELECT user_id, ts,
+       CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS cum_count,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1
+FROM (
+  SELECT user_id, ts, value,
+         COALESCE(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts), 0) AS gap_s
+  FROM events
+)
+"""
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """KMV-sketch approximate COUNT(DISTINCT user_id) per event_type
-    (rows-only: approximate by design; see tests for error bounds)."""
+    """KMV-sketch approximate COUNT(DISTINCT user_id) per event_type.
+
+    A KMV sketch is provably EXACT while the merged sketch holds fewer than
+    k distinct hashes, so at the driver's correctness scale (≤150 distinct
+    users per type vs k=256) the oracle is plain COUNT(DISTINCT); above
+    capacity it degrades to the documented ±1/√(k-2) estimate (pytest
+    covers the error bound at 5k distinct)."""
     from ballet_ray.stages.sketches import approx_distinct_per_group
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
     return approx_distinct_per_group(ds, "user_id", "event_type", k=256)
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_nd
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -896,4 +963,7 @@ ORACLE_SQL = {
     "semi_join_lineitems": SQL_SEMI_JOIN_LINEITEMS,
     "distinct_users_per_type": SQL_DISTINCT_USERS_PER_TYPE,
     "grouped_minmax_broadcast": SQL_GROUPED_MINMAX_BROADCAST,
+    "langid_docs": _langid_sql(),
+    "streaming_session_events": SQL_STREAMING_SESSION_EVENTS,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
 }

@@ -30,6 +30,7 @@ carries to workers.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -261,8 +262,10 @@ class OrdinalEncoder(FittedTransform):
         for c in cols:
             mapping = self.fitted_[c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
-            codes = np.fromiter(
-                (mapping.get(v, self.unknown_value) for v in vals), dtype=np.int64, count=len(vals)
+            # hash-map lookup vectorized in C (pd.Series.map), not a Python
+            # generator per row
+            codes = (
+                pd.Series(vals).map(mapping).fillna(self.unknown_value).to_numpy(dtype=np.int64)
             )
             if self.handle_unknown == "error" and (codes == self.unknown_value).any():
                 unseen = {v for v in vals if v not in mapping}
@@ -344,7 +347,7 @@ class CountEncoder(FittedTransform):
         for c in cols:
             m = self.fitted_[c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
-            enc = np.fromiter((m.get(v, self.unknown) for v in vals), dtype=np.float64, count=len(vals))
+            enc = pd.Series(vals).map(m).fillna(self.unknown).to_numpy(dtype=np.float64)
             if not self.normalize:
                 enc = enc.astype(np.int64)
             out[f"{c}_count"] = pa.array(enc)
@@ -387,7 +390,7 @@ class TargetEncoder(FittedTransform):
             m = self.fitted_["maps"][c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
             out[f"{c}_tmean"] = pa.array(
-                np.fromiter((m.get(v, g) for v in vals), dtype=np.float64, count=len(vals))
+                pd.Series(vals).map(m).fillna(g).to_numpy(dtype=np.float64)
             )
         return pa.table(out)
 
