@@ -287,6 +287,29 @@ class FeatureEngineeringPipeline:
             o for ts in keyed_groups.values() for _, _, outs in ts for o in outs
         ]
 
+    # -- fitted-state persistence (reference pickles whole pipelines,
+    # ballet/util/io.py:93-117: save_model/load_model) --------------------
+    def save(self, path: str) -> str:
+        """Persist the pipeline INCLUDING fitted state (cloudpickle — the
+        same serializer Ray ships UDFs with, so anything that ran
+        distributed also saves). Load with ``FeatureEngineeringPipeline.load``
+        and call ``transform`` on new data without refitting."""
+        from ray import cloudpickle
+
+        with open(path, "wb") as f:
+            cloudpickle.dump(self, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureEngineeringPipeline":
+        from ray import cloudpickle
+
+        with open(path, "rb") as f:
+            obj = cloudpickle.load(f)
+        if not isinstance(obj, FeatureEngineeringPipeline):
+            raise TypeError(f"{path} does not contain a pipeline: {type(obj).__name__}")
+        return obj
+
 
 class EncoderPipeline(FeatureEngineeringPipeline):
     """Target-encoder pipeline (reference ballet/encoder.py:7-55): the same

@@ -268,3 +268,18 @@ def desugar_transformer(t) -> Transform:
     if callable(t):
         return RobustFunctionTransform(t)
     raise TypeError(f"cannot interpret transformer: {t!r}")
+
+
+def get_transformer_primitives(transformer) -> list[str]:
+    """Class names of the primitives underlying a transformer (reference
+    ballet/transformer.py:312-327): a chain reports each step's primitive;
+    a wrapped callable reports the callable's name; a nested feature
+    reports its inner transformer's primitives."""
+    t = desugar_transformer(transformer)
+    if isinstance(t, ChainTransform):
+        return [p for s in t.steps for p in get_transformer_primitives(s)]
+    if isinstance(t, NestedFeatureTransform):
+        return get_transformer_primitives(t.feature.transformer)
+    if isinstance(t, RobustFunctionTransform):
+        return [t.name]
+    return [type(t).__name__]

@@ -102,17 +102,59 @@ class MutualInformationAccepter:
 
 
 class CompoundAccepter:
-    """any/all combination of accepter instances (reference :222-274)."""
+    """any/all combination of accepters (reference :222-274).
+
+    Members may be instances OR config specs (``"pkg.mod.Class"`` strings /
+    ``{"name": ..., "params": ...}`` dicts, resolved via ``load_spec`` —
+    reference ballet/validation/common.py:295-309); mixed member signatures
+    are handled by ``call_judge``'s name-based adaptation."""
 
     def __init__(self, accepters: list, agg: str = "all"):
         if agg not in ("any", "all"):
             raise ValueError(agg)
-        self.accepters = accepters
+        resolved = []
+        for a in accepters:
+            if isinstance(a, (str, dict)):
+                from ballet_ray.validation.spec import instantiate
+
+                a = instantiate(a)
+            resolved.append(a)
+        self.accepters = resolved
         self.agg = agg
 
     def judge(self, *args, **kwargs) -> bool:
         results = [a.judge(*args, **kwargs) for a in self.accepters]
         return any(results) if self.agg == "any" else all(results)
+
+
+def call_judge(accepter, *, candidate, accepted, y) -> bool:
+    """Adapt the engine's kernel-shaped accepter signatures to one
+    canonical call: candidate matrix, accepted {name: matrix}, target.
+    Parameter names select what each accepter receives (``z``/
+    ``candidate_df`` → candidate, ``y``/``y_val`` → target, ``accepted`` →
+    the accepted dict); only default-less params are passed."""
+    import inspect
+
+    if isinstance(accepter, CompoundAccepter):
+        results = [
+            call_judge(a, candidate=candidate, accepted=accepted, y=y)
+            for a in accepter.accepters
+        ]
+        return any(results) if accepter.agg == "any" else all(results)
+    fn = accepter.judge
+    params = list(inspect.signature(fn).parameters.values())
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return fn()
+    aliases = {
+        "z": candidate, "candidate": candidate, "candidate_df": candidate,
+        "accepted": accepted, "y": y, "y_val": y,
+    }
+    kwargs = {
+        p.name: aliases[p.name]
+        for p in params
+        if p.default is p.empty and p.name in aliases
+    }
+    return fn(**kwargs)
 
 
 def _compute_lmbdas(l1: float, l2: float, feature_dfs: dict) -> tuple[float, float]:

@@ -34,12 +34,32 @@ def discover(
     ds,
     y_col: str | None = None,
     *,
+    input: str | None = None,
+    primitive: str | None = None,
     sample_cap: int = 2000,
     expensive_stats: bool = False,
 ) -> pd.DataFrame:
     """One row per feature with summary statistics (and MI when
-    ``expensive_stats`` or a small feature count, like the reference)."""
-    from ray.data.aggregate import Max, Mean, Min, Std
+    ``expensive_stats`` or a small feature count, like the reference).
+
+    Query operators (reference ballet/discovery.py:158-166): ``input``
+    keeps only features whose input is/contains the given column
+    (callable selectors never match); ``primitive`` keeps only features
+    whose transformer uses a primitive with that class/function name."""
+    from ballet_ray.transformer import get_transformer_primitives
+
+    def _keep(f: Feature) -> bool:
+        if input is not None:
+            if callable(f.input) and not isinstance(f.input, (str, list, tuple)):
+                return False
+            ins = [f.input] if isinstance(f.input, str) else list(f.input)
+            if input not in ins:
+                return False
+        if primitive is not None and primitive not in get_transformer_primitives(f.transformer):
+            return False
+        return True
+
+    features = [f for f in features if _keep(f)]
 
     y = None
     if y_col is not None:
@@ -52,6 +72,7 @@ def discover(
         rec = {
             "name": f.name or str(f.input),
             "input": f.input if isinstance(f.input, str) else list(f.input) if not callable(f.input) else "<callable>",
+            "primitives": get_transformer_primitives(f.transformer),
             "ncols": z.shape[1],
             "mean": float(np.nanmean(z)),
             "std": float(np.nanstd(z)),

@@ -132,7 +132,13 @@ class CanPickleCheck(_Check):
     advice = "the feature must pickle (required for Ray serialization)"
 
     def check(self, feature):
-        assert pickle.loads(pickle.dumps(feature)) is not None
+        # cloudpickle, not plain pickle: Ray ships UDFs via cloudpickle, so
+        # lambdas/closures in contrib modules are fine (the reference's
+        # equivalent check uses dill for the same reason,
+        # ballet/validation/feature_api/checks.py:196-211)
+        from ray import cloudpickle
+
+        assert cloudpickle.loads(cloudpickle.dumps(feature)) is not None
 
 
 class NoMissingValuesCheck(_Check):

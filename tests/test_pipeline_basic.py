@@ -123,3 +123,19 @@ def test_feature_singleton_pipeline_api(corpus_dir):
     assert np.allclose(out["l"], np.log1p(out["n_tok"]))
     p = f.as_feature_engineering_pipeline()
     assert len(p.features) == 1
+
+
+def test_pipeline_save_load_fitted(tmp_path, sf_dir):
+    """Fit once, save, load in-place, transform NEW data without refitting —
+    the reference's pickle-a-fitted-pipeline workflow."""
+    from ballet_ray.stages.encoders import MinMaxScaler
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline([Feature("o_totalprice", MinMaxScaler(), output="mm")])
+    pipe.fit(ds)
+    path = pipe.save(str(tmp_path / "pipe.pkl"))
+
+    loaded = FeatureEngineeringPipeline.load(path)
+    a = pipe.transform(ds).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    b = loaded.transform(ds).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    assert np.allclose(a["mm"], b["mm"])  # same fitted min/max, no refit

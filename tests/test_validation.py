@@ -229,3 +229,76 @@ def test_discreteness_heuristics():
     assert not _is_column_disc(cont)
     rep = np.concatenate([np.full(30, 0.5), rng.randn(10) + 7.77])  # heavy repeats
     assert _is_column_disc(rep)
+
+def test_get_transformer_primitives():
+    from ballet_ray.validation.accepters import NeverAccepter  # noqa: F401 — import check only
+    from ballet_ray.stages.encoders import StandardScaler
+    from ballet_ray.transformer import get_transformer_primitives
+
+    assert get_transformer_primitives(None) == ["IdentityTransform"]
+    assert get_transformer_primitives(StandardScaler()) == ["StandardScaler"]
+    assert get_transformer_primitives([Log1p(), StandardScaler()]) == [
+        "Log1p", "StandardScaler",
+    ]
+    def halve(col):
+        return np.asarray(col) / 2
+    assert get_transformer_primitives(halve) == ["halve"]
+    nested = Feature("n_tok", Log1p(), output="lt")
+    assert get_transformer_primitives(nested) == ["Log1p"]
+
+
+def test_discover_filters_by_input_and_primitive(corpus_dir):
+    ds = rd.read_parquet(corpus_dir)
+    feats = [
+        Feature("n_tok", Log1p(), name="log tokens"),
+        Feature("n_tok", IdentityTransform(), name="raw"),
+        Feature(lambda schema: ["n_tok"], IdentityTransform(), name="via callable"),
+    ]
+    by_input = discover(feats, ds, input="n_tok", sample_cap=200)
+    # callable selectors never match an input filter (reference semantics)
+    assert sorted(by_input["name"]) == ["log tokens", "raw"]
+    by_prim = discover(feats, ds, primitive="Log1p", sample_cap=200)
+    assert by_prim["name"].tolist() == ["log tokens"]
+    assert by_prim["primitives"].iloc[0] == ["Log1p"]
+
+
+def _sfds_regression_fixture(n_informative=1, n_uninformative=14, n=500, seed=1):
+    """Reference fixture shape (reference tests/util.py:119-142): n columns
+    of standard normals, y a linear function of the informative ones."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, n_informative + n_uninformative)
+    coef = np.zeros(n_informative + n_uninformative)
+    coef[:n_informative] = 40.0 + 60.0 * rng.rand(n_informative)
+    y = X @ coef
+    return X, y, coef
+
+
+def test_sfds_selects_informative_only():
+    from ballet_ray.validation.sfds import sfds
+
+    X, y, coef = _sfds_regression_fixture()
+    stream = [X[:, i : i + 1] for i in range(X.shape[1])]
+    chosen = sfds(stream, y, l1=0.25, l2=0.25)
+    assert 0 in chosen                      # the informative column survives
+    assert all(coef[i] != 0 for i in chosen)  # nothing uninformative survives
+
+
+def test_gfssf_matches_sfds_oracle():
+    """The production accepter/pruner, run as a streaming loop, must select
+    the same feature set as the readable SFDS oracle on the reference's
+    regression fixture (1 informative + 14 noise columns)."""
+    from ballet_ray.validation.sfds import sfds
+
+    X, y, _ = _sfds_regression_fixture()
+    stream = [X[:, i : i + 1] for i in range(X.shape[1])]
+    expected = set(sfds(stream, y, l1=0.25, l2=0.25))
+
+    acc = GFSSFAccepter(lmbda_1=0.25, lmbda_2=0.25)
+    pruner = GFSSFPruner(lmbda_1=0.25, lmbda_2=0.25)
+    selected: dict = {}
+    for i, f in enumerate(stream):
+        if acc.judge(f, selected, y):
+            candidate = {**selected, i: f}
+            redundant = set(pruner.prune(candidate, y)) - {i}
+            selected = {k: v for k, v in candidate.items() if k not in redundant}
+    assert set(selected) == expected
