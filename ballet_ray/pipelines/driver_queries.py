@@ -887,6 +887,226 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# extended encoder families (encoders_ext / windows.Difference)
+# ---------------------------------------------------------------------------
+
+
+def q_binary_encode_lang(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import BinaryEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline([Feature("lang", BinaryEncoder())])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "lang_b0", "lang_b1", "lang_b2"])
+
+
+SQL_BINARY_ENCODE_LANG = """
+WITH codes AS (
+  SELECT doc_id, DENSE_RANK() OVER (ORDER BY lang) AS code FROM documents
+)
+SELECT doc_id,
+       CAST(floor(code / 4) % 2 AS BIGINT) AS lang_b0,
+       CAST(floor(code / 2) % 2 AS BIGINT) AS lang_b1,
+       CAST(code % 2 AS BIGINT)            AS lang_b2
+FROM codes
+"""
+
+
+def q_woe_encode_orders(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import WOEEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def label(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_big", pc.cast(pc.greater(t.column("o_totalprice"), 150000.0), pa.float64())
+        )
+
+    ds = ds.map_batches(label, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", WOEEncoder(target_col="is_big"), output="pri_woe")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_woe"])
+    return _round_cols(out, {"pri_woe": 6})
+
+
+SQL_WOE_ENCODE_ORDERS = """
+WITH lab AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_totalprice > 150000 THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+),
+tot AS (SELECT SUM(y) AS pos_tot, COUNT(*) AS n_tot FROM lab),
+g AS (SELECT o_orderpriority, SUM(y) AS pos_c, COUNT(*) AS n_c FROM lab GROUP BY 1)
+SELECT l.o_orderkey,
+       ROUND(LN(((g.pos_c + 0.5) / (t.pos_tot + 1.0))
+              / ((g.n_c - g.pos_c + 0.5) / (t.n_tot - t.pos_tot + 1.0))), 6) AS pri_woe
+FROM lab l JOIN g USING (o_orderpriority) CROSS JOIN tot t
+"""
+
+
+def q_mestimate_encode_priority(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import MEstimateEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", MEstimateEncoder(target_col="o_totalprice", m=2.0), output="pri_mest")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_mest"])
+    return _round_cols(out, {"pri_mest": 4})
+
+
+SQL_MESTIMATE_ENCODE_PRIORITY = """
+WITH gstat AS (SELECT AVG(o_totalprice) AS gm FROM orders),
+g AS (SELECT o_orderpriority, SUM(o_totalprice) AS s, COUNT(*) AS n FROM orders GROUP BY 1)
+SELECT o.o_orderkey,
+       ROUND((g.s + 2.0 * gstat.gm) / (g.n + 2.0), 4) AS pri_mest
+FROM orders o JOIN g USING (o_orderpriority) CROSS JOIN gstat
+"""
+
+
+def q_loo_encode_priority(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import LeaveOneOutEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", LeaveOneOutEncoder(target_col="o_totalprice"), output="pri_loo")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_loo"])
+    return _round_cols(out, {"pri_loo": 4})
+
+
+SQL_LOO_ENCODE_PRIORITY = """
+SELECT o_orderkey,
+       ROUND((SUM(o_totalprice) OVER w - o_totalprice)
+             / (COUNT(*) OVER w - 1), 4) AS pri_loo
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)
+"""
+
+
+def q_jamesstein_encode_priority(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import JamesSteinEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", JamesSteinEncoder(target_col="o_totalprice"), output="pri_js")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_js"])
+    return _round_cols(out, {"pri_js": 4})
+
+
+SQL_JAMESSTEIN_ENCODE_PRIORITY = """
+WITH gstat AS (SELECT AVG(o_totalprice) AS gm, VAR_POP(o_totalprice) AS gv FROM orders),
+g AS (
+  SELECT o_orderpriority, AVG(o_totalprice) AS cm,
+         VAR_POP(o_totalprice) AS cv, COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT o_orderpriority, cm,
+         LEAST(GREATEST((cv / n) / ((cv / n) + gv), 0.0), 1.0) AS shrink
+  FROM g CROSS JOIN gstat
+)
+SELECT o.o_orderkey,
+       ROUND((1.0 - b.shrink) * b.cm + b.shrink * gstat.gm, 4) AS pri_js
+FROM orders o JOIN b USING (o_orderpriority) CROSS JOIN gstat
+"""
+
+
+def q_normalize_lineitem(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import Normalizer
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature(["l_quantity", "l_extendedprice"], Normalizer("l2"))]
+    )
+    out = pipe.fit_transform(ds).select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity_norm", "l_extendedprice_norm"]
+    )
+    return _round_cols(out, {"l_quantity_norm": 6, "l_extendedprice_norm": 6})
+
+
+SQL_NORMALIZE_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity      / sqrt(l_quantity * l_quantity + l_extendedprice * l_extendedprice), 6) AS l_quantity_norm,
+       ROUND(l_extendedprice / sqrt(l_quantity * l_quantity + l_extendedprice * l_extendedprice), 6) AS l_extendedprice_norm
+FROM lineitem
+"""
+
+
+def q_poly_lineitem(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import PolynomialFeatures
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature(["l_quantity", "l_discount"], PolynomialFeatures(include_inputs=False))]
+    )
+    out = pipe.fit_transform(ds).select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity_x_l_quantity", "l_quantity_x_l_discount", "l_discount_x_l_discount"]
+    )
+    return _round_cols(
+        out,
+        {"l_quantity_x_l_quantity": 6, "l_quantity_x_l_discount": 6, "l_discount_x_l_discount": 6},
+    )
+
+
+SQL_POLY_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity * l_quantity, 6) AS l_quantity_x_l_quantity,
+       ROUND(l_quantity * l_discount, 6) AS l_quantity_x_l_discount,
+       ROUND(l_discount * l_discount, 6) AS l_discount_x_l_discount
+FROM lineitem
+"""
+
+
+def q_fourier_events(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import FourierFeatures
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("ts", FourierFeatures(86400.0, num_terms=2))]
+    )
+    out = pipe.fit_transform(ds).select_columns(
+        ["event_id", "ts_sin1", "ts_cos1", "ts_sin2", "ts_cos2"]
+    )
+    return _round_cols(out, {"ts_sin1": 6, "ts_cos1": 6, "ts_sin2": 6, "ts_cos2": 6})
+
+
+SQL_FOURIER_EVENTS = """
+SELECT event_id,
+       ROUND(sin(2 * pi() * epoch(ts) / 86400.0), 6) AS ts_sin1,
+       ROUND(cos(2 * pi() * epoch(ts) / 86400.0), 6) AS ts_cos1,
+       ROUND(sin(4 * pi() * epoch(ts) / 86400.0), 6) AS ts_sin2,
+       ROUND(cos(4 * pi() * epoch(ts) / 86400.0), 6) AS ts_cos2
+FROM events
+"""
+
+
+def q_diff_events(sf_dir: str):
+    from ballet_ray.stages.windows import Difference
+
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(Difference(1, key="user_id", order_by=["ts", "event_id"]), ["value"], ["value_diff1"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "value_diff1"])
+    return _nan_to_null(out, ["value_diff1"])
+
+
+SQL_DIFF_EVENTS = """
+SELECT event_id, user_id,
+       value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_diff1
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -929,6 +1149,15 @@ QUERIES = {
     "minhash_cluster_dedup_docs": q_minhash_cluster_dedup_docs,
     "streaming_session_events": q_streaming_session_events,
     "approx_distinct_users": q_approx_distinct_users,
+    "binary_encode_lang": q_binary_encode_lang,
+    "woe_encode_orders": q_woe_encode_orders,
+    "mestimate_encode_priority": q_mestimate_encode_priority,
+    "loo_encode_priority": q_loo_encode_priority,
+    "jamesstein_encode_priority": q_jamesstein_encode_priority,
+    "normalize_lineitem": q_normalize_lineitem,
+    "poly_lineitem": q_poly_lineitem,
+    "fourier_events": q_fourier_events,
+    "diff_events": q_diff_events,
 }
 
 ORACLE_SQL = {
@@ -966,4 +1195,13 @@ ORACLE_SQL = {
     "langid_docs": _langid_sql(),
     "streaming_session_events": SQL_STREAMING_SESSION_EVENTS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "binary_encode_lang": SQL_BINARY_ENCODE_LANG,
+    "woe_encode_orders": SQL_WOE_ENCODE_ORDERS,
+    "mestimate_encode_priority": SQL_MESTIMATE_ENCODE_PRIORITY,
+    "loo_encode_priority": SQL_LOO_ENCODE_PRIORITY,
+    "jamesstein_encode_priority": SQL_JAMESSTEIN_ENCODE_PRIORITY,
+    "normalize_lineitem": SQL_NORMALIZE_LINEITEM,
+    "poly_lineitem": SQL_POLY_LINEITEM,
+    "fourier_events": SQL_FOURIER_EVENTS,
+    "diff_events": SQL_DIFF_EVENTS,
 }

@@ -125,6 +125,29 @@ class MultiLag(KeyedTransform):
         ]
 
 
+class Difference(KeyedTransform):
+    """x − lag_k(x) within each entity (skits DifferenceTransformer parity,
+    reference re-export ballet/eng/external/skits.py; period-k differencing
+    for seasonal series). First k rows of each entity → NaN."""
+
+    def __init__(self, k: int, key: str, order_by=None):
+        super().__init__(key, order_by)
+        if k < 1:
+            raise ValueError("difference period must be >= 1")
+        self.k = k
+        self.lookback = k
+
+    def transform_sorted(self, table, codes, starts, cols):
+        out = {}
+        for c in cols:
+            v = _vals(table, c)
+            out[f"{c}_diff{self.k}"] = v - wnp.lag(v, codes, self.k)
+        return out
+
+    def output_names(self, cols):
+        return [f"{c}_diff{self.k}" for c in cols]
+
+
 class RollingMean(KeyedTransform):
     def __init__(self, window: int, key: str, order_by=None):
         super().__init__(key, order_by)

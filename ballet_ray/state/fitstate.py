@@ -101,9 +101,49 @@ class FitPlanner:
                 results[req] = self._category_counts(ds, col)
             elif kind == "grouped_moments":
                 results[req] = self._grouped_moments(ds, col, req[2])
+            elif kind == "yj_grid":
+                results[req] = self._yj_grid(ds, col, req[2])
             else:
                 raise ValueError(f"unknown fit request kind: {kind}")
         return results
+
+    @staticmethod
+    def _yj_grid(ds, col: str, lambdas: tuple) -> dict:
+        """One narrow pass computing, for EVERY λ in the grid at once, the
+        sufficient statistics of the Yeo-Johnson log-likelihood:
+        n, Σyj(x,λ), Σyj(x,λ)² per λ, plus Σ sign(x)·log1p(|x|) (the
+        Jacobian term, λ-independent). Distributed λ selection without
+        per-λ data passes."""
+        import pyarrow as pa
+
+        from ray.data.aggregate import Sum as _Sum
+
+        lam = np.asarray(lambdas, dtype=np.float64)
+
+        def partial(t: pa.Table) -> pa.Table:
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            y = yeo_johnson(x[:, None], lam[None, :])  # (n, L)
+            data = {"n": [float(len(x))], "slog": [float(np.sum(np.sign(x) * np.log1p(np.abs(x))))]}
+            s = y.sum(axis=0)
+            ss = (y * y).sum(axis=0)
+            for j in range(len(lam)):
+                data[f"s{j}"] = [float(s[j])]
+                data[f"ss{j}"] = [float(ss[j])]
+            return pa.table(data)
+
+        parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+        aggs = [_Sum("n", alias_name="n"), _Sum("slog", alias_name="slog")]
+        for j in range(len(lam)):
+            aggs += [_Sum(f"s{j}", alias_name=f"s{j}"), _Sum(f"ss{j}", alias_name=f"ss{j}")]
+        row = parts.aggregate(*aggs)
+        return {
+            "lambdas": lam,
+            "n": row["n"],
+            "slog": row["slog"],
+            "sum": np.array([row[f"s{j}"] for j in range(len(lam))]),
+            "sumsq": np.array([row[f"ss{j}"] for j in range(len(lam))]),
+        }
 
     @staticmethod
     def _central_moments(ds, col: str, mean: float) -> dict:
@@ -215,3 +255,32 @@ def skewness_from_moments(count: float, m2: float, m3: float) -> float:
         return 0.0
     n = float(count)
     return (m3 / n) / math.pow(m2 / n, 1.5)
+
+
+def yeo_johnson(x: np.ndarray, lam: np.ndarray) -> np.ndarray:
+    """Vectorized Yeo-Johnson transform, broadcasting x against λ
+    (Yeo & Johnson 2000). Shapes: x (..., 1) × lam (1, L) → (..., L)."""
+    x = np.asarray(x, dtype=np.float64)
+    lam = np.asarray(lam, dtype=np.float64)
+    pos = x >= 0
+    out = np.empty(np.broadcast_shapes(x.shape, lam.shape), dtype=np.float64)
+    with np.errstate(invalid="ignore", over="ignore"):
+        # x >= 0
+        l0 = np.abs(lam) < 1e-12
+        yp_gen = (np.power(x + 1.0, lam, where=pos | True) - 1.0) / np.where(l0, 1.0, lam)
+        yp = np.where(l0, np.log1p(np.where(pos, x, 0.0)), yp_gen)
+        # x < 0
+        l2 = np.abs(lam - 2.0) < 1e-12
+        yn_gen = -(np.power(1.0 - x, 2.0 - lam) - 1.0) / np.where(l2, 1.0, 2.0 - lam)
+        yn = np.where(l2, -np.log1p(np.where(pos, 0.0, -x)), yn_gen)
+    np.copyto(out, np.where(pos, yp, yn))
+    return out
+
+
+def yj_loglik_from_grid(grid: dict) -> np.ndarray:
+    """Profile log-likelihood of each λ from the sufficient statistics
+    gathered by the yj_grid fit pass."""
+    n = float(grid["n"])
+    mean = grid["sum"] / n
+    var = np.maximum(grid["sumsq"] / n - mean * mean, 1e-300)
+    return -0.5 * n * np.log(var) + (grid["lambdas"] - 1.0) * grid["slog"]
