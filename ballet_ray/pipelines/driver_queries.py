@@ -770,7 +770,7 @@ FROM events
 
 def q_minhash_dedup_docs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds, est_threshold=0.5, concurrency=2)
+    return minhash_lsh_pairs(ds, est_threshold=0.5, concurrency=None)
 
 
 def q_simhash_docs(sf_dir: str):
@@ -834,7 +834,7 @@ def q_minhash_cluster_dedup_docs(sf_dir: str):
     from ballet_ray.stages.dedup import dedup_by_minhash
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return dedup_by_minhash(ds, est_threshold=0.6, concurrency=2).select_columns(["doc_id"])
+    return dedup_by_minhash(ds, est_threshold=0.6, concurrency=None).select_columns(["doc_id"])
 
 
 def q_streaming_session_events(sf_dir: str):

@@ -238,6 +238,45 @@ def _emit_pairs(ids: np.ndarray, max_bucket: int) -> tuple[np.ndarray, np.ndarra
     return ids[iu[0]], ids[iu[1]]
 
 
+def _partition_bucket_pairs(
+    t: pa.Table, *, id_col: str, bucket_cols: list[str], max_bucket: int
+) -> pa.Table:
+    """All candidate pairs of one COARSE partition (many LSH buckets): one
+    numpy lexsort, then a boundary scan over buckets — no per-bucket pandas
+    group, no per-bucket task. Pairs are emitted (min, max)-ordered and
+    deduped within the partition."""
+    n = len(t)
+    if n < 2:
+        return pa.table(_EMPTY_PAIRS)
+    keys = [t.column(c).to_numpy(zero_copy_only=False) for c in bucket_cols]
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort(tuple(reversed(keys)))
+    keys = [k[order] for k in keys]
+    ids = ids[order]
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for k in keys:
+        boundary[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(boundary)
+    ends = np.append(starts[1:], n)
+    ia_parts, ib_parts = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ia, ib = _emit_pairs(np.sort(ids[s:e]), max_bucket)
+        ia_parts.append(ia)
+        ib_parts.append(ib)
+    if not ia_parts:
+        return pa.table(_EMPTY_PAIRS)
+    ia = np.concatenate(ia_parts)
+    ib = np.concatenate(ib_parts)
+    # local dedupe (a pair can surface from several bands of this partition);
+    # drop_duplicates works for string AND integer ids (np.unique(axis=0)
+    # rejects object arrays)
+    dd = pd.DataFrame({"id_a": ia, "id_b": ib}).drop_duplicates()
+    return pa.table({"id_a": pa.array(dd["id_a"].to_numpy()), "id_b": pa.array(dd["id_b"].to_numpy())})
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -250,14 +289,19 @@ def minhash_lsh_pairs(
     concurrency: int = 4,
     max_bucket: int = 5000,
     num_partitions: int | None = None,
+    broadcast_docs: int = 200_000,
 ):
     """Near-duplicate pairs via MinHash-LSH.
 
     sign → explode to (id, band, band_hash) rows — the signature itself is
-    NOT replicated per band — → groupby band bucket → candidate (id_a, id_b)
-    → dedupe → two hash joins attach each side's signature (as binary;
-    Acero joins reject list payloads) → estimated Jaccard = fraction of
-    agreeing minhashes; keep pairs ≥ est_threshold.
+    NOT replicated per band — → coarse-partitioned bucket scan → candidate
+    (id_a, id_b) → dedupe → verify estimated Jaccard = fraction of agreeing
+    minhashes; keep pairs ≥ est_threshold.
+
+    Verification attaches signatures by size-adaptive strategy: corpora up
+    to ``broadcast_docs`` (512 B/doc → ≤ ~100 MB) broadcast the signature
+    matrix once through the object store; larger corpora hash-join the
+    one-row-per-doc signature table onto the pairs (the 10^12-doc path).
     Returns a Dataset of (id_a, id_b, est_jaccard).
     """
     from ballet_ray.stages.joins import default_join_partitions
@@ -268,17 +312,21 @@ def minhash_lsh_pairs(
     projected = ds.select_columns([id_col, text_col])
     # signatures are consumed twice (band explode + verify join): drop the
     # text payload, then materialize only (id, minhash) — 512 B/doc, not the
-    # corpus
-    signed = (
-        projected.map_batches(
+    # corpus. concurrency=None runs task-based (MinHasher init is two tiny
+    # arrays — cheaper to rebuild per task than to spin an actor pool).
+    if concurrency is None:
+        mk = dict(num_perm=num_perm, k=shingle_k, text_col=text_col)
+        signed_src = projected.map_batches(
+            lambda t, _mk=mk: MinHasher(**_mk)(t), batch_format="pyarrow"
+        )
+    else:
+        signed_src = projected.map_batches(
             MinHasher,
             fn_constructor_kwargs={"num_perm": num_perm, "k": shingle_k, "text_col": text_col},
             batch_format="pyarrow",
             concurrency=concurrency,
         )
-        .select_columns([id_col, "minhash"])
-        .materialize()
-    )
+    signed = signed_src.select_columns([id_col, "minhash"]).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -308,28 +356,83 @@ def minhash_lsh_pairs(
 
     exploded = signed.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        ids = np.sort(g[id_col].to_numpy())
-        ia, ib = _emit_pairs(ids, max_bucket)
-        return pd.DataFrame({"id_a": ia, "id_b": ib})
+    # coarse-partition the buckets (band_hash % P) and emit every bucket's
+    # pairs with ONE numpy kernel per partition — per-bucket pandas groups
+    # cost ~1 ms each and there are millions of tiny buckets at scale
+    coarse = max(2, num_partitions)
 
-    candidates = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair can surface from several bands — dedupe (tree-reduce count, not
-    # per-group pandas)
-    pairs = (
-        candidates.groupby(["id_a", "id_b"])
-        .count()
-        .select_columns(["id_a", "id_b"])
-        # compact away the hash-shuffle's schema-less empty blocks before the
-        # Acero signature joins
-        .repartition(max(2, num_partitions // 2))
-    )
+    def add_part(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array((bh % coarse).astype(np.int32)))
 
-    # one-row-per-doc signature table, signature as binary for the join
+    candidates = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda t: _partition_bucket_pairs(
+                t, id_col=id_col, bucket_cols=["band", "band_hash"], max_bucket=max_bucket
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    n_docs = signed.count()  # materialized → metadata lookup, no pass
+    # cross-partition dedupe (a pair can surface from bands in different
+    # coarse partitions). Small corpora: one-block local drop_duplicates
+    # (the hash-shuffle groupby's aggregator actors cost more than the whole
+    # pair table); large corpora: tree-reduce groupby count.
+    if n_docs <= broadcast_docs:
+        pairs = candidates.repartition(1).map_batches(
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas().drop_duplicates(subset=["id_a", "id_b"]), preserve_index=False
+            ),
+            batch_format="pyarrow",
+            batch_size=None,  # whole block — dedupe must see every pair
+        )
+    else:
+        pairs = (
+            candidates.groupby(["id_a", "id_b"])
+            .count()
+            .select_columns(["id_a", "id_b"])
+            # compact away the hash-shuffle's schema-less empty blocks before
+            # the Acero signature joins
+            .repartition(max(2, num_partitions // 2))
+        )
+    if n_docs <= broadcast_docs:
+        # small corpus: ship the (id → signature) matrix once via the object
+        # store and verify inside map_batches — join startup costs more than
+        # the whole signature table at this size
+        sig_tbl = signed.to_pandas()
+        ids_all = sig_tbl[id_col].to_numpy()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in sig_tbl["minhash"].to_numpy()]
+        ).astype(np.uint64)
+        import ray as _ray
+
+        idx = {v: i for i, v in enumerate(ids_all)}
+        ref = _ray.put((idx, mat))
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "id_a" not in t.column_names:
+                return pa.table(
+                    {"id_a": pa.array([]), "id_b": pa.array([]),
+                     "est_jaccard": pa.array([], type=pa.float64())}
+                )
+            lookup, m = _ray.get(ref)
+            a = t.column("id_a").to_numpy(zero_copy_only=False)
+            b = t.column("id_b").to_numpy(zero_copy_only=False)
+            sa = m[[lookup[v] for v in a]]
+            sb = m[[lookup[v] for v in b]]
+            est = (sa == sb).mean(axis=1)
+            out = pa.table(
+                {"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                 "est_jaccard": pa.array(est, type=pa.float64())}
+            )
+            return out.filter(pa.array(est >= est_threshold))
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    # scale path: one-row-per-doc signature table joins in as binary blobs
+    # (Acero joins reject list payloads)
     def sig_blob(t: pa.Table) -> pa.Table:
         sig = (
             np.asarray(
@@ -459,22 +562,66 @@ def simhash_pairs(
 
     exploded = signed.select_columns([id_col, "simhash"]).map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col).reset_index(drop=True)
-        sigs = g["simhash"].to_numpy().astype(np.uint64)
-        ids = g[id_col].to_numpy()
-        ia, ib = _emit_pairs(ids, max_bucket)
-        if len(ia) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        sa = sigs[np.searchsorted(ids, ia)]
-        sb = sigs[np.searchsorted(ids, ib)]
-        dist = _popcount64(sa ^ sb)
-        keep = dist <= max_hamming
-        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "hamming": dist[keep]})
+    from ballet_ray.stages.joins import default_join_partitions
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    coarse = default_join_partitions(None)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bv = t.column("band_val").to_numpy(zero_copy_only=False)
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__part", pa.array(((bv + 7919 * b) % coarse).astype(np.int32)))
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        """All buckets of one coarse partition in one numpy pass (see
+        _partition_bucket_pairs — same boundary-scan pattern, plus the
+        Hamming verify against each pair's signatures)."""
+        n = len(t)
+        empty = pa.table({"id_a": pa.array([]), "id_b": pa.array([]), "hamming": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bval = t.column("band_val").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((bval, band))
+        band, bval, ids, sigs = band[order], bval[order], ids[order], sigs[order]
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
+        ia_p, ib_p, hd_p = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub_order = np.argsort(ids[s:e], kind="stable")
+            sub_ids = ids[s:e][sub_order]
+            sub_sig = sigs[s:e][sub_order]
+            ia, ib = _emit_pairs(sub_ids, max_bucket)
+            if not len(ia):
+                continue
+            sa = sub_sig[np.searchsorted(sub_ids, ia)]
+            sb = sub_sig[np.searchsorted(sub_ids, ib)]
+            dist = _popcount64(sa ^ sb)
+            keep = dist <= max_hamming
+            ia_p.append(ia[keep])
+            ib_p.append(ib[keep])
+            hd_p.append(dist[keep])
+        if not ia_p:
+            return empty
+        dd = pd.DataFrame(
+            {"id_a": np.concatenate(ia_p), "id_b": np.concatenate(ib_p), "hamming": np.concatenate(hd_p)}
+        ).drop_duplicates(subset=["id_a", "id_b"])
+        return pa.table(
+            {"id_a": pa.array(dd["id_a"].to_numpy()), "id_b": pa.array(dd["id_b"].to_numpy()),
+             "hamming": pa.array(dd["hamming"].to_numpy().astype(np.int64))}
+        )
+
+    pairs = (
+        exploded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
