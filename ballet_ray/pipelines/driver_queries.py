@@ -1107,6 +1107,88 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# cleaning / contrast family
+# ---------------------------------------------------------------------------
+
+
+def q_rare_label_docs(sf_dir: str):
+    from ballet_ray.stages.cleaning import RareLabelEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline([Feature("lang", RareLabelEncoder(tol=0.2), output="lang_rare")])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "lang_rare"])
+
+
+SQL_RARE_LABEL_DOCS = """
+WITH freq AS (
+  SELECT lang, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS f
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, CASE WHEN f >= 0.2 THEN lang ELSE 'Rare' END AS lang_rare
+FROM documents JOIN freq USING (lang)
+"""
+
+
+def q_outlier_trim_orders(sf_dir: str):
+    from ballet_ray.stages.cleaning import OutlierTrimmer, apply_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    return apply_filter(ds, OutlierTrimmer(0.05, 0.95), ["o_totalprice"])
+
+
+SQL_OUTLIER_TRIM_ORDERS = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS lo, quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice FROM orders, b
+WHERE o_totalprice >= lo AND o_totalprice <= hi
+"""
+
+
+def q_math_combo_lineitem(sf_dir: str):
+    from ballet_ray.stages.cleaning import MathematicalCombination
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"]
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature(["l_quantity", "l_discount"], MathematicalCombination(["sum", "mean"]))]
+    )
+    out = pipe.fit_transform(ds).select_columns(["l_orderkey", "l_linenumber", "combo_sum", "combo_mean"])
+    return _round_cols(out, {"combo_sum": 6, "combo_mean": 6})
+
+
+SQL_MATH_COMBO_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity + l_discount, 6)         AS combo_sum,
+       ROUND((l_quantity + l_discount) / 2.0, 6) AS combo_mean
+FROM lineitem
+"""
+
+
+def q_sum_encode_lang(sf_dir: str):
+    from ballet_ray.stages.encoders_ext import SumEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline([Feature("lang", SumEncoder())])
+    return pipe.fit_transform(ds).select_columns(
+        ["doc_id", "lang_sum0", "lang_sum1", "lang_sum2", "lang_sum3"]
+    )
+
+
+SQL_SUM_ENCODE_LANG = """
+WITH codes AS (SELECT doc_id, DENSE_RANK() OVER (ORDER BY lang) AS r FROM documents)
+SELECT doc_id,
+       CASE WHEN r = 1 THEN 1.0 WHEN r = 5 THEN -1.0 ELSE 0.0 END AS lang_sum0,
+       CASE WHEN r = 2 THEN 1.0 WHEN r = 5 THEN -1.0 ELSE 0.0 END AS lang_sum1,
+       CASE WHEN r = 3 THEN 1.0 WHEN r = 5 THEN -1.0 ELSE 0.0 END AS lang_sum2,
+       CASE WHEN r = 4 THEN 1.0 WHEN r = 5 THEN -1.0 ELSE 0.0 END AS lang_sum3
+FROM codes
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1158,6 +1240,10 @@ QUERIES = {
     "poly_lineitem": q_poly_lineitem,
     "fourier_events": q_fourier_events,
     "diff_events": q_diff_events,
+    "rare_label_docs": q_rare_label_docs,
+    "outlier_trim_orders": q_outlier_trim_orders,
+    "math_combo_lineitem": q_math_combo_lineitem,
+    "sum_encode_lang": q_sum_encode_lang,
 }
 
 ORACLE_SQL = {
@@ -1204,4 +1290,8 @@ ORACLE_SQL = {
     "poly_lineitem": SQL_POLY_LINEITEM,
     "fourier_events": SQL_FOURIER_EVENTS,
     "diff_events": SQL_DIFF_EVENTS,
+    "rare_label_docs": SQL_RARE_LABEL_DOCS,
+    "outlier_trim_orders": SQL_OUTLIER_TRIM_ORDERS,
+    "math_combo_lineitem": SQL_MATH_COMBO_LINEITEM,
+    "sum_encode_lang": SQL_SUM_ENCODE_LANG,
 }

@@ -1,0 +1,235 @@
+"""feature_engine-family cleaning operators (reference re-export surface
+ballet/eng/external/feature_engine.py:1-91): outlier trimming, missing-row
+dropping, end-tail / arbitrary-number imputation, rare-label grouping, and
+mathematical column combination.
+
+``OutlierTrimmer`` and ``DropMissingData`` are the reference surface's only
+FILTER-shaped operators (row count shrinks): they compile to predicate
+``map_batches`` (Arrow filter), with fitted bounds from the shared
+distributed aggregate pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ballet_ray.stages.encoders import FittedTransform, _col_f64
+from ballet_ray.transformer import Transform
+
+
+class OutlierTrimmer(FittedTransform):
+    """DROP rows outside the fitted quantile bounds
+    (feature_engine.outliers.OutlierTrimmer with the quantile capping
+    method). Filter-shaped: apply via :func:`apply_filter`, not inside a
+    column-appending pipeline."""
+
+    def __init__(self, lo: float = 0.01, hi: float = 0.99):
+        self.lo, self.hi = lo, hi
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return [("quantile", c, (self.lo, self.hi)) for c in cols]
+
+    def bind_fit_results(self, cols, results):
+        self.fitted_ = {c: tuple(results[("quantile", c, (self.lo, self.hi))]) for c in cols}
+
+    def fit_table(self, table, cols):
+        self.fitted_ = {}
+        for c in cols:
+            x = _col_f64(table, c)
+            x = x[~np.isnan(x)]
+            self.fitted_[c] = (float(np.quantile(x, self.lo)), float(np.quantile(x, self.hi)))
+
+    def keep_mask(self, table: pa.Table, cols: list[str]) -> np.ndarray:
+        self._check_fitted()
+        keep = np.ones(len(table), dtype=bool)
+        for c in cols:
+            lo, hi = self.fitted_[c]
+            x = _col_f64(table, c)
+            keep &= (x >= lo) & (x <= hi)
+        return keep
+
+    # pipeline-compatible transform emits the keep flag (the row-dropping
+    # form is apply_filter)
+    def transform_table(self, table, cols):
+        return pa.table({"outlier_keep": pa.array(self.keep_mask(table, cols).astype(np.int8))})
+
+    def output_names(self, cols):
+        return ["outlier_keep"]
+
+
+class DropMissingData(Transform):
+    """DROP rows with nulls in the given columns
+    (feature_engine.imputation.DropMissingData). Filter-shaped."""
+
+    def keep_mask(self, table: pa.Table, cols: list[str]) -> np.ndarray:
+        keep = np.ones(len(table), dtype=bool)
+        for c in cols:
+            col = table.column(c)
+            valid = pc.is_valid(col)
+            if pa.types.is_floating(col.type):
+                # is_nan(null) is null — Kleene AND keeps False, then fill
+                valid = pc.fill_null(pc.and_kleene(valid, pc.invert(pc.is_nan(col))), False)
+            keep &= valid.to_numpy(zero_copy_only=False).astype(bool)
+        return keep
+
+    def transform_table(self, table, cols):
+        return pa.table({"missing_keep": pa.array(self.keep_mask(table, cols).astype(np.int8))})
+
+    def output_names(self, cols):
+        return ["missing_keep"]
+
+
+def apply_filter(ds, transform, cols: list[str]):
+    """Run a filter-shaped transform as a true row filter: fit (if needed)
+    via the pipeline's aggregate pass, then predicate map_batches."""
+    if getattr(transform, "requires_fit", False) and getattr(transform, "fitted_", None) is None:
+        from ballet_ray.state.fitstate import FitPlanner
+
+        planner = FitPlanner()
+        planner.add(transform, cols)
+        planner.run(ds)
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(transform.keep_mask(t, cols)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class EndTailImputer(FittedTransform):
+    """Replace nulls/NaN with a value from the distribution tail
+    (feature_engine.imputation.EndTailImputer): gaussian tail mean+3·std or
+    iqr tail q3+3·IQR."""
+
+    def __init__(self, method: str = "gaussian", fold: float = 3.0):
+        if method not in ("gaussian", "iqr"):
+            raise ValueError(method)
+        self.method = method
+        self.fold = fold
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        if self.method == "gaussian":
+            return [("moments", c) for c in cols]
+        return [("quantile", c, (0.25, 0.75)) for c in cols]
+
+    def bind_fit_results(self, cols, results):
+        self.fitted_ = {}
+        for c in cols:
+            if self.method == "gaussian":
+                st = results[("moments", c)]
+                self.fitted_[c] = st["mean"] + self.fold * st["std0"]
+            else:
+                q1, q3 = results[("quantile", c, (0.25, 0.75))]
+                self.fitted_[c] = q3 + self.fold * (q3 - q1)
+
+    def fit_table(self, table, cols):
+        self.fitted_ = {}
+        for c in cols:
+            x = _col_f64(table, c)
+            x = x[~np.isnan(x)]
+            if self.method == "gaussian":
+                self.fitted_[c] = float(x.mean() + self.fold * x.std())
+            else:
+                q1, q3 = np.quantile(x, [0.25, 0.75])
+                self.fitted_[c] = float(q3 + self.fold * (q3 - q1))
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            x = _col_f64(table, c)
+            out[f"{c}_imp"] = pa.array(np.where(np.isnan(x), self.fitted_[c], x))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]
+
+
+class ArbitraryNumberImputer(Transform):
+    """Replace nulls/NaN with a fixed number
+    (feature_engine.imputation.ArbitraryNumberImputer). Stateless."""
+
+    def __init__(self, number: float = -999.0):
+        self.number = number
+
+    def transform_table(self, table, cols):
+        out = {}
+        for c in cols:
+            x = _col_f64(table, c)
+            out[f"{c}_imp"] = pa.array(np.where(np.isnan(x), self.number, x))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]
+
+
+class RareLabelEncoder(FittedTransform):
+    """Group infrequent categories under one rare label
+    (feature_engine.encoding.RareLabelEncoder): categories whose train
+    frequency < tol are replaced by ``rare_label``."""
+
+    def __init__(self, tol: float = 0.05, rare_label: str = "Rare"):
+        self.tol = tol
+        self.rare_label = rare_label
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return [("cats", c) for c in cols]
+
+    def bind_fit_results(self, cols, results):
+        self.fitted_ = {}
+        for c in cols:
+            counts = results[("cats", c)]
+            total = sum(counts.values()) or 1
+            self.fitted_[c] = frozenset(k for k, v in counts.items() if v / total >= self.tol)
+
+    def fit_table(self, table, cols):
+        self.fitted_ = {}
+        for c in cols:
+            s = pd.Series(table.column(c).to_pylist())
+            freq = s.value_counts(normalize=True)
+            self.fitted_[c] = frozenset(freq[freq >= self.tol].index)
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            s = pd.Series(table.column(c).to_numpy(zero_copy_only=False))
+            keep = s.isin(self.fitted_[c])
+            out[f"{c}_rare"] = pa.array(np.where(keep, s.to_numpy(), self.rare_label).astype(object))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_rare" for c in cols]
+
+
+class MathematicalCombination(Transform):
+    """Row-wise combination of the input columns
+    (feature_engine.creation.MathematicalCombination / the newer
+    MathFeatures): sum, prod, mean, std, max, min. Stateless numpy."""
+
+    _OPS = {
+        "sum": lambda m: m.sum(axis=1),
+        "prod": lambda m: m.prod(axis=1),
+        "mean": lambda m: m.mean(axis=1),
+        "std": lambda m: m.std(axis=1),
+        "max": lambda m: m.max(axis=1),
+        "min": lambda m: m.min(axis=1),
+    }
+
+    def __init__(self, ops: list[str] = ("sum", "mean")):
+        unknown = set(ops) - set(self._OPS)
+        if unknown:
+            raise ValueError(f"unknown ops: {sorted(unknown)}")
+        self.ops = list(ops)
+
+    def transform_table(self, table, cols):
+        m = np.column_stack([_col_f64(table, c) for c in cols])
+        return pa.table({f"combo_{op}": pa.array(self._OPS[op](m)) for op in self.ops})
+
+    def output_names(self, cols):
+        return [f"combo_{op}" for op in self.ops]

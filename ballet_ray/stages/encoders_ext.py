@@ -558,3 +558,147 @@ class FourierFeatures(Transform):
     def output_names(self, cols):
         c = cols[0]
         return [f"{c}_{f}{k}" for k in range(1, self.num_terms + 1) for f in ("sin", "cos")]
+
+
+# ---------------------------------------------------------------------------
+# contrast-coding encoders (category_encoders re-export surface:
+# Helmert / Sum / BackwardDifference / Polynomial)
+# ---------------------------------------------------------------------------
+
+
+def _contrast_matrix(k: int, scheme: str) -> np.ndarray:
+    """(k, k-1) contrast matrix per category-index, patsy conventions
+    (category_encoders delegates to patsy for these schemes)."""
+    if k < 2:
+        return np.zeros((k, 0))
+    if scheme == "sum":
+        m = np.zeros((k, k - 1))
+        m[np.arange(k - 1), np.arange(k - 1)] = 1.0
+        m[k - 1, :] = -1.0
+        return m
+    if scheme == "helmert":
+        # patsy Helmert: level j+1 scores j+1 in column j, levels <= j score
+        # -1, later levels 0
+        m = np.zeros((k, k - 1))
+        for j in range(k - 1):
+            m[: j + 1, j] = -1.0
+            m[j + 1, j] = j + 1.0
+        return m
+    if scheme == "backward_difference":
+        m = np.zeros((k, k - 1))
+        for j in range(k - 1):
+            m[: j + 1, j] = -(k - j - 1) / k
+            m[j + 1 :, j] = (j + 1) / k
+        return m
+    if scheme == "polynomial":
+        # orthonormal polynomial contrasts: QR of the centered Vandermonde
+        levels = np.arange(k, dtype=np.float64)
+        v = np.vander(levels, k, increasing=True)
+        q, _ = np.linalg.qr(v)
+        return q[:, 1:]  # drop the constant term
+    raise ValueError(scheme)
+
+
+class ContrastEncoder(FittedTransform):
+    """Generic contrast coding: fitted category list (sorted) → each
+    category maps to one row of the scheme's contrast matrix; unknown
+    categories map to the zero vector. Schemes: sum, helmert,
+    backward_difference, polynomial (patsy conventions, as used by
+    category_encoders)."""
+
+    def __init__(self, scheme: str):
+        _contrast_matrix(2, scheme)  # validate scheme early
+        self.scheme = scheme
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return [("cats", c) for c in cols]
+
+    def _bind_cats(self, cols, cats_by_col):
+        self.fitted_ = {}
+        for c in cols:
+            cats = sorted(v for v in cats_by_col[c] if v is not None)
+            m = _contrast_matrix(len(cats), self.scheme)
+            self.fitted_[c] = ({v: i for i, v in enumerate(cats)}, m)
+
+    def bind_fit_results(self, cols, results):
+        self._bind_cats(cols, {c: results[("cats", c)] for c in cols})
+
+    def fit_table(self, table, cols):
+        self._bind_cats(cols, {c: set(table.column(c).to_pylist()) for c in cols})
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            mapping, m = self.fitted_[c]
+            vals = table.column(c).to_numpy(zero_copy_only=False)
+            idx = pd.Series(vals).map(mapping).fillna(-1).to_numpy(dtype=np.int64)
+            padded = np.vstack([m, np.zeros((1, m.shape[1]))])  # -1 → zero row
+            enc = padded[idx]
+            for j in range(m.shape[1]):
+                out[f"{c}_{self.scheme}{j}"] = pa.array(enc[:, j])
+        return pa.table(out)
+
+    def output_names(self, cols):
+        self._check_fitted()
+        return [
+            f"{c}_{self.scheme}{j}"
+            for c in cols
+            for j in range(self.fitted_[c][1].shape[1])
+        ]
+
+
+class HelmertEncoder(ContrastEncoder):
+    def __init__(self):
+        super().__init__("helmert")
+
+
+class SumEncoder(ContrastEncoder):
+    def __init__(self):
+        super().__init__("sum")
+
+
+class BackwardDifferenceEncoder(ContrastEncoder):
+    def __init__(self):
+        super().__init__("backward_difference")
+
+
+class PolynomialEncoder(ContrastEncoder):
+    def __init__(self):
+        super().__init__("polynomial")
+
+
+class SparseRandomProjection(Transform):
+    """Achlioptas sparse random projection
+    (sklearn.random_projection.SparseRandomProjection): entries are
+    ±sqrt(s/k) with prob 1/(2s) each, 0 with prob 1-1/s (s = 1/density).
+    Deterministic per seed; no fit pass."""
+
+    def __init__(self, n_components: int, density: float = 1 / 3, seed: int = 1754):
+        self.n_components = n_components
+        self.density = density
+        self.seed = seed
+
+    def _matrix(self, dim: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed)
+        s = 1.0 / self.density
+        u = rng.rand(dim, self.n_components)
+        scale = np.sqrt(s / self.n_components)
+        return np.where(u < 1 / (2 * s), scale, np.where(u < 1 / s, -scale, 0.0))
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        if len(cols) == 1 and (
+            pa.types.is_list(table.column(cols[0]).type)
+            or pa.types.is_fixed_size_list(table.column(cols[0]).type)
+        ):
+            from ballet_ray.stages.similarity import _emb_matrix
+
+            m = _emb_matrix(table, cols[0])
+        else:
+            m = np.column_stack([_col_f64(table, c) for c in cols])
+        p = m @ self._matrix(m.shape[1])
+        return pa.table({f"sproj_{j}": pa.array(p[:, j]) for j in range(self.n_components)})
+
+    def output_names(self, cols):
+        return [f"sproj_{j}" for j in range(self.n_components)]

@@ -1,0 +1,127 @@
+"""feature_engine cleaning ops + contrast encoders + sparse projection."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ballet_ray import Feature, FeatureEngineeringPipeline
+from ballet_ray.stages.cleaning import (
+    ArbitraryNumberImputer,
+    DropMissingData,
+    EndTailImputer,
+    MathematicalCombination,
+    OutlierTrimmer,
+    RareLabelEncoder,
+    apply_filter,
+)
+from ballet_ray.stages.encoders_ext import (
+    BackwardDifferenceEncoder,
+    HelmertEncoder,
+    PolynomialEncoder,
+    SparseRandomProjection,
+    SumEncoder,
+    _contrast_matrix,
+)
+
+
+def test_outlier_trimmer_filters_tails(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    trimmed = apply_filter(ds, OutlierTrimmer(0.05, 0.95), ["o_totalprice"])
+    pdf = trimmed.to_pandas()
+    assert 0.85 * n <= len(pdf) <= 0.95 * n
+    raw = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = raw["o_totalprice"].quantile([0.05, 0.95])
+    # all surviving rows are within the fitted bounds (quantile impl may
+    # differ in interpolation by a hair)
+    assert pdf["o_totalprice"].min() >= lo - 1e-6
+    assert pdf["o_totalprice"].max() <= hi + 1e-6
+
+
+def test_drop_missing_data():
+    df = pd.DataFrame({"a": [1.0, np.nan, 3.0, None], "b": list("wxyz")})
+    out = apply_filter(rd.from_pandas(df), DropMissingData(), ["a"]).to_pandas()
+    assert out["b"].tolist() == ["w", "y"]
+
+
+def test_endtail_and_arbitrary_imputers():
+    x = np.array([1.0, 2.0, 3.0, np.nan, 5.0])
+    t = pa.table({"x": x})
+    imp = EndTailImputer("gaussian", fold=3.0)
+    imp.fit_table(t, ["x"])
+    got = imp.transform_table(t, ["x"]).column("x_imp").to_numpy()
+    valid = x[~np.isnan(x)]
+    assert np.isclose(got[3], valid.mean() + 3 * valid.std())
+    arb = ArbitraryNumberImputer(-1.0).transform_table(t, ["x"]).column("x_imp").to_numpy()
+    assert arb[3] == -1.0 and arb[0] == 1.0
+
+
+def test_rare_label_encoder(sf_dir):
+    df = pd.DataFrame({"c": ["a"] * 50 + ["b"] * 45 + ["z"] * 3 + ["q"] * 2})
+    pipe = FeatureEngineeringPipeline([Feature("c", RareLabelEncoder(tol=0.05), output="c_rare")])
+    out = pipe.fit_transform(rd.from_pandas(df)).to_pandas()
+    assert set(out.loc[out["c"].isin(["z", "q"]), "c_rare"]) == {"Rare"}
+    assert set(out.loc[out["c"] == "a", "c_rare"]) == {"a"}
+
+
+def test_mathematical_combination():
+    t = pa.table({"a": [1.0, 2.0], "b": [3.0, 6.0]})
+    out = MathematicalCombination(["sum", "mean", "max"]).transform_table(t, ["a", "b"])
+    assert np.allclose(out.column("combo_sum").to_numpy(), [4.0, 8.0])
+    assert np.allclose(out.column("combo_mean").to_numpy(), [2.0, 4.0])
+    assert np.allclose(out.column("combo_max").to_numpy(), [3.0, 6.0])
+
+
+def test_contrast_matrices_match_patsy_conventions():
+    # sum coding, k=3
+    assert np.allclose(_contrast_matrix(3, "sum"), [[1, 0], [0, 1], [-1, -1]])
+    # helmert, k=4 (patsy): successive level vs mean of previous
+    h = _contrast_matrix(4, "helmert")
+    assert np.allclose(h[:, 0], [-1, 1, 0, 0])
+    assert np.allclose(h[:, 1], [-1, -1, 2, 0])
+    assert np.allclose(h[:, 2], [-1, -1, -1, 3])
+    # backward difference, k=3
+    bd = _contrast_matrix(3, "backward_difference")
+    assert np.allclose(bd[:, 0], [-2 / 3, 1 / 3, 1 / 3])
+    assert np.allclose(bd[:, 1], [-1 / 3, -1 / 3, 2 / 3])
+    # polynomial contrasts are orthonormal
+    p = _contrast_matrix(5, "polynomial")
+    assert np.allclose(p.T @ p, np.eye(4), atol=1e-10)
+
+
+def test_contrast_encoders_pipeline(sf_dir):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("lang", SumEncoder()),
+            Feature("lang", HelmertEncoder()),
+            Feature("lang", BackwardDifferenceEncoder()),
+            Feature("lang", PolynomialEncoder()),
+        ]
+    )
+    pdf = pipe.fit_transform(ds).to_pandas()
+    langs = sorted(pdf["lang"].unique())
+    k = len(langs)
+    # k-1 columns per scheme, rows of the same category identical
+    for scheme in ("sum", "helmert", "backward_difference", "polynomial"):
+        cols = [c for c in pdf.columns if c.startswith(f"lang_{scheme}")]
+        assert len(cols) == k - 1
+        per_cat = pdf.groupby("lang")[cols].nunique()
+        assert (per_cat == 1).all().all()
+    # sum coding: first category = e0, last category = all -1
+    first = pdf[pdf["lang"] == langs[0]].iloc[0]
+    last = pdf[pdf["lang"] == langs[-1]].iloc[0]
+    assert first["lang_sum0"] == 1.0 and last["lang_sum0"] == -1.0
+
+
+def test_sparse_random_projection():
+    t = pa.table({"a": [1.0, 0.0], "b": [0.0, 1.0], "c": [1.0, 1.0], "d": [2.0, 0.0]})
+    p = SparseRandomProjection(n_components=2, seed=5)
+    o1 = p.transform_table(t, ["a", "b", "c", "d"])
+    o2 = SparseRandomProjection(n_components=2, seed=5).transform_table(t, ["a", "b", "c", "d"])
+    assert o1.column_names == ["sproj_0", "sproj_1"]
+    assert np.allclose(o1.column("sproj_0").to_numpy(), o2.column("sproj_0").to_numpy())
+    m = p._matrix(1000)
+    density = (m != 0).mean()
+    assert 0.25 < density < 0.42  # ~1/3 nonzero
