@@ -1188,6 +1188,30 @@ FROM codes
 """
 
 
+
+
+def q_catboost_encode_priority(sf_dir: str):
+    """Ordered (leakage-free) target encoding: each row's encoding uses
+    only EARLIER rows of its category in o_orderkey order."""
+    from ballet_ray.stages.encoders_ext import CatBoostEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    enc = CatBoostEncoder("o_orderpriority", "o_orderkey", a=1.0)
+    pipe = FeatureEngineeringPipeline([Feature("o_totalprice", enc.keyed(), output="pri_cb")])
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_cb"])
+    return _round_cols(out, {"pri_cb": 4})
+
+
+SQL_CATBOOST_ENCODE_PRIORITY = """
+SELECT o_orderkey,
+       ROUND((COALESCE(SUM(o_totalprice) OVER w, 0) + (SELECT AVG(o_totalprice) FROM orders))
+             / (COALESCE(COUNT(o_totalprice) OVER w, 0) + 1.0), 4) AS pri_cb
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1244,6 +1268,7 @@ QUERIES = {
     "outlier_trim_orders": q_outlier_trim_orders,
     "math_combo_lineitem": q_math_combo_lineitem,
     "sum_encode_lang": q_sum_encode_lang,
+    "catboost_encode_priority": q_catboost_encode_priority,
 }
 
 ORACLE_SQL = {
@@ -1294,4 +1319,5 @@ ORACLE_SQL = {
     "outlier_trim_orders": SQL_OUTLIER_TRIM_ORDERS,
     "math_combo_lineitem": SQL_MATH_COMBO_LINEITEM,
     "sum_encode_lang": SQL_SUM_ENCODE_LANG,
+    "catboost_encode_priority": SQL_CATBOOST_ENCODE_PRIORITY,
 }

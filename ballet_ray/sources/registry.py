@@ -71,12 +71,20 @@ def write_table(ds, path: str, *, format: str | None = None, **kwargs) -> None:
 
 
 class TableRegistry:
-    """All of a project's tables, loaded lazily by name."""
+    """All of a project's tables, loaded lazily by name.
 
-    def __init__(self, input_dir: str, config: dict):
+    ``load`` memoizes the (lazy) Dataset handle per table for ``cache_ttl``
+    seconds (reference: the project data cache memoizes load_data for 10
+    minutes, ballet/project.py:288-301,328-347). Datasets are lazy plans,
+    so the cache avoids re-planning/re-listing files, not re-reading data —
+    pass ``cache_ttl=0`` to disable."""
+
+    def __init__(self, input_dir: str, config: dict, *, cache_ttl: float = 600.0):
         self.input_dir = input_dir
         self.config = config
+        self.cache_ttl = cache_ttl
         self._tables = {t["name"]: t for t in config.get("tables", [])}
+        self._cache: dict[str, tuple[float, object]] = {}
 
     def names(self) -> list[str]:
         return list(self._tables)
@@ -84,7 +92,16 @@ class TableRegistry:
     def load(self, name: str):
         if name not in self._tables:
             raise KeyError(f"unknown table {name!r}; known: {self.names()}")
-        return load_table_from_config(self.input_dir, self._tables[name])
+        import time
+
+        if self.cache_ttl > 0:
+            hit = self._cache.get(name)
+            if hit is not None and time.monotonic() - hit[0] < self.cache_ttl:
+                return hit[1]
+        ds = load_table_from_config(self.input_dir, self._tables[name])
+        if self.cache_ttl > 0:
+            self._cache[name] = (time.monotonic(), ds)
+        return ds
 
     def load_split(self, split: str):
         """Split directory convention (reference data.splits,

@@ -702,3 +702,62 @@ class SparseRandomProjection(Transform):
 
     def output_names(self, cols):
         return [f"sproj_{j}" for j in range(self.n_components)]
+
+
+class CatBoostEncoder:
+    """Ordered target encoding (category_encoders.CatBoostEncoder): row i's
+    encoding uses ONLY the target values of earlier rows of the same
+    category in a fixed traversal order —
+    (sum_before + a·prior) / (count_before + a), prior = global target
+    mean. Leakage-free by construction; the traversal order here is the
+    ``order_col`` (deterministic, SQL-reproducible), not a random
+    permutation.
+
+    Built as a keyed scan: one co-partition shuffle on the category, then
+    a vectorized per-group shifted-cumsum. On NEW data (transform after
+    fit) it degrades to the smoothed category mean, like the library.
+    This class is a factory: use ``keyed()`` inside ``apply_keyed`` /
+    pipeline keyed passes.
+    """
+
+    def __init__(self, cat_col: str, order_col: str, a: float = 1.0):
+        self.cat_col, self.order_col, self.a = cat_col, order_col, a
+
+    def keyed(self):
+        from ballet_ray.stages.windows import KeyedTransform, _vals
+
+        a = self.a
+
+        class _CatBoostOrdered(KeyedTransform):
+            requires_fit = True
+            sliceable = False  # needs the whole per-category prefix
+
+            def __init__(self, key, order_by):
+                super().__init__(key, order_by)
+                self.fitted_ = None
+
+            def agg_requests(self, cols):
+                return [("moments", c) for c in cols]
+
+            def bind_fit_results(self, cols, results):
+                self.fitted_ = {c: results[("moments", c)]["mean"] for c in cols}
+
+            def transform_sorted(self, table, codes, starts, cols):
+                out = {}
+                n = len(codes)
+                cnt_before = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+                for c in cols:
+                    prior = self.fitted_[c]
+                    y = _vals(table, c)
+                    y0 = np.where(np.isnan(y), 0.0, y)
+                    csum = np.cumsum(y0)
+                    prev = np.concatenate([[0.0], csum[:-1]])
+                    group_off = prev[starts]  # cumsum before each group start
+                    sum_before = prev - np.repeat(group_off, np.diff(np.append(starts, n)))
+                    out[f"{c}_cb"] = (sum_before + a * prior) / (cnt_before + a)
+                return out
+
+            def output_names(self, cols):
+                return [f"{c}_cb" for c in cols]
+
+        return _CatBoostOrdered(self.cat_col, (self.order_col,))

@@ -94,3 +94,102 @@ def synthetic_media_table(n: int, payload_bytes: int = 4096, seed: int = 1754) -
             "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
         }
     )
+
+
+class MediaResizer:
+    """Actor-pool stage: payload → resized payload + updated metadata.
+
+    The Ray-side plumbing (per-actor transcoder setup, payload-in →
+    payload-out schema, width/height metadata rewrite, media-sized batches)
+    is real; the pixel work is STUBBED behind ``transcode_fn`` — pass a real
+    ``bytes -> bytes`` resizer in production, or leave the deterministic
+    fake (re-hash to a size proportional to the target area)."""
+
+    def __init__(self, width: int, height: int, transcode_fn=None, use_fake: bool = True):
+        self.width, self.height = width, height
+        if transcode_fn is not None:
+            self.transcode = transcode_fn
+        elif use_fake:
+            out_bytes = max(16, (width * height) // 64)
+            self.transcode = lambda b: hashlib.blake2b(b, digest_size=min(64, out_bytes)).digest()
+        else:  # pragma: no cover - real codecs unavailable in this env
+            raise NotImplementedError(
+                "real image resizing requires codec libraries not present in "
+                "this environment; pass transcode_fn or use_fake=True"
+            )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        payloads = [self.transcode(p) for p in table.column("payload").to_pylist()]
+        n = len(table)
+        cols = {c: table.column(c) for c in table.column_names}
+        cols["payload"] = pa.array(payloads, type=pa.binary())
+        cols["width"] = pa.array(np.full(n, self.width, dtype=np.int32))
+        cols["height"] = pa.array(np.full(n, self.height, dtype=np.int32))
+        return pa.table(cols)
+
+
+def resize_media(ds, *, width: int, height: int, batch_size: int = 64, concurrency: int = 2):
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool ONE-TO-MANY stage: each video row → ``n_frames`` frame
+    rows sampled uniformly over ``duration_ms``. Output schema:
+    (media_id, frame_idx, frame_ts_ms, payload). The frame-extraction codec
+    is STUBBED behind ``extract_fn(payload, ts_ms) -> bytes`` (deterministic
+    fake: keyed hash of payload+timestamp); the explode plumbing, schema and
+    batch sizing are real."""
+
+    def __init__(self, n_frames: int = 4, extract_fn=None, use_fake: bool = True):
+        self.n_frames = n_frames
+        if extract_fn is not None:
+            self.extract = extract_fn
+        elif use_fake:
+            self.extract = lambda b, ts: hashlib.blake2b(
+                b, digest_size=32, key=int(ts).to_bytes(8, "little")
+            ).digest()
+        else:  # pragma: no cover
+            raise NotImplementedError(
+                "real frame extraction requires video codecs not present in "
+                "this environment; pass extract_fn or use_fake=True"
+            )
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        ids = table.column("media_id").to_pylist()
+        payloads = table.column("payload").to_pylist()
+        durations = table.column("duration_ms").to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_ts, out_payload = [], [], [], []
+        for mid, payload, dur in zip(ids, payloads, durations):
+            # uniform sampling: frame j at (j + 0.5)/n of the duration
+            for j in range(self.n_frames):
+                ts = int((j + 0.5) * max(int(dur), 1) / self.n_frames)
+                out_id.append(mid)
+                out_idx.append(j)
+                out_ts.append(ts)
+                out_payload.append(self.extract(payload, ts))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id),
+                "frame_idx": pa.array(np.asarray(out_idx, dtype=np.int32)),
+                "frame_ts_ms": pa.array(np.asarray(out_ts, dtype=np.int64)),
+                "payload": pa.array(out_payload, type=pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, *, n_frames: int = 4, batch_size: int = 16, concurrency: int = 2):
+    """Video table → frame table (rows × n_frames). Small batches: each
+    output batch is n_frames× wider than its input."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

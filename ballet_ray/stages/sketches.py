@@ -32,19 +32,39 @@ def _kmv_estimate(h: np.ndarray, k: int) -> float:
 
 def approx_distinct(ds, col: str, *, k: int = 1024) -> float:
     """Approximate COUNT(DISTINCT col) with one streaming pass; the shuffle
-    carries ≤ k uint64 values per batch."""
+    carries ≤ k uint64 values per batch. Merging is a worker-side
+    tree-reduce (per-block partial merge via map_batches, then one grouped
+    merge) — the driver receives exactly one ≤k-value sketch, never the
+    per-batch sketch stream."""
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t.column(col).to_numpy(zero_copy_only=False)
         sk = _kmv_sketch(vals, k)
-        return pa.table({"sketch": pa.array([sk.astype(np.uint64).tobytes()])})
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([sk.astype(np.uint64).tobytes()])})
 
-    parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
-    merged = np.array([], dtype=np.uint64)
-    for batch in parts.iter_batches(batch_format="pyarrow"):
-        for blob in batch.column("sketch").to_pylist():
+    def merge_blobs(blobs) -> bytes:
+        merged = np.array([], dtype=np.uint64)
+        for blob in blobs:
             sk = np.frombuffer(blob, dtype=np.uint64)
             merged = np.unique(np.concatenate([merged, sk]))[:k]
+        return merged.tobytes()
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([merge_blobs(t.column("sketch").to_pylist())])})
+
+    parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    # per-block combine shrinks each block to one row before the final
+    # single-group reduce
+    combined = parts.map_batches(combine, batch_format="pyarrow")
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sketch": [merge_blobs(g["sketch"])]})
+
+    out = combined.groupby("g").map_groups(final, batch_format="pandas").take(1)
+    merged = np.frombuffer(out[0]["sketch"], dtype=np.uint64)
     return _kmv_estimate(merged, k)
 
 

@@ -489,7 +489,9 @@ def apply_keyed(
     sort_keys = [key, *order_by]
 
     sliceable = bool(order_by) and all(
-        not type(t).__name__ == "GroupedFunctionTransform" and not isinstance(t, RollingMeanTime)
+        not type(t).__name__ == "GroupedFunctionTransform"
+        and not isinstance(t, RollingMeanTime)
+        and getattr(t, "sliceable", True)
         for t, _, _ in transforms
     )
     hot_plan, hot_ids, carries = {}, {}, {}

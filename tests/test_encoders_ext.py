@@ -223,3 +223,28 @@ def test_difference_matches_pandas(sf_dir):
     expect = pdf.groupby("user_id")["value"].diff(1)
     got = out.set_index("event_id").loc[pdf["event_id"], "value_diff1"].to_numpy()
     assert np.allclose(got, expect.to_numpy(), equal_nan=True)
+
+
+def test_catboost_ordered_encoding_matches_pandas(sf_dir):
+    from ballet_ray.stages.encoders_ext import CatBoostEncoder
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    enc = CatBoostEncoder("o_orderpriority", "o_orderkey", a=1.0)
+    pipe = FeatureEngineeringPipeline([Feature("o_totalprice", enc.keyed(), output="cb")])
+    got = pipe.fit_transform(ds).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet").sort_values(
+        ["o_orderpriority", "o_orderkey"]
+    )
+    prior = pdf["o_totalprice"].mean()
+    g = pdf.groupby("o_orderpriority")["o_totalprice"]
+    sum_before = g.cumsum() - pdf["o_totalprice"]
+    cnt_before = g.cumcount()
+    pdf["cb"] = (sum_before + prior) / (cnt_before + 1.0)
+    expect = pdf.sort_values("o_orderkey").reset_index(drop=True)
+    assert np.allclose(got["cb"], expect["cb"])
+    # leakage-free: the first row of each category is exactly the prior
+    firsts = pdf.groupby("o_orderpriority").head(1)
+    assert np.allclose(firsts["cb"], prior)

@@ -175,3 +175,33 @@ def test_embedding_near_dup_bucket_cap():
     found = {tuple(sorted(p)) for p in zip(out["id_a"], out["id_b"])}
     for i in range(n - 1):
         assert (i, i + 1) in found
+
+
+def test_media_resize_and_frame_sample():
+    from ballet_ray.stages.multimodal import (
+        resize_media,
+        sample_frames,
+        synthetic_media_table,
+    )
+
+    t = synthetic_media_table(12, payload_bytes=2048)
+    t = t.set_column(
+        t.column_names.index("duration_ms"),
+        "duration_ms",
+        pa.array(np.full(12, 8000, dtype=np.int32)),
+    )
+    ds = rd.from_arrow(t)
+    resized = resize_media(ds, width=32, height=32, concurrency=1).to_pandas()
+    assert (resized["width"] == 32).all() and (resized["height"] == 32).all()
+    assert resized["payload"].map(len).nunique() == 1  # fixed-size fake payloads
+
+    frames = sample_frames(ds, n_frames=4, concurrency=1).to_pandas()
+    assert len(frames) == 12 * 4
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame_ts_ms", "payload"}
+    one = frames[frames["media_id"] == "m000000"].sort_values("frame_idx")
+    assert one["frame_ts_ms"].tolist() == [1000, 3000, 5000, 7000]
+    # frames are deterministic per (payload, ts)
+    frames2 = sample_frames(ds, n_frames=4, concurrency=1).to_pandas()
+    a = frames.sort_values(["media_id", "frame_idx"])["payload"].tolist()
+    b = frames2.sort_values(["media_id", "frame_idx"])["payload"].tolist()
+    assert a == b
