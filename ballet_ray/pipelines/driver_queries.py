@@ -1212,6 +1212,29 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
 """
 
 
+
+
+def q_cumsum_events(sf_dir: str):
+    from ballet_ray.stages.windows import CumSum
+
+    ds = _events(sf_dir)
+    out = apply_keyed(
+        ds,
+        [(CumSum(key="user_id", order_by=["ts", "event_id"]), ["value"], ["value_cumsum"])],
+        "user_id",
+        ["ts", "event_id"],
+    ).select_columns(["event_id", "user_id", "value_cumsum"])
+    return _round_cols(out, {"value_cumsum": 4})
+
+
+SQL_CUMSUM_EVENTS = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS value_cumsum
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1269,6 +1292,7 @@ QUERIES = {
     "math_combo_lineitem": q_math_combo_lineitem,
     "sum_encode_lang": q_sum_encode_lang,
     "catboost_encode_priority": q_catboost_encode_priority,
+    "cumsum_events": q_cumsum_events,
 }
 
 ORACLE_SQL = {
@@ -1320,4 +1344,5 @@ ORACLE_SQL = {
     "math_combo_lineitem": SQL_MATH_COMBO_LINEITEM,
     "sum_encode_lang": SQL_SUM_ENCODE_LANG,
     "catboost_encode_priority": SQL_CATBOOST_ENCODE_PRIORITY,
+    "cumsum_events": SQL_CUMSUM_EVENTS,
 }

@@ -219,6 +219,52 @@ class CumCount(KeyedTransform):
         return ["cum_count"]
 
 
+class CumSum(KeyedTransform):
+    """Per-entity running sum (skits IntegratedTransformer parity —
+    reference re-export ballet/eng/external/skits.py). NaN contributes 0.
+
+    Whole-prefix state: opts out of hot-entity time slicing (the carry
+    summary tracks prior row counts, not prior sums)."""
+
+    sliceable = False
+
+    def transform_sorted(self, table, codes, starts, cols):
+        n = len(codes)
+        counts = np.diff(np.append(starts, n))
+        out = {}
+        for c in cols:
+            v = _vals(table, c)
+            cs = np.cumsum(np.where(np.isnan(v), 0.0, v))
+            prev = np.concatenate([[0.0], cs[:-1]])
+            base = np.repeat(prev[starts], counts)
+            out[f"{c}_cumsum"] = cs - base
+        return out
+
+    def output_names(self, cols):
+        return [f"{c}_cumsum" for c in cols]
+
+
+def make_seasonal_lagger(period: int, key: str, order_by=None) -> "Lag":
+    """skits SeasonalTransformer: the value one season (period rows) back."""
+    return Lag(period, key, order_by)
+
+
+def make_autoregressive(num_lags: int, key: str, order_by=None) -> "MultiLag":
+    """skits AutoregressiveTransformer: lags 1..num_lags in one pass."""
+    return MultiLag(list(range(1, num_lags + 1)), key, order_by)
+
+
+def make_horizon(horizon: int, key: str, order_by=None) -> "MultiLag":
+    """skits HorizonTransformer: the NEXT ``horizon`` values as columns
+    (leads 1..horizon) — the supervised-target construction."""
+    return MultiLag([-h for h in range(1, horizon + 1)], key, order_by)
+
+
+def make_trend(key: str, order_by=None) -> "CumCount":
+    """skits TrendTransformer: 0-based time index within the entity."""
+    return CumCount(key, order_by)
+
+
 class RollingMeanTime(KeyedTransform):
     """Time-range trailing mean: rows within [ts - range, ts] of the current
     row's timestamp (SQL RANGE BETWEEN ... PRECEDING AND CURRENT ROW).

@@ -248,3 +248,41 @@ def test_catboost_ordered_encoding_matches_pandas(sf_dir):
     # leakage-free: the first row of each category is exactly the prior
     firsts = pdf.groupby("o_orderpriority").head(1)
     assert np.allclose(firsts["cb"], prior)
+
+
+def test_cumsum_and_skits_aliases(sf_dir):
+    from ballet_ray.stages.windows import (
+        CumSum,
+        apply_keyed,
+        make_autoregressive,
+        make_horizon,
+        make_seasonal_lagger,
+        make_trend,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    ar = make_autoregressive(2, "user_id", ["ts", "event_id"])
+    hz = make_horizon(2, "user_id", ["ts", "event_id"])
+    out = apply_keyed(
+        ds,
+        [
+            (CumSum(key="user_id", order_by=["ts", "event_id"]), ["value"], ["value_cumsum"]),
+            (ar, ["value"], ar.output_names(["value"])),
+            (hz, ["value"], hz.output_names(["value"])),
+            (make_trend("user_id", ["ts", "event_id"]), [], ["trend"]),
+        ],
+        "user_id",
+        ["ts", "event_id"],
+    ).to_pandas()
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    g = pdf.groupby("user_id")["value"]
+    aligned = out.set_index("event_id").loc[pdf["event_id"]]
+    assert np.allclose(aligned["value_cumsum"].to_numpy(), g.cumsum().to_numpy())
+    assert np.allclose(
+        aligned["value_lag2"].to_numpy(), g.shift(2).to_numpy(), equal_nan=True
+    )
+    assert np.allclose(
+        aligned["value_lead2"].to_numpy(), g.shift(-2).to_numpy(), equal_nan=True
+    )
+    assert (aligned["trend"].to_numpy() == g.cumcount().to_numpy()).all()
+    assert make_seasonal_lagger(7, "u").k == 7
