@@ -824,8 +824,27 @@ LEFT JOIN best b USING (doc_id)
 
 
 def q_embedding_near_dups(sf_dir: str):
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.95)
+    """Embedding near-dedup over the table unioned with an exact-duplicate
+    clone (vec_id + 100000): the synthetic embeddings have no natural
+    near-pairs (max off-diagonal cosine ~0.6), so the planted duplicates
+    make the check meaningful — identical vectors always share an LSH
+    bucket, so recall is exactly 1 and the result is SQL-oracle-able."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(t.column("vec_id"), pa.scalar(100000))
+        return pa.table({"vec_id": ids, "embedding": t.column("embedding")})
+
+    both = emb.union(emb.map_batches(clone, batch_format="pyarrow"))
+    pairs = embedding_near_dup_pairs(
+        both, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.99
+    )
+    return _round_cols(pairs.select_columns(["id_a", "id_b", "cosine"]), {"cosine": 4})
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine FROM embeddings
+"""
 
 
 def q_minhash_cluster_dedup_docs(sf_dir: str):
@@ -1345,4 +1364,5 @@ ORACLE_SQL = {
     "sum_encode_lang": SQL_SUM_ENCODE_LANG,
     "catboost_encode_priority": SQL_CATBOOST_ENCODE_PRIORITY,
     "cumsum_events": SQL_CUMSUM_EVENTS,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
 }
