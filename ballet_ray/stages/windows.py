@@ -407,7 +407,14 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
 
     def keep_hot_and_slice(t: pa.Table) -> pa.Table:
         keys = t.column(key).to_numpy(zero_copy_only=False)
-        m = np.isin(keys, hot_keys)
+        # hot sets are tiny; == comparisons beat np.isin on object/string
+        # key arrays by a wide margin
+        if len(hot_keys) <= 8:
+            m = np.zeros(len(keys), dtype=bool)
+            for hk in hot_keys:
+                m |= keys == hk
+        else:
+            m = np.isin(keys, hot_keys)
         t = t.filter(pa.array(m))
         if t.num_rows == 0:
             return t.append_column("__slice_id", pa.array(np.empty(0, dtype=np.int64)))

@@ -51,8 +51,13 @@ def headline_pipeline(corpus_dir: str):
 
     ds = rd.read_parquet(corpus_dir)
     # narrow read for fit + keyed pre-passes: column pruning at the READ so
-    # the serial phases never decode the token payload
-    narrow = rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts", "n_tok", "source"])
+    # the serial phases never decode the token payload. Materialized ONCE —
+    # the fit aggregate, hot-key sample and slice-summary passes all reuse
+    # the object-store blocks instead of re-decoding parquet three times
+    # (the narrow projection is ~3% of the table's bytes).
+    narrow = rd.read_parquet(
+        corpus_dir, columns=["doc_id", "event_ts", "n_tok", "source"]
+    ).materialize()
     pipe = FeatureEngineeringPipeline(
         [
             Feature("tokens", TokenCount(), output="token_count"),
