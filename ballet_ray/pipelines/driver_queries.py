@@ -1255,6 +1255,85 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# per-entity aggregation generators (tsfresh / featuretools minimal subsets)
+# ---------------------------------------------------------------------------
+
+
+def q_ts_features_events(sf_dir: str):
+    from ballet_ray.stages.aggregates import extract_ts_features
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    out = extract_ts_features(ds, key="user_id", order_by=["ts", "event_id"], value_col="value")
+    return _round_cols(
+        out,
+        {"value_mean": 4, "value_std": 4, "value_median": 4,
+         "value_abs_energy": 4, "value_mean_abs_change": 4,
+         "value_min": 4, "value_max": 4},
+    )
+
+
+SQL_TS_FEATURES_EVENTS = """
+WITH chg AS (
+  SELECT user_id,
+         ABS(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+  FROM events
+),
+mac AS (SELECT user_id, AVG(d) AS mean_abs_change FROM chg WHERE d IS NOT NULL GROUP BY user_id),
+base AS (
+  SELECT user_id,
+         AVG(value) AS mean_v, STDDEV_POP(value) AS std_v,
+         MIN(value) AS min_v, MAX(value) AS max_v,
+         MEDIAN(value) AS med_v, SUM(value * value) AS abs_energy,
+         COUNT(value) AS n_v
+  FROM events GROUP BY user_id
+),
+above AS (
+  SELECT e.user_id, CAST(SUM(CASE WHEN e.value > b.mean_v THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+  FROM events e JOIN base b USING (user_id) GROUP BY e.user_id
+)
+SELECT b.user_id,
+       ROUND(b.mean_v, 4)        AS value_mean,
+       ROUND(b.std_v, 4)         AS value_std,
+       ROUND(b.min_v, 4)         AS value_min,
+       ROUND(b.max_v, 4)         AS value_max,
+       ROUND(b.med_v, 4)         AS value_median,
+       ROUND(b.abs_energy, 4)    AS value_abs_energy,
+       ROUND(m.mean_abs_change, 4) AS value_mean_abs_change,
+       a.n_above                 AS value_count_above_mean,
+       CAST(b.n_v AS BIGINT)     AS value_n
+FROM base b JOIN mac m USING (user_id) JOIN above a USING (user_id)
+"""
+
+
+def q_dfs_customer_orders(sf_dir: str):
+    from ballet_ray.stages.aggregates import dfs_aggregate_features
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    out = dfs_aggregate_features(
+        cust, orders, parent_key="c_custkey", child_key="o_custkey",
+        value_cols=["o_totalprice"], aggs=("count", "sum", "mean"), fill_missing=0.0,
+    ).select_columns(["c_custkey", "child_count", "o_totalprice_sum", "o_totalprice_mean"])
+    return _round_cols(
+        _cast_cols(out, {"child_count": pa.float64()}),
+        {"o_totalprice_sum": 2, "o_totalprice_mean": 2},
+    )
+
+
+SQL_DFS_CUSTOMER_ORDERS = """
+WITH g AS (
+  SELECT o_custkey, COUNT(*) AS cnt, SUM(o_totalprice) AS s, AVG(o_totalprice) AS m
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       CAST(COALESCE(g.cnt, 0) AS DOUBLE) AS child_count,
+       ROUND(COALESCE(g.s, 0.0), 2)       AS o_totalprice_sum,
+       ROUND(COALESCE(g.m, 0.0), 2)       AS o_totalprice_mean
+FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1312,6 +1391,8 @@ QUERIES = {
     "sum_encode_lang": q_sum_encode_lang,
     "catboost_encode_priority": q_catboost_encode_priority,
     "cumsum_events": q_cumsum_events,
+    "ts_features_events": q_ts_features_events,
+    "dfs_customer_orders": q_dfs_customer_orders,
 }
 
 ORACLE_SQL = {
@@ -1365,4 +1446,6 @@ ORACLE_SQL = {
     "catboost_encode_priority": SQL_CATBOOST_ENCODE_PRIORITY,
     "cumsum_events": SQL_CUMSUM_EVENTS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "ts_features_events": SQL_TS_FEATURES_EVENTS,
+    "dfs_customer_orders": SQL_DFS_CUSTOMER_ORDERS,
 }

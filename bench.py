@@ -153,38 +153,93 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Same job in fresh processes at 8 and 32 CPUs. Each level runs twice
-    and the FASTER trial is kept: this sandbox's virtualized host shows
-    heavy time-sharing noise (the identical 32-CPU job measured between
-    29.5s and 92s across one day), and min-over-repetitions is the
-    standard estimator of true cost under external interference."""
+def run_ceiling() -> dict:
+    """Host-ceiling probe: an EMBARRASSINGLY PARALLEL job (parquet read +
+    one numpy map over the token payload — no shuffle, no fit, no barrier
+    beyond the final count) at the configured CPU count. Whatever speedup
+    this job fails to achieve is the time-shared virtualized host's
+    ceiling, not an attribute of any pipeline architecture."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    corpus_dir = ensure_corpus()
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data.context import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir, columns=["n_tok"]).count()  # warm
+
+    def burn(t: pa.Table) -> pa.Table:
+        flat = t.column("tokens").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        x = flat.astype(np.float64)
+        s = float(np.sin(x).sum() + np.sqrt(np.abs(x)).sum())
+        return pa.table({"s": pa.array([s])})
+
+    t0 = time.time()
+    rd.read_parquet(corpus_dir).map_batches(burn, batch_format="pyarrow").count()
+    sec = time.time() - t0
+    ray.shutdown()
+    return {"metric": "ceiling_sec", "value": round(sec, 3), "num_cpus": num_cpus}
+
+
+def _best_of(cmd_args: list[str], env: dict, trials: int = 2) -> dict:
     import subprocess
 
+    best = None
+    for _ in range(trials):
+        out = subprocess.run(
+            cmd_args, env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        if best is None or r["value"] < best["value"]:
+            best = r
+    return best
+
+
+def run_scaling() -> dict:
+    """Same job in fresh processes at two CPU levels (default 8 and 32;
+    SCALING_LEVELS=2,8 for the low pair). Each level runs twice and the
+    FASTER trial is kept: this sandbox's virtualized host shows heavy
+    time-sharing noise (the identical 32-CPU job measured between 29.5s
+    and 92s across one day), and min-over-repetitions is the standard
+    estimator of true cost under external interference.
+
+    Alongside the pipeline, the HOST CEILING job (run_ceiling: pure
+    parquet-read + numpy map, zero shuffles) runs at both levels —
+    measured on this box, even that ideal job scales well below 4×/4×
+    (0.68 at 2→8, ~0.4–0.73 at 8→32 depending on the day). The report
+    therefore carries three numbers per pair: raw pipeline efficiency,
+    ceiling efficiency, and their ratio ("architectural efficiency" —
+    how close the full pipeline gets to the best this host allows)."""
     ensure_corpus()
     levels = tuple(
         int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
     )
-    res = {}
+    script = os.path.abspath(__file__)
+    res, ceil = {}, {}
+    # interleave pipeline and ceiling trials so both see the same host
+    # conditions (the box's available throughput drifts ~1.5× across hours)
     for ncpu in levels:
-        best = None
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         for _ in range(2):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        res[ncpu] = best
+            r = _best_of([sys.executable, script], env, trials=1)
+            if ncpu not in res or r["value"] < res[ncpu]["value"]:
+                res[ncpu] = r
+            c = _best_of([sys.executable, script, "--ceiling"], env, trials=1)
+            if ncpu not in ceil or c["value"] < ceil[ncpu]["value"]:
+                ceil[ncpu] = c
     lo, hi = levels
     t_lo, t_hi = res[lo]["value"], res[hi]["value"]
+    c_lo, c_hi = ceil[lo]["value"], ceil[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    ceff = (c_lo / c_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "levels": list(levels),
@@ -196,11 +251,17 @@ def run_scaling() -> dict:
         f"tokens_per_sec_{lo}": res[lo]["tokens_per_sec"],
         f"tokens_per_sec_{hi}": res[hi]["tokens_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"ceiling_sec_{lo}": c_lo,
+        f"ceiling_sec_{hi}": c_hi,
+        "ceiling_efficiency": round(ceff, 3),
+        "architectural_efficiency": round(eff / ceff, 3) if ceff else None,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ceiling" in sys.argv:
+        print(json.dumps(run_ceiling()))
     else:
         print(json.dumps(run_bench()))

@@ -112,3 +112,45 @@ def test_write_table_sinks(tmp_path, sf_dir):
         out = str(tmp_path / fmt)
         write_table(ds, out, format=fmt)
         assert load_table(out, format=fmt).count() == ds.count()
+
+
+def test_extract_ts_features_matches_pandas(sf_dir):
+    from ballet_ray.stages.aggregates import extract_ts_features
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    got = (
+        extract_ts_features(ds, key="user_id", order_by=["ts", "event_id"], value_col="value")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    g = pdf.groupby("user_id")["value"]
+    assert np.allclose(got["value_mean"], g.mean().to_numpy())
+    assert np.allclose(got["value_std"], g.std(ddof=0).to_numpy())
+    assert np.allclose(got["value_abs_energy"], g.apply(lambda x: (x**2).sum()).to_numpy())
+    assert np.allclose(
+        got["value_mean_abs_change"],
+        g.apply(lambda x: x.diff().abs().mean()).to_numpy(),
+    )
+    assert (got["value_n"].to_numpy() == g.count().to_numpy()).all()
+
+
+def test_dfs_aggregate_features_fill_missing(sf_dir):
+    from ballet_ray.stages.aggregates import dfs_aggregate_features
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    out = dfs_aggregate_features(
+        cust, orders, parent_key="c_custkey", child_key="o_custkey",
+        value_cols=["o_totalprice"], aggs=("count", "sum", "mean", "max"),
+    ).to_pandas()
+    po = pd.read_parquet(f"{sf_dir}/orders.parquet").groupby("o_custkey")["o_totalprice"]
+    stats = po.agg(["count", "sum", "mean", "max"])
+    merged = out.set_index("c_custkey").join(stats, how="left")
+    with_orders = merged["count"].notna()
+    assert np.allclose(merged.loc[with_orders, "child_count"], merged.loc[with_orders, "count"])
+    assert np.allclose(merged.loc[with_orders, "o_totalprice_max"], merged.loc[with_orders, "max"])
+    # customers without any order get the fill value, not null
+    assert (merged.loc[~with_orders, "child_count"] == 0.0).all()
+    assert (merged.loc[~with_orders, "o_totalprice_sum"] == 0.0).all()
