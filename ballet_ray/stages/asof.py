@@ -116,22 +116,53 @@ def _hot_key_plan(ds, by, on, skew_threshold, slice_target, sample_frac: float =
     projected = ds.select_columns([by, on])
     threshold = skew_threshold
     if sample_frac < 1.0:
-        # hot keys are by definition frequent: count them on a driver-side
-        # row sample (one narrow scan + a pandas value_counts) instead of a
-        # full distributed groupby — the pre-pass must stay cheap relative
-        # to the main shuffle it is protecting
-        pdf_s = projected.random_sample(sample_frac, seed=1754).to_pandas()
+        # hot keys are by definition frequent, so a modest row sample finds
+        # them — but the sample itself is still huge at corpus scale (5% of
+        # 10^12 rows), so it is counted by a DISTRIBUTED per-batch partial
+        # aggregation: each batch emits one (key, n, tmin, tmax) row per key
+        # it contains, the groupby reduces those partials, and ONLY the
+        # filtered hot rows (a handful) reach the driver.
+        projected = projected.random_sample(sample_frac, seed=1754)
         threshold = max(1, int(skew_threshold * sample_frac))
-        counts = pdf_s[by].value_counts()
-        hot = counts[counts > threshold]
+
+        def partial(t: pa.Table) -> pa.Table:
+            keys = t.column(by).to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return pa.table({by: keys, "n": np.empty(0, np.int64),
+                                 "tmin": np.empty(0, np.int64), "tmax": np.empty(0, np.int64)})
+            ts = _ts_us(t.column(on))
+            uniq, inv = np.unique(keys, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            tmin = np.full(len(uniq), np.iinfo(np.int64).max)
+            tmax = np.full(len(uniq), np.iinfo(np.int64).min)
+            np.minimum.at(tmin, inv, ts)
+            np.maximum.at(tmax, inv, ts)
+            return pa.table({by: pa.array(uniq), "n": pa.array(n),
+                             "tmin": pa.array(tmin), "tmax": pa.array(tmax)})
+
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Min as _Min
+        from ray.data.aggregate import Sum as _Sum
+
+        stats = (
+            projected.map_batches(partial, batch_format="pyarrow")
+            .groupby(by)
+            .aggregate(
+                _Sum("n", alias_name="n"),
+                _Min("tmin", alias_name="tmin"),
+                _Max("tmax", alias_name="tmax"),
+            )
+        )
+        hot_pdf = stats.map_batches(
+            lambda t, th=threshold: t.filter(pc.greater(t.column("n"), th)),
+            batch_format="pyarrow",
+        ).to_pandas()
         plan = {}
-        for k, n in hot.items():
-            sub = pdf_s[pdf_s[by] == k][on].values.astype("datetime64[us]").astype("int64")
-            tmin, tmax = int(sub.min()), int(sub.max())
-            est_n = n / sample_frac
+        for rec in hot_pdf.to_dict("records"):
+            est_n = rec["n"] / sample_frac
             n_slices = max(2, int(np.ceil(est_n / slice_target)))
-            slice_us = max(1, (tmax - tmin) // n_slices + 1)
-            plan[k] = (tmin, slice_us)
+            slice_us = max(1, (int(rec["tmax"]) - int(rec["tmin"])) // n_slices + 1)
+            plan[rec[by]] = (int(rec["tmin"]), slice_us)
         return plan
 
     from ray.data.aggregate import Count, Max, Min

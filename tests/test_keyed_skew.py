@@ -86,3 +86,24 @@ def test_skew_actually_slices():
     plan = _hot_key_plan(ds, "k", "ts", 500, 300)
     assert "hot" in plan
     assert all(k == "hot" or df["k"].value_counts()[k] <= 500 for k in plan)
+
+
+def test_hot_key_plan_sampled_is_distributed(sf_dir):
+    """The sampled hot-key pre-pass must find the hot entity WITHOUT
+    collecting the row sample to the driver (per-batch partial counts +
+    grouped reduce; only hot rows reach the driver)."""
+    from ballet_ray.stages.asof import _hot_key_plan
+
+    rng = np.random.RandomState(0)
+    n = 60_000
+    keys = np.where(rng.rand(n) < 0.5, "hot_doc", rng.randint(0, 500, n).astype(str))
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.sort(rng.randint(0, 10**9, n))
+    df = pd.DataFrame({"doc_id": keys, "event_ts": ts.astype("datetime64[us]"), "v": rng.randn(n)})
+    ds = rd.from_pandas(df).repartition(8)
+    plan = _hot_key_plan(ds, "doc_id", "event_ts", 10_000, 5_000, sample_frac=0.1)
+    assert set(plan) == {"hot_doc"}
+    t0, slice_us = plan["hot_doc"]
+    assert slice_us > 0
+    # full-pass plan agrees on the hot set
+    plan_full = _hot_key_plan(ds, "doc_id", "event_ts", 10_000, 5_000)
+    assert set(plan_full) == {"hot_doc"}
