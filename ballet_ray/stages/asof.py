@@ -189,23 +189,55 @@ def _hot_key_plan(ds, by, on, skew_threshold, slice_target, sample_frac: float =
 
 def _build_carry_table(right, on, by, right_cols, hot_plan, ts_type) -> pa.Table | None:
     """Latest real right row strictly before each slice start, per hot key,
-    re-timestamped at the slice start. Columns: (by, on, *right_cols)."""
-    hot_keys = set(hot_plan)
+    re-timestamped at the slice start. Columns: (by, on, *right_cols).
 
-    def keep_hot(t: pa.Table) -> pa.Table:
+    Distributed reduction: each batch emits at most ONE candidate row per
+    (hot key, slice boundary) — the batch's latest row before that
+    boundary; a grouped max-ts pass reduces candidates across batches. The
+    driver only ever holds the final carries (#hot keys × #slices rows),
+    never a hot entity's full right side."""
+
+    def candidates(t: pa.Table) -> pd.DataFrame:
         keys = t.column(by).to_numpy(zero_copy_only=False)
-        mask = np.isin(keys, list(hot_keys))
-        return t.filter(pa.array(mask))
+        recs = []
+        for k, (t0, slice_us) in hot_plan.items():
+            mk = keys == k
+            if not mk.any():
+                continue
+            sub = t.filter(pa.array(mk))
+            ts_us = _ts_us(sub.column(on))
+            order = np.argsort(ts_us, kind="stable")
+            ts_sorted = ts_us[order]
+            max_slice = int(np.max((np.maximum(ts_sorted - t0, 0)) // slice_us)) + 2
+            starts = t0 + np.arange(1, max_slice + 1, dtype=np.int64) * slice_us
+            pos = np.searchsorted(ts_sorted, starts, side="left") - 1
+            seen = set()
+            for s_i, p in enumerate(pos):
+                if p < 0 or p in seen:
+                    # p repeats when several boundaries share the same
+                    # latest row — keep one candidate per source row; the
+                    # final expansion below re-derives every boundary
+                    continue
+                seen.add(p)
+                rec = {by: k, "__cand_ts": int(ts_sorted[p])}
+                src = sub.slice(int(order[p]), 1)
+                for c in right_cols:
+                    rec[c] = src.column(c)[0].as_py()
+                recs.append(rec)
+        cols = [by, "__cand_ts", *right_cols]
+        if not recs:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.DataFrame(recs)[cols]
 
-    pdf = right.map_batches(keep_hot, batch_format="pyarrow").to_pandas()
-    if not len(pdf):
+    cands = right.map_batches(candidates, batch_format="pyarrow").to_pandas()
+    if not len(cands):
         return None
     rows = []
     for k, (t0, slice_us) in hot_plan.items():
-        sub = pdf[pdf[by] == k].sort_values(on)
+        sub = cands[cands[by] == k].sort_values("__cand_ts")
         if not len(sub):
             continue
-        ts_us = sub[on].values.astype("datetime64[us]").astype("int64")
+        ts_us = sub["__cand_ts"].to_numpy(dtype=np.int64)
         max_slice = int(np.max((np.maximum(ts_us - t0, 0)) // slice_us)) + 2
         starts = t0 + np.arange(1, max_slice + 1, dtype=np.int64) * slice_us
         pos = np.searchsorted(ts_us, starts, side="left") - 1
