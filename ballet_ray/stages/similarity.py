@@ -103,19 +103,48 @@ def lsh_bucketize(ds, *, embedding_col: str, dim: int, num_bits: int = 8, seed: 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def lsh_knn(ds, queries: np.ndarray, *, embedding_col: str, id_col: str, k: int = 10, num_bits: int = 8, seed: int = 1754):
-    """Approximate top-k: scan only rows whose LSH bucket matches the
-    query's bucket. Recall < 1; the scale path for very large corpora."""
+def lsh_knn(
+    ds, queries: np.ndarray, *, embedding_col: str, id_col: str, k: int = 10,
+    num_bits: int = 8, num_tables: int = 4, multiprobe: int = 1, seed: int = 1754,
+):
+    """Approximate top-k: scan only rows that share a bucket with a query
+    in ANY of ``num_tables`` independent hash tables, optionally probing
+    neighbor buckets that differ in up to ``multiprobe`` bits (standard
+    multi-table + multi-probe LSH: per-table miss probability is
+    independent, so recall ≈ 1-(1-p)^L climbs exponentially with L). The
+    candidate filter runs inside one ``map_batches`` — all tables'
+    signatures are computed per batch, never materialized corpus-wide."""
     q = _normalize(np.asarray(queries, dtype=np.float32))
-    signer = _HyperplaneSigner(q.shape[1], num_bits, seed)
-    q_sigs = set(signer.sign(q).tolist())
-    bucketed = lsh_bucketize(ds, embedding_col=embedding_col, dim=q.shape[1], num_bits=num_bits, seed=seed)
+    dim = q.shape[1]
+    signers = [_HyperplaneSigner(dim, num_bits, seed + 7919 * t) for t in range(num_tables)]
+
+    def probe_set(signer) -> set:
+        base = signer.sign(q)
+        sigs = set(base.tolist())
+        if multiprobe >= 1:
+            for b in range(num_bits):
+                sigs.update((base ^ (1 << b)).tolist())
+        if multiprobe >= 2:
+            for b1 in range(num_bits):
+                for b2 in range(b1 + 1, num_bits):
+                    sigs.update((base ^ (1 << b1) ^ (1 << b2)).tolist())
+        return sigs
+
+    probes = [np.fromiter(probe_set(s), dtype=np.int64) for s in signers]
 
     def keep(t: pa.Table) -> pa.Table:
-        b = t.column("lsh_bucket").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(b, list(q_sigs))))
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32))
+        if not len(m):
+            return t
+        mask = np.zeros(len(m), dtype=bool)
+        for signer, p in zip(signers, probes):
+            mask |= np.isin(signer.sign(m), p)
+        return t.filter(pa.array(mask))
 
-    return knn_brute(bucketed.map_batches(keep, batch_format="pyarrow"), q, embedding_col=embedding_col, id_col=id_col, k=k)
+    return knn_brute(
+        ds.map_batches(keep, batch_format="pyarrow"), q,
+        embedding_col=embedding_col, id_col=id_col, k=k,
+    )
 
 
 def embedding_near_dup_pairs(
