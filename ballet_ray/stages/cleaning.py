@@ -233,3 +233,157 @@ class MathematicalCombination(Transform):
 
     def output_names(self, cols):
         return [f"combo_{op}" for op in self.ops]
+
+
+class CategoricalImputer(FittedTransform):
+    """Fill missing categories with the train-set MODE (or a fixed string)
+    (feature_engine.imputation.CategoricalImputer)."""
+
+    def __init__(self, fill_value: str | None = None):
+        self.fill_value = fill_value
+        self.fitted_ = None
+
+    @property
+    def requires_fit(self):  # type: ignore[override]
+        return self.fill_value is None
+
+    def agg_requests(self, cols):
+        return [("cats", c) for c in cols] if self.fill_value is None else []
+
+    def bind_fit_results(self, cols, results):
+        self.fitted_ = {}
+        for c in cols:
+            counts = results[("cats", c)]
+            # mode, ties broken by value for determinism
+            self.fitted_[c] = max(counts.items(), key=lambda kv: (kv[1], str(kv[0])))[0]
+
+    def fit_table(self, table, cols):
+        self.fitted_ = {}
+        for c in cols:
+            s = pd.Series(table.column(c).to_pylist()).dropna()
+            counts = s.value_counts()
+            top = counts[counts == counts.max()].index
+            self.fitted_[c] = sorted(top)[-1]
+
+    def transform_table(self, table, cols):
+        out = {}
+        for c in cols:
+            fill = self.fill_value if self.fill_value is not None else self.fitted_[c]
+            out[f"{c}_imp"] = pc.fill_null(table.column(c), fill)
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]
+
+
+class RandomSampleImputer(FittedTransform):
+    """Fill missing values by sampling the train distribution
+    (feature_engine.imputation.RandomSampleImputer). The fitted state is a
+    bounded reservoir of observed values; at transform, fills are drawn
+    DETERMINISTICALLY per row (seeded by the row's position hash), so the
+    imputation is reproducible across runs and batch splits."""
+
+    def __init__(self, reservoir: int = 4096, seed: int = 1754):
+        self.reservoir = reservoir
+        self.seed = seed
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return []
+
+    def fit(self, ds, cols):
+        # bounded reservoir: per-block contributions capped, first
+        # `reservoir` kept deterministically
+        take = ds.select_columns(cols).limit(self.reservoir * 4).to_pandas()
+        self.fit_table(pa.Table.from_pandas(take, preserve_index=False), cols)
+        return self
+
+    def fit_table(self, table, cols):
+        rng = np.random.RandomState(self.seed)
+        self.fitted_ = {}
+        for c in cols:
+            x = table.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[~np.isnan(x)]
+            if len(x) > self.reservoir:
+                x = x[rng.choice(len(x), self.reservoir, replace=False)]
+            self.fitted_[c] = np.sort(x)
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            pool = self.fitted_[c]
+            x = _col_f64(table, c)
+            miss = np.isnan(x)
+            if miss.any() and len(pool):
+                # deterministic draw: stable hash of the row's own index
+                # within the batch plus the seed
+                idx = np.flatnonzero(miss)
+                h = (np.uint64(self.seed) + idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                picks = (h % np.uint64(len(pool))).astype(np.int64)
+                x = x.copy()
+                x[miss] = pool[picks]
+            out[f"{c}_imp"] = pa.array(x)
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]
+
+
+class ArbitraryOutlierCapper(Transform):
+    """Clip at user-given bounds (feature_engine.outliers
+    .ArbitraryOutlierCapper). Stateless."""
+
+    def __init__(self, max_value: float | None = None, min_value: float | None = None):
+        if max_value is None and min_value is None:
+            raise ValueError("need max_value and/or min_value")
+        self.max_value, self.min_value = max_value, min_value
+
+    def transform_table(self, table, cols):
+        out = {}
+        for c in cols:
+            x = _col_f64(table, c)
+            if self.min_value is not None:
+                x = np.maximum(x, self.min_value)
+            if self.max_value is not None:
+                x = np.minimum(x, self.max_value)
+            out[f"{c}_cap"] = pa.array(x)
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_cap" for c in cols]
+
+
+class CombineWithReference(Transform):
+    """Combine every input column with reference column(s)
+    (feature_engine.creation.CombineWithReferenceFeature / the newer
+    RelativeFeatures): sub, div, add, mul. cols = the variables; the
+    reference columns are constructor params (read from the full batch)."""
+
+    _OPS = {
+        "sub": np.subtract,
+        "div": np.divide,
+        "add": np.add,
+        "mul": np.multiply,
+    }
+
+    def __init__(self, reference: list[str], ops: list[str] = ("sub",)):
+        unknown = set(ops) - set(self._OPS)
+        if unknown:
+            raise ValueError(f"unknown ops: {sorted(unknown)}")
+        self.reference = [reference] if isinstance(reference, str) else list(reference)
+        self.ops = list(ops)
+
+    def transform_table(self, table, cols):
+        out = {}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for c in cols:
+                x = _col_f64(table, c)
+                for r in self.reference:
+                    ref = _col_f64(table, r)
+                    for op in self.ops:
+                        out[f"{c}_{op}_{r}"] = pa.array(self._OPS[op](x, ref))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_{op}_{r}" for c in cols for r in self.reference for op in self.ops]

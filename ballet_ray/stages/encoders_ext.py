@@ -761,3 +761,40 @@ class CatBoostEncoder:
                 return [f"{c}_cb" for c in cols]
 
         return _CatBoostOrdered(self.cat_col, (self.order_col,))
+
+
+class PRatioEncoder(FittedTransform):
+    """Probability-ratio encoding for a binary target
+    (feature_engine.encoding.PRatioEncoder): per category,
+    (pos_rate + reg) / (neg_rate + reg); unknown → 1.0 (neutral)."""
+
+    def __init__(self, target_col: str, regularization: float = 1e-6):
+        self.target_col = target_col
+        self.regularization = regularization
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return [("grouped_moments", self.target_col, c) for c in cols]
+
+    def bind_fit_results(self, cols, results):
+        reg = self.regularization
+        self.fitted_ = {}
+        for c in cols:
+            m = {}
+            for g, st in results[("grouped_moments", self.target_col, c)].items():
+                p = st["mean"]
+                m[g] = float((p + reg) / (1.0 - p + reg))
+            self.fitted_[c] = m
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            vals = table.column(c).to_numpy(zero_copy_only=False)
+            out[f"{c}_pratio"] = pa.array(
+                pd.Series(vals).map(self.fitted_[c]).fillna(1.0).to_numpy(dtype=np.float64)
+            )
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_pratio" for c in cols]

@@ -125,3 +125,65 @@ def test_sparse_random_projection():
     m = p._matrix(1000)
     density = (m != 0).mean()
     assert 0.25 < density < 0.42  # ~1/3 nonzero
+
+
+def test_categorical_imputer_mode_and_fixed():
+    from ballet_ray.stages.cleaning import CategoricalImputer
+
+    df = pd.DataFrame({"c": ["a", "b", "a", None, "a", None]})
+    pipe = FeatureEngineeringPipeline([Feature("c", CategoricalImputer(), output="c_imp")])
+    out = pipe.fit_transform(rd.from_pandas(df)).to_pandas()
+    assert out["c_imp"].tolist() == ["a", "b", "a", "a", "a", "a"]
+    fixed = CategoricalImputer(fill_value="missing")
+    t = pa.table({"c": ["x", None]})
+    got = fixed.transform_table(t, ["c"]).column("c_imp").to_pylist()
+    assert got == ["x", "missing"]
+
+
+def test_random_sample_imputer_deterministic():
+    from ballet_ray.stages.cleaning import RandomSampleImputer
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(500)
+    x[::7] = np.nan
+    df = pd.DataFrame({"v": x})
+    pipe = FeatureEngineeringPipeline([Feature("v", RandomSampleImputer(seed=3), output="v_imp")])
+    a = pipe.fit_transform(rd.from_pandas(df)).to_pandas()["v_imp"].to_numpy()
+    pipe2 = FeatureEngineeringPipeline([Feature("v", RandomSampleImputer(seed=3), output="v_imp")])
+    b = pipe2.fit_transform(rd.from_pandas(df)).to_pandas()["v_imp"].to_numpy()
+    assert not np.isnan(a).any()
+    assert np.allclose(a, b)  # deterministic across runs
+    observed = set(np.round(x[~np.isnan(x)], 9))
+    filled = a[np.isnan(x)]
+    assert all(np.round(v, 9) in observed for v in filled)  # draws from train values
+
+
+def test_capper_and_combine_with_reference():
+    from ballet_ray.stages.cleaning import ArbitraryOutlierCapper, CombineWithReference
+
+    t = pa.table({"x": [-5.0, 0.0, 10.0], "ref": [2.0, 4.0, 5.0]})
+    capped = ArbitraryOutlierCapper(max_value=5.0, min_value=-1.0).transform_table(t, ["x"])
+    assert capped.column("x_cap").to_pylist() == [-1.0, 0.0, 5.0]
+    comb = CombineWithReference(["ref"], ops=["sub", "div"]).transform_table(t, ["x"])
+    assert comb.column("x_sub_ref").to_pylist() == [-7.0, -4.0, 5.0]
+    assert np.allclose(comb.column("x_div_ref").to_numpy(), [-2.5, 0.0, 2.0])
+
+
+def test_pratio_encoder(sf_dir):
+    from ballet_ray.stages.encoders_ext import PRatioEncoder
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def label(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "y", pc.cast(pc.greater(t.column("o_totalprice"), 150000.0), pa.float64())
+        )
+
+    ds = ds.map_batches(label, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline([Feature("o_orderpriority", PRatioEncoder(target_col="y"), output="pr")])
+    out = pipe.fit_transform(ds).to_pandas()
+    g = out.groupby("o_orderpriority")["y"].mean()
+    expect = out["o_orderpriority"].map((g + 1e-6) / (1 - g + 1e-6))
+    assert np.allclose(out["pr"], expect)
