@@ -304,11 +304,6 @@ def minhash_lsh_pairs(
     one-row-per-doc signature table onto the pairs (the 10^12-doc path).
     Returns a Dataset of (id_a, id_b, est_jaccard).
     """
-    from ballet_ray.stages.joins import default_join_partitions
-
-    num_partitions = default_join_partitions(num_partitions)
-    rows_per_band = num_perm // bands
-
     projected = ds.select_columns([id_col, text_col])
     # signatures are consumed twice (band explode + verify join): drop the
     # text payload, then materialize only (id, minhash) — 512 B/doc, not the
@@ -326,7 +321,32 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
             concurrency=concurrency,
         )
-    signed = signed_src.select_columns([id_col, "minhash"]).materialize()
+    signed = signed_src.select_columns([id_col, "minhash"])
+    return _lsh_pairs_from_signed(
+        signed, id_col=id_col, num_perm=num_perm, bands=bands,
+        est_threshold=est_threshold, max_bucket=max_bucket,
+        num_partitions=num_partitions, broadcast_docs=broadcast_docs,
+    )
+
+
+def _lsh_pairs_from_signed(
+    signed,
+    *,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    est_threshold: float = 0.5,
+    max_bucket: int = 5000,
+    num_partitions: int | None = None,
+    broadcast_docs: int = 200_000,
+):
+    """Band/bucket/verify machinery shared by the text and token signers:
+    takes a (id, minhash) Dataset, returns (id_a, id_b, est_jaccard)."""
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+    rows_per_band = num_perm // bands
+    signed = signed.materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -802,3 +822,112 @@ def ngram_jaccard_pairs(
         return out.filter(pa.array(ja >= threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-level MinHash (the north-rule canonical table needs no text pass)
+# ---------------------------------------------------------------------------
+
+
+class TokenMinHasher:
+    """MinHash signatures straight from the canonical ``tokens:list<int32>``
+    column: shingle hashes are a vectorized ``mix`` of k consecutive token
+    ids over the batch's flattened token buffer — NO regex, NO Python-level
+    text handling anywhere. The right dedup signer for the 10^12-sequence
+    pre-tokenized corpus."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1754, tokens_col: str = "tokens"):
+        rng = np.random.RandomState(seed)
+        # 32-bit permutations: uint32 multiplies vectorize ~4× better than
+        # uint64 and halve the (shingles × perms) temporary; 2^-32 per-perm
+        # collision probability is ample for near-dup banding
+        self.a = rng.randint(1, 2**31, size=num_perm).astype(np.uint32) | np.uint32(1)
+        self.b = rng.randint(0, 2**31, size=num_perm).astype(np.uint32)
+        self.num_perm = num_perm
+        self.k = k
+        self.tokens_col = tokens_col
+
+    def signatures_from_flat(self, flat_tokens: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(flat int tokens, row offsets[n+1]) → (n, num_perm) uint64.
+
+        Fully vectorized: k-1 pad tokens are np.insert-ed after EVERY row so
+        each row contributes exactly len(row) shingle positions (≥1 when the
+        row is non-empty); one global ``mix`` over k shifted views hashes
+        every shingle; pad-crossing positions are masked to UINT64_MAX
+        before a chunked ``np.minimum.reduceat`` — no per-row Python."""
+        n = len(offsets) - 1
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        k = self.k
+        lens = np.diff(offsets)
+        flat = flat_tokens.astype(np.uint64)
+        if k > 1:
+            flat = np.insert(flat, np.repeat(offsets[1:], k - 1), np.uint64(0))
+        m = len(flat) - k + 1
+        if m <= 0:
+            return np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        sh = (mix(*[flat[j : m + j] for j in range(k)]) >> np.uint64(32)).astype(np.uint32)
+        noff = (offsets[:-1] + np.arange(n, dtype=np.int64) * (k - 1)).clip(0, m - 1)
+        ends = np.minimum(noff + np.maximum(lens, 1), m)  # empty rows get 1 masked pos
+        # valid-shingle mask via range-marking cumsum
+        marks = np.zeros(m + 1, dtype=np.int32)
+        np.add.at(marks, noff, 1)
+        np.add.at(marks, np.minimum(noff + lens, m), -1)
+        valid = np.cumsum(marks[:-1]) > 0
+        UMAX = np.uint32(np.iinfo(np.uint32).max)
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        CHUNK = 1 << 19  # ≤ 512k shingle positions → ≤ 128 MB temporary
+        row = 0
+        with np.errstate(over="ignore"):
+            while row < n:
+                hi = row
+                while hi < n and ends[hi] - noff[row] <= CHUNK:
+                    hi += 1
+                hi = max(hi, row + 1)  # a single huge row still advances
+                a, b = noff[row], ends[hi - 1]
+                p = sh[a:b, None] * self.a[None, :] + self.b[None, :]
+                p[~valid[a:b]] = UMAX
+                out[row:hi] = np.minimum.reduceat(p, noff[row:hi] - a, axis=0)
+                row = hi
+        return out
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        col = table.column(self.tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False))
+            offsets = np.asarray(col.offsets).astype(np.int64)
+        else:
+            # Ray tensor-extension / object fallback (from_pandas ndarray
+            # columns): rebuild the flat buffer + offsets
+            rows = col.to_numpy(zero_copy_only=False)
+            offsets = np.zeros(len(rows) + 1, dtype=np.int64)
+            for i, r in enumerate(rows):
+                offsets[i + 1] = offsets[i] + len(r)
+            flat = (
+                np.concatenate([np.asarray(r) for r in rows])
+                if len(rows)
+                else np.empty(0, dtype=np.int64)
+            )
+        sigs = self.signatures_from_flat(flat, offsets)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(sigs.astype(np.int64).ravel()), self.num_perm)
+        return table.append_column("minhash", arr)
+
+
+def token_minhash_lsh_pairs(
+    ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+    num_perm: int = 64, shingle_k: int = 3, **lsh_kwargs,
+):
+    """minhash_lsh_pairs over the pre-tokenized ``tokens:list<int32>``
+    column: same band/bucket/verify machinery, token-level signer — no
+    regex or text handling anywhere in the hot path."""
+    projected = ds.select_columns([id_col, tokens_col])
+    signed = projected.map_batches(
+        lambda t, np_=num_perm, k_=shingle_k, tc=tokens_col: TokenMinHasher(
+            num_perm=np_, k=k_, tokens_col=tc
+        )(t),
+        batch_format="pyarrow",
+        batch_size=4096,  # chunked kernel bounds the temporary regardless
+    ).select_columns([id_col, "minhash"])
+    return _lsh_pairs_from_signed(signed, id_col=id_col, num_perm=num_perm, **lsh_kwargs)

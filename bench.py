@@ -138,6 +138,29 @@ def run_bench() -> dict:
         res.count()
         qtimes[name] = round(time.time() - tq, 3)
 
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        # token-level near-dedup on the canonical tokens column (no text
+        # path anywhere) — 100k sequences of the corpus
+        import pyarrow as pa
+
+        from ballet_ray.stages.dedup import token_minhash_lsh_pairs
+
+        def add_seq_id(t: pa.Table) -> pa.Table:
+            ts = t.column("event_ts").cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+            ids = [f"{d}:{s}" for d, s in zip(t.column("doc_id").to_pylist(), ts)]
+            return pa.table({"seq_id": pa.array(ids), "tokens": t.column("tokens")})
+
+        tq = time.time()
+        seqs = (
+            rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts", "tokens"])
+            .limit(100_000)
+            # limit() collapses to few blocks — re-spread for parallel signing
+            .repartition(num_cpus)
+            .map_batches(add_seq_id, batch_format="pyarrow")
+        )
+        token_minhash_lsh_pairs(seqs, id_col="seq_id", est_threshold=0.9).count()
+        qtimes["token_minhash_100k_seqs"] = round(time.time() - tq, 3)
+
     ray.shutdown()
     return {
         "metric": "feature_materialization_sec",

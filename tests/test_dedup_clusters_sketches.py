@@ -128,3 +128,23 @@ def test_ngram_jaccard_distributed_joins():
     out = ngram_jaccard_pairs(ds, pairs, k=3).to_pandas()
     assert len(out) == 1
     assert np.isclose(out["jaccard"].iloc[0], 4 / 6)
+
+
+def test_token_minhash_on_canonical_table(corpus_dir):
+    """Token-level MinHash over the north-rule tokens column finds exact
+    duplicate sequences without any text processing."""
+    import pyarrow as pa
+
+    from ballet_ray.stages.dedup import token_minhash_lsh_pairs
+
+    pdf = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"]).limit(300).to_pandas()
+    # the corpus is event-log shaped (doc_id repeats); dedup operates on
+    # SEQUENCES, which need unique ids
+    pdf["seq_id"] = [f"seq{i:05d}" for i in range(len(pdf))]
+    dup = pdf.head(5).copy()
+    dup["seq_id"] = [f"dup_{v}" for v in dup["seq_id"]]
+    both = rd.from_pandas(pd.concat([pdf, dup], ignore_index=True)[["seq_id", "tokens"]]).repartition(4)
+    pairs = token_minhash_lsh_pairs(both, id_col="seq_id", est_threshold=0.95).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(5):
+        assert tuple(sorted((f"seq{i:05d}", f"dup_seq{i:05d}"))) in found
