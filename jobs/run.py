@@ -8,7 +8,11 @@ for the north rule's two-cluster-size runs: identical invocations on N and
 
 Usage:
   python jobs/run.py --input /path/corpus --out /path/out \
-      [--partitions 256] [--skew-threshold 1000000] [--resume]
+      [--partitions 256] [--skew-threshold 1000000]
+
+Resume is implicit: re-running the same command skips every partition
+whose lineage manifest already exists (the summary reports
+``partitions_resumed``); delete the output dir for a clean run.
 """
 
 from __future__ import annotations
