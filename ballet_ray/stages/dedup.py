@@ -864,8 +864,8 @@ class TokenMinHasher:
         if k > 1:
             flat = np.insert(flat, np.repeat(offsets[1:], k - 1), np.uint64(0))
         m = len(flat) - k + 1
-        if m <= 0:
-            return np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if m <= 0:  # all rows empty — same uint32-max sentinel as masked rows
+            return np.full((n, self.num_perm), np.iinfo(np.uint32).max, dtype=np.uint64)
         sh = (mix(*[flat[j : m + j] for j in range(k)]) >> np.uint64(32)).astype(np.uint32)
         noff = (offsets[:-1] + np.arange(n, dtype=np.int64) * (k - 1)).clip(0, m - 1)
         ends = np.minimum(noff + np.maximum(lens, 1), m)  # empty rows get 1 masked pos

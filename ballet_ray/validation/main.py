@@ -63,11 +63,18 @@ def _feature_matrix(feature, ds, sample_rows: int) -> np.ndarray:
     return pdf[cols].to_numpy(dtype=float)
 
 
-def _target_vector(ds, target, sample_rows: int) -> np.ndarray:
+def _target_vector(ds, target, sample_rows: int, encoder_spec=None) -> np.ndarray:
     if isinstance(target, str):
         pdf = _sample_frame(ds, sample_rows)
-        return pdf[target].to_numpy(dtype=float)
-    return np.asarray(target, dtype=float)[:sample_rows]
+        y = pdf[target].to_numpy()
+    else:
+        y = np.asarray(target)[:sample_rows]
+    if encoder_spec is not None:
+        # reference parity: y is encoded by an EncoderPipeline-shaped
+        # fit/transform before acceptance (ballet/validation/main.py:127-129)
+        enc = encoder_spec if hasattr(encoder_spec, "fit") else instantiate(encoder_spec)
+        y = np.asarray(enc.fit(y).transform(y))
+    return np.asarray(y, dtype=float)
 
 
 def validate(
@@ -118,7 +125,9 @@ def validate(
 
     needs_matrices = evaluate_feature_acceptance or evaluate_feature_pruning
     if needs_matrices:
-        y = _target_vector(ds, target, sample_rows)
+        y = _target_vector(
+            ds, target, sample_rows, encoder_spec=config["data"].get("target_encoder")
+        )
         cand = _feature_matrix(proposed, ds, sample_rows)
         accepted = {
             f.source or f"feature_{i}": _feature_matrix(f, ds, sample_rows)

@@ -171,3 +171,30 @@ def test_validate_structure_and_api_failures(tmp_path):
     path = _scaffold(tmp_path, {"user_bad": bad_api})
     with pytest.raises(InvalidFeatureApi):
         validate({**base, "contrib": path})
+
+
+def test_validate_with_target_encoder(tmp_path):
+    """config.data.target_encoder (a spec or instance with fit/transform)
+    encodes y before the acceptance kernels — reference encoder parity."""
+    path = _scaffold(tmp_path, {"user_a": GOOD_A})
+    ds = _dataset()
+
+    class Standardize:
+        def fit(self, y):
+            self.m, self.s = float(np.mean(y)), float(np.std(y)) or 1.0
+            return self
+
+        def transform(self, y):
+            return (np.asarray(y, dtype=float) - self.m) / self.s
+
+    config = {
+        "contrib": path,
+        "data": {"dataset": ds, "target": "y", "target_encoder": Standardize()},
+        "validation": {
+            "feature_accepter": "ballet_ray.validation.accepters.GFSSFAccepter",
+            "feature_pruner": "ballet_ray.validation.accepters.NoOpPruner",
+        },
+        "sample_rows": 600,
+    }
+    report = validate(config)
+    assert report["accepted"] is True  # x1 still informative after scaling y

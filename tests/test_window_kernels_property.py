@@ -82,3 +82,39 @@ def test_cum_count_matches_pandas(data):
     got = wnp.cum_count(codes)
     exp = pd.Series(vals).groupby(keys).cumcount().to_numpy()
     assert (got == exp).all()
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50_000), min_size=0, max_size=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_token_minhash_matches_naive(rows):
+    """The vectorized masked-reduceat signer must equal a naive per-row
+    implementation built from the same mix/permutation primitives."""
+    import numpy as np
+
+    from ballet_ray.functions.hashing import mix
+    from ballet_ray.stages.dedup import TokenMinHasher
+
+    tm = TokenMinHasher(num_perm=16, k=3)
+    flat = np.concatenate([np.asarray(r, dtype=np.int64) for r in rows]) if any(rows) else np.empty(0, np.int64)
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    got = tm.signatures_from_flat(flat, off)
+
+    for i, r in enumerate(rows):
+        toks = np.asarray(r, dtype=np.uint64)
+        padded = np.concatenate([toks, np.zeros(tm.k - 1, dtype=np.uint64)])
+        if len(toks) == 0:
+            # masked sentinel: max of the 32-bit permutation dtype
+            assert (got[i] == np.iinfo(np.uint32).max).all()
+            continue
+        sh = mix(*[padded[j : len(toks) + j] for j in range(tm.k)])
+        sh32 = (sh >> np.uint64(32)).astype(np.uint32)
+        with np.errstate(over="ignore"):
+            expect = (sh32[:, None] * tm.a[None, :] + tm.b[None, :]).min(axis=0)
+        assert (got[i] == expect).all(), i
