@@ -148,3 +148,30 @@ def test_token_minhash_on_canonical_table(corpus_dir):
     found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     for i in range(5):
         assert tuple(sorted((f"seq{i:05d}", f"dup_seq{i:05d}"))) in found
+
+
+def test_assign_clusters_never_materializes_to_driver(monkeypatch):
+    """Structural guarantee: cluster assignment must not call
+    Dataset.to_pandas / take_all anywhere (edges and labels stay
+    distributed; the driver only sees the converged result)."""
+    import ray.data as rdata
+
+    n = 30_000  # 10k chains of length 3
+    a = np.arange(n)
+    pairs_df = pd.DataFrame({"id_a": a, "id_b": a + n})
+    pairs2 = pd.DataFrame({"id_a": a + n, "id_b": a + 2 * n})
+    pairs = rd.from_pandas(pd.concat([pairs_df, pairs2], ignore_index=True)).repartition(8)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver materialization inside assign_clusters")
+
+    monkeypatch.setattr(rdata.Dataset, "to_pandas", boom)
+    monkeypatch.setattr(rdata.Dataset, "take_all", boom)
+    labels = assign_clusters(pairs)
+    monkeypatch.undo()
+    out = labels.to_pandas()
+    assert len(out) == 3 * n
+    # every chain collapses to its minimum id
+    got = out.set_index("doc_id")["cluster_rep"]
+    assert (got.loc[a + n].to_numpy() == a).all()
+    assert (got.loc[a + 2 * n].to_numpy() == a).all()
