@@ -168,19 +168,9 @@ def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_pa
         ids = loser_ds.to_pandas()[id_col].to_numpy()
         return semi_join_filter(ds, ids, key=id_col, invert=True)
 
-    marked = loser_ds.map_batches(
-        lambda t: t.append_column("__loser", pa.array(np.ones(len(t), dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-    joined = ds.join(
-        marked, join_type="left_outer", num_partitions=num_partitions, on=(id_col,)
-    )
+    from ballet_ray.stages.joins import left_anti_join
 
-    def keep_winners(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_null(t.column("__loser")))
-        return t.drop_columns(["__loser"])
-
-    return joined.map_batches(keep_winners, batch_format="pyarrow")
+    return left_anti_join(ds, loser_ds, key=id_col, num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -773,15 +763,9 @@ def dedup_by_minhash(
 
         return semi_join_filter(ds, losers, key=id_col, invert=True)
 
-    marked = loser_ds.map_batches(
-        lambda t: t.append_column("__loser", pa.array(np.ones(len(t), dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-    joined = ds.join(marked, join_type="left_outer", num_partitions=num_partitions, on=(id_col,))
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t.column("__loser"))).drop_columns(["__loser"]),
-        batch_format="pyarrow",
-    )
+    from ballet_ray.stages.joins import left_anti_join
+
+    return left_anti_join(ds, loser_ds, key=id_col, num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

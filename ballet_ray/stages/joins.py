@@ -112,3 +112,94 @@ def semi_join_filter(ds, keys, *, key: str, invert: bool = False):
         return t.filter(pa.array(mask))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# list-payload-safe joins (Acero rejects list<...> non-key fields)
+# ---------------------------------------------------------------------------
+
+_PACK_PREFIX = "__packed__"
+
+
+def pack_list_columns(t: pa.Table) -> pa.Table:
+    """Encode list<fixed-width> columns as binary so they survive an Acero
+    join as non-key payload: the list's flat value buffer becomes the
+    binary data buffer and offsets scale by the item width — two buffer
+    re-labels, no per-row Python. Column is renamed __packed__<w>__<name>
+    so :func:`unpack_list_columns` can restore the exact type."""
+    for name in list(t.column_names):
+        col = t.column(name)
+        typ = col.type
+        if not (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
+            continue
+        vt = typ.value_type
+        if not (pa.types.is_integer(vt) or pa.types.is_floating(vt)):
+            continue
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        width = vt.bit_width // 8
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        byte_off = np.asarray(arr.offsets).astype(np.int64) * width
+        byte_off -= byte_off[0]  # sliced arrays carry non-zero base offsets
+        packed = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(arr),
+            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        i = t.column_names.index(name)
+        t = t.set_column(i, f"{_PACK_PREFIX}{vt}__{name}", packed)
+    return t
+
+
+def unpack_list_columns(t: pa.Table) -> pa.Table:
+    """Inverse of :func:`pack_list_columns`."""
+    for name in list(t.column_names):
+        if not name.startswith(_PACK_PREFIX):
+            continue
+        typestr, orig = name[len(_PACK_PREFIX):].split("__", 1)
+        vt = pa.type_for_alias(typestr)
+        width = vt.bit_width // 8
+        col = t.column(name)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        np_dtype = np.dtype(vt.to_pandas_dtype())
+        try:
+            # buffer path: relabel (offsets, data) back to a list array —
+            # no per-row Python
+            off_buf = arr.buffers()[1]
+            dtype_off = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            bo = np.frombuffer(off_buf, dtype=dtype_off)[arr.offset : arr.offset + len(arr) + 1]
+            data = np.frombuffer(arr.buffers()[2], dtype=np_dtype)
+            flat = data[bo[0] // width : bo[-1] // width]
+            offsets = ((bo - bo[0]) // width).astype(np.int32)
+        except Exception:  # exotic layout → row-wise fallback
+            blobs = arr.to_pylist()
+            flat = np.frombuffer(b"".join(b or b"" for b in blobs), dtype=np_dtype)
+            lens = np.array([0 if b is None else len(b) // width for b in blobs], dtype=np.int64)
+            offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+            np.cumsum(lens, out=offsets[1:])
+        rebuilt = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=vt))
+        i = t.column_names.index(name)
+        t = t.set_column(i, orig, rebuilt)
+    return t
+
+
+def left_anti_join(ds, keys_ds, *, key: str, num_partitions: int | None = None):
+    """Fully distributed left-anti join: keep ds rows whose key does NOT
+    appear in keys_ds. List-typed payload columns are binary-packed around
+    the Acero join (which rejects list non-key fields) and restored after."""
+    num_partitions = default_join_partitions(num_partitions)
+    marked = keys_ds.select_columns([key]).map_batches(
+        lambda t: t.append_column("__hit", pa.array(np.ones(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    packed = ds.map_batches(pack_list_columns, batch_format="pyarrow")
+    joined = packed.join(marked, join_type="left_outer", num_partitions=num_partitions, on=(key,))
+
+    def keep_miss(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "__hit" not in t.column_names:
+            return unpack_list_columns(t)
+        t = t.filter(pc.is_null(t.column("__hit"))).drop_columns(["__hit"])
+        return unpack_list_columns(t)
+
+    return joined.map_batches(keep_miss, batch_format="pyarrow")

@@ -154,3 +154,47 @@ def test_dfs_aggregate_features_fill_missing(sf_dir):
     # customers without any order get the fill value, not null
     assert (merged.loc[~with_orders, "child_count"] == 0.0).all()
     assert (merged.loc[~with_orders, "o_totalprice_sum"] == 0.0).all()
+
+
+def test_pack_unpack_list_columns_roundtrip():
+    import pyarrow as pa
+
+    from ballet_ray.stages.joins import pack_list_columns, unpack_list_columns
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3],
+            "tokens": pa.array([[1, 2, 3], [], [7]], type=pa.list_(pa.int32())),
+            "emb": pa.array([[1.5, 2.5], [0.0], []], type=pa.list_(pa.float32())),
+            "name": ["a", "b", "c"],
+        }
+    )
+    packed = pack_list_columns(t)
+    assert all(not str(f.type).startswith("list") for f in packed.schema)
+    back = unpack_list_columns(packed)
+    assert back.column("tokens").to_pylist() == [[1, 2, 3], [], [7]]
+    assert back.column("emb").to_pylist() == [[1.5, 2.5], [0.0], []]
+    assert back.column("name").to_pylist() == ["a", "b", "c"]
+    # sliced input (non-zero offsets) round-trips too
+    back2 = unpack_list_columns(pack_list_columns(t.slice(1)))
+    assert back2.column("tokens").to_pylist() == [[], [7]]
+
+
+def test_left_anti_join_with_list_payload():
+    import pyarrow as pa
+
+    from ballet_ray.stages.joins import left_anti_join
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c", "d"],
+                "tokens": pa.array([[1, 2], [3], [4, 5, 6], [7]], type=pa.list_(pa.int32())),
+            }
+        )
+    ).repartition(2)
+    losers = rd.from_items([{"doc_id": "b"}, {"doc_id": "d"}])
+    out = left_anti_join(ds, losers, key="doc_id").to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == ["a", "c"]
+    # the list payload survives the Acero join intact
+    assert [list(x) for x in out["tokens"]] == [[1, 2], [4, 5, 6]]
