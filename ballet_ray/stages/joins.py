@@ -86,17 +86,40 @@ def broadcast_join(
     return ds.map_batches(merge, batch_format="pyarrow")
 
 
+def _has_list_columns(ds) -> bool:
+    try:
+        return any(
+            pa.types.is_list(t) or pa.types.is_large_list(t) for t in ds.schema().types
+        )
+    except Exception:
+        return False
+
+
 def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partitions: int = 32):
-    """Large-large equi-join via Ray Data's hash-partitioned Dataset.join."""
+    """Large-large equi-join via Ray Data's hash-partitioned Dataset.join.
+
+    List-typed payload columns (e.g. the canonical ``tokens:list<int32>``)
+    are transparently binary-packed around the join — Acero rejects list
+    non-key fields — and restored in the output."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
-    return left.join(
+    packed = False
+    if _has_list_columns(left):
+        left = left.map_batches(pack_list_columns, batch_format="pyarrow")
+        packed = True
+    if _has_list_columns(right):
+        right = right.map_batches(pack_list_columns, batch_format="pyarrow")
+        packed = True
+    out = left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
         on=on,
         right_on=right_on,
     )
+    if packed:
+        out = out.map_batches(unpack_list_columns, batch_format="pyarrow")
+    return out
 
 
 def semi_join_filter(ds, keys, *, key: str, invert: bool = False):

@@ -198,3 +198,20 @@ def test_left_anti_join_with_list_payload():
     assert out["doc_id"].tolist() == ["a", "c"]
     # the list payload survives the Acero join intact
     assert [list(x) for x in out["tokens"]] == [[1, 2], [4, 5, 6]]
+
+
+def test_hash_join_with_list_payload():
+    import pyarrow as pa
+
+    from ballet_ray.stages.joins import hash_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {"k": [1, 2, 3], "tokens": pa.array([[1], [2, 2], [3]], type=pa.list_(pa.int32()))}
+        )
+    )
+    right = rd.from_items([{"k": 2, "v": "x"}, {"k": 3, "v": "y"}])
+    out = hash_join(left, right, on="k", num_partitions=2).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert [list(x) for x in out["tokens"]] == [[2, 2], [3]]
+    assert out["v"].tolist() == ["x", "y"]
