@@ -175,3 +175,38 @@ def test_assign_clusters_never_materializes_to_driver(monkeypatch):
     got = out.set_index("doc_id")["cluster_rep"]
     assert (got.loc[a + n].to_numpy() == a).all()
     assert (got.loc[a + 2 * n].to_numpy() == a).all()
+
+
+def test_token_dedup_end_to_end_with_list_payload():
+    """Integrated canonical-table dedup: token LSH pairs → distributed
+    components → list-payload-safe anti-join keeps exactly one survivor
+    per planted cluster (tools/stress_dedup.py at test scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ballet_ray.stages.dedup import assign_clusters, token_minhash_lsh_pairs
+    from ballet_ray.stages.joins import left_anti_join
+
+    rng = np.random.RandomState(11)
+    n_uniq, clusters = 3_000, 60
+    toks = [rng.randint(0, 50_000, rng.randint(30, 60)).astype(np.int32) for _ in range(n_uniq + clusters)]
+    ids = [f"u{i:05d}" for i in range(n_uniq)] + [f"d{i:05d}" for i in range(clusters)]
+    dup_ids = [f"d{i:05d}_c{j}" for i in range(clusters) for j in (1, 2)]
+    dup_toks = [toks[n_uniq + i] for i in range(clusters) for _ in (1, 2)]
+    t = pa.table({"doc_id": pa.array(ids + dup_ids), "tokens": pa.array(toks + dup_toks)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    pairs = token_minhash_lsh_pairs(ds, est_threshold=0.9)
+    labels = assign_clusters(pairs)
+    losers = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("doc_id"), t.column("cluster_rep"))).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    kept = left_anti_join(ds, losers, key="doc_id").to_pandas()
+    assert len(kept) == n_uniq + clusters
+    # the min-id representative of each planted cluster survives with its tokens
+    survivors = set(kept["doc_id"])
+    for i in range(clusters):
+        assert f"d{i:05d}" in survivors and f"d{i:05d}_c1" not in survivors
+    row = kept[kept["doc_id"] == "d00000"].iloc[0]
+    assert np.array_equal(np.asarray(row["tokens"]), toks[n_uniq])
