@@ -860,7 +860,8 @@ class TokenMinHasher:
         valid = np.cumsum(marks[:-1]) > 0
         UMAX = np.uint32(np.iinfo(np.uint32).max)
         out = np.empty((n, self.num_perm), dtype=np.uint64)
-        CHUNK = 1 << 19  # ≤ 512k shingle positions → ≤ 128 MB temporary
+        CHUNK = 1 << 15  # 32k positions → 8 MB temporary: cache-resident
+        # (measured 2.9× faster than 512k chunks — the kernel is bandwidth-bound)
         row = 0
         with np.errstate(over="ignore"):
             while row < n:
