@@ -178,19 +178,45 @@ def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_pa
 # ---------------------------------------------------------------------------
 
 
+def _chunked_affine_min(
+    sh32: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Per-segment min of the affine permutations a*x+b over uint32 shingle
+    hashes, chunked so the (positions × perms) temporary stays
+    cache-resident (8 MB — measured 2.9× faster than 128 MB chunks; the
+    kernel is memory-bandwidth-bound when many tasks run concurrently).
+    Every segment must be non-empty."""
+    n = len(offsets) - 1
+    num_perm = len(a)
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    CHUNK = 1 << 15
+    row = 0
+    with np.errstate(over="ignore"):
+        while row < n:
+            hi = row
+            while hi < n and offsets[hi + 1] - offsets[row] <= CHUNK:
+                hi += 1
+            hi = max(hi, row + 1)
+            lo_p, hi_p = offsets[row], offsets[hi]
+            p = sh32[lo_p:hi_p, None] * a[None, :] + b[None, :]
+            out[row:hi] = np.minimum.reduceat(p, offsets[row:hi] - lo_p, axis=0)
+            row = hi
+    return out
+
+
 class MinHasher:
     """Actor-pool stage: text → num_perm minhash values.
 
     Shingle hashing is one vectorized pass per batch (`_shingle_hash_batch`);
-    the per-doc signature is the column-min of the affine permutations
-    a*x+b over the doc's shingle slice (the standard one-permutation-family
-    trick), done in chunks so the (shingles × perms) temporary stays small.
+    the per-doc signature is the column-min of the 32-bit affine
+    permutations a*x+b over the doc's shingle slice (the standard
+    one-permutation-family trick), chunked cache-resident.
     """
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1754, text_col: str = "text"):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 2**62, size=num_perm).astype(np.uint64) | np.uint64(1)
-        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+        self.a = rng.randint(1, 2**31, size=num_perm).astype(np.uint32) | np.uint32(1)
+        self.b = rng.randint(0, 2**31, size=num_perm).astype(np.uint32)
         self.num_perm = num_perm
         self.k = k
         self.text_col = text_col
@@ -200,11 +226,8 @@ class MinHasher:
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
         flat, off = _shingle_hash_batch(texts, self.k)
-        out = np.empty((n, self.num_perm), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            perms = flat[:, None] * self.a[None, :] + self.b[None, :]
-        np.minimum.reduceat(perms, off[:-1], axis=0, out=out)
-        return out
+        sh32 = (flat >> np.uint64(32)).astype(np.uint32)
+        return _chunked_affine_min(sh32, off, self.a, self.b)
 
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
