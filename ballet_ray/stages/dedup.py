@@ -530,15 +530,29 @@ class SimHasher:
         wh, off = _word_hash_batch(texts)
         if len(wh) == 0:
             return np.zeros(n, dtype=np.uint64)
-        bits = ((wh[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
-        contrib = 2 * bits - 1  # (m, 64) in {-1, +1}
         # empty docs contribute no rows, so the flat array is exactly the
         # concatenation of non-empty docs' words: reduceat over non-empty
         # starts reduces one doc per segment; empty docs keep acc == 0.
+        # The (words × 64) ±1 matrix is built in cache-resident chunks
+        # aligned to doc boundaries (bandwidth-bound, like the minhashers).
         lens = np.diff(off)
         nonempty = lens > 0
+        ne_starts = off[:-1][nonempty]
+        ne_rows = np.flatnonzero(nonempty)
+        ne_ends = off[1:][nonempty]
         acc = np.zeros((n, 64), dtype=np.int64)
-        acc[nonempty] = np.add.reduceat(contrib, off[:-1][nonempty], axis=0)
+        CHUNK = 1 << 15
+        i = 0
+        while i < len(ne_rows):
+            j = i
+            while j < len(ne_rows) and ne_ends[j] - ne_starts[i] <= CHUNK:
+                j += 1
+            j = max(j, i + 1)
+            lo, hi = ne_starts[i], ne_ends[j - 1]
+            bits = ((wh[lo:hi, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+            contrib = 2 * bits - 1
+            acc[ne_rows[i:j]] = np.add.reduceat(contrib, ne_starts[i:j] - lo, axis=0)
+            i = j
         sig = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
         return sig
 
