@@ -139,3 +139,33 @@ def test_pipeline_save_load_fitted(tmp_path, sf_dir):
     a = pipe.transform(ds).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
     b = loaded.transform(ds).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
     assert np.allclose(a["mm"], b["mm"])  # same fitted min/max, no refit
+
+
+def test_eng_namespace_reference_parity(sf_dir):
+    """Every name in the reference's ballet.eng __all__ imports from
+    ballet_ray.eng and works inside a pipeline."""
+    import ballet_ray.eng as eng
+
+    ref_all = {
+        "BaseTransformer", "BoxCoxTransformer", "ColumnSelector",
+        "ComputedValueTransformer", "ConditionalTransformer",
+        "GroupedFunctionTransformer", "GroupwiseTransformer",
+        "IdentityTransformer", "LagImputer", "NamedFramer", "NoFitMixin",
+        "NullFiller", "NullIndicator", "NullTransformer",
+        "SimpleFunctionTransformer", "SingleLagger", "SubsetTransformer",
+        "ValueReplacer", "make_multi_lagger",
+    }
+    assert ref_all == set(eng.__all__)
+    for name in ref_all:
+        assert getattr(eng, name) is not None
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("value", eng.IdentityTransformer(), output="v_id"),
+            Feature("value", eng.SingleLagger(1, key="user_id", order_by=["ts", "event_id"])),
+            Feature("value", eng.make_multi_lagger([1, 2], "user_id", ["ts", "event_id"])),
+        ]
+    )
+    out = pipe.fit_transform(ds).to_pandas()
+    assert {"v_id", "value_lag1", "value_lag2"} <= set(out.columns)
+    assert eng.NoFitMixin().fit(None) is not None
