@@ -163,9 +163,9 @@ def test_eng_namespace_reference_parity(sf_dir):
         [
             Feature("value", eng.IdentityTransformer(), output="v_id"),
             Feature("value", eng.SingleLagger(1, key="user_id", order_by=["ts", "event_id"])),
-            Feature("value", eng.make_multi_lagger([1, 2], "user_id", ["ts", "event_id"])),
+            Feature("value", eng.make_multi_lagger([2, 3], "user_id", ["ts", "event_id"])),
         ]
     )
     out = pipe.fit_transform(ds).to_pandas()
-    assert {"v_id", "value_lag1", "value_lag2"} <= set(out.columns)
+    assert {"v_id", "value_lag1", "value_lag2", "value_lag3"} <= set(out.columns)
     assert eng.NoFitMixin().fit(None) is not None
