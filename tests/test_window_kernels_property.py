@@ -118,3 +118,29 @@ def test_token_minhash_matches_naive(rows):
         with np.errstate(over="ignore"):
             expect = (sh32[:, None] * tm.a[None, :] + tm.b[None, :]).min(axis=0)
         assert (got[i] == expect).all(), i
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=0, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_pack_unpack_roundtrip_property(rows, slice_from):
+    import pyarrow as pa
+
+    from ballet_ray.stages.joins import pack_list_columns, unpack_list_columns
+
+    t = pa.table(
+        {
+            "id": list(range(len(rows))),
+            "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+        }
+    )
+    sliced = t.slice(min(slice_from, len(rows) - 1))
+    back = unpack_list_columns(pack_list_columns(sliced))
+    assert back.column("tokens").to_pylist() == sliced.column("tokens").to_pylist()
+    assert back.column("id").to_pylist() == sliced.column("id").to_pylist()
