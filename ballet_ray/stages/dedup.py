@@ -19,10 +19,12 @@ published LSH constructions (Broder '97 minhash, Charikar '02 simhash):
            attached by two distributed hash joins (never a driver dict).
 - embedding: cosine ≥ threshold within LSH buckets (see similarity.py).
 
-Cluster resolution (``assign_clusters``) is distributed min-label
-propagation: edges and labels stay Datasets; each round is two hash joins
-plus a grouped min, and convergence is decided by an aggregated
-changed-label count — nothing funnels through the driver.
+Cluster resolution (``assign_clusters``) is size-adaptive: small edge
+sets (bounded by the duplicate count) resolve with an exact driver-side
+union-find; above ``driver_edges_threshold`` the fully distributed
+min-label propagation takes over — edges and labels stay Datasets, each
+round is two hash joins plus a grouped min, and convergence is one
+aggregated changed-label count.
 """
 
 from __future__ import annotations
@@ -685,7 +687,33 @@ def _rename(ds, names: list[str]):
     return ds.map_batches(lambda t, n=tuple(names): t.rename_columns(list(n)), batch_format="pyarrow")
 
 
-def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10, num_partitions: int | None = None):
+def _unionfind_labels(edges_df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Driver-side union-find for SMALL edge sets (size-gated by
+    assign_clusters): exact min-label components in O(E α(E))."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["id_a"], edges_df["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the representative IS the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = pd.unique(pd.concat([edges_df["id_a"], edges_df["id_b"]], ignore_index=True))
+    return pd.DataFrame({id_col: nodes, "cluster_rep": [find(v) for v in nodes]})
+
+
+def assign_clusters(
+    pairs, *, id_col: str = "doc_id", max_rounds: int = 10,
+    num_partitions: int | None = None, driver_edges_threshold: int = 50_000,
+):
     """Near-dup pairs → per-id cluster representative (the minimum id of its
     connected component) via fully distributed min-label propagation.
 
@@ -718,6 +746,18 @@ def assign_clusters(pairs, *, id_col: str = "doc_id", max_rounds: int = 10, num_
     # emit schema-less empty blocks for empty partitions, which Acero joins
     # reject; repartition compacts them away.
     edges = pairs.select_columns(["id_a", "id_b"]).repartition(num_partitions).materialize()
+    # size-adaptive: small pair sets (the common case — near-dup edges are
+    # bounded by the duplicate count) resolve with an exact driver-side
+    # union-find; above the threshold the fully distributed propagation
+    # below takes over (the 10^12-doc insurance path).
+    if edges.count() <= driver_edges_threshold:
+        import ray.data as _rdata
+
+        labels_df = _unionfind_labels(edges.to_pandas(), id_col)
+        if len(labels_df) == 0:
+            labels_df = pd.DataFrame({id_col: [], "cluster_rep": []})
+        return _rdata.from_pandas(labels_df)
+
     labels = (
         edges.map_batches(seed, batch_format="pyarrow")
         .groupby(id_col)
