@@ -387,3 +387,65 @@ class CombineWithReference(Transform):
 
     def output_names(self, cols):
         return [f"{c}_{op}_{r}" for c in cols for r in self.reference for op in self.ops]
+
+
+class KNNImputer(FittedTransform):
+    """k-nearest-neighbor imputation against a bounded DONOR POOL
+    (sklearn.impute.KNNImputer semantics with the scale-required twist:
+    sklearn searches all rows pairwise — O(n²) and impossible at corpus
+    scale — so fit draws a deterministic sample of COMPLETE rows as
+    donors, and transform finds each incomplete row's k nearest donors
+    with the nan-euclidean metric (distance over observed dims scaled by
+    n_dims/n_observed, sklearn's convention) in one vectorized pass per
+    batch. Donor pool ≤ ``donors`` rows; exact for datasets under that
+    size."""
+
+    def __init__(self, n_neighbors: int = 5, donors: int = 2048, seed: int = 1754):
+        self.n_neighbors = n_neighbors
+        self.donors = donors
+        self.seed = seed
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return []
+
+    def fit(self, ds, cols):
+        sample = ds.select_columns(cols).limit(self.donors * 8).to_pandas()
+        self.fit_table(pa.Table.from_pandas(sample, preserve_index=False), cols)
+        return self
+
+    def fit_table(self, table, cols):
+        m = np.column_stack([_col_f64(table, c) for c in cols])
+        complete = m[~np.isnan(m).any(axis=1)]
+        if len(complete) == 0:
+            raise ValueError("KNNImputer: no complete rows to use as donors")
+        if len(complete) > self.donors:
+            rng = np.random.RandomState(self.seed)
+            complete = complete[rng.choice(len(complete), self.donors, replace=False)]
+        self.fitted_ = {"donors": complete, "cols": list(cols)}
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        D = self.fitted_["donors"]  # (m, d)
+        X = np.column_stack([_col_f64(table, c) for c in cols])  # (n, d)
+        out = X.copy()
+        miss_rows = np.flatnonzero(np.isnan(X).any(axis=1))
+        if len(miss_rows):
+            Xm = X[miss_rows]
+            obs = ~np.isnan(Xm)  # (r, d)
+            d = X.shape[1]
+            # nan-euclidean: sum over observed dims, scaled by d/#observed
+            diff = Xm[:, None, :] - D[None, :, :]  # (r, m, d)
+            sq = np.where(obs[:, None, :], diff * diff, 0.0).sum(axis=2)
+            n_obs = np.maximum(obs.sum(axis=1), 1)
+            dist = sq * (d / n_obs)[:, None]
+            k = min(self.n_neighbors, len(D))
+            nn = np.argpartition(dist, k - 1, axis=1)[:, :k]  # (r, k)
+            donor_vals = D[nn]  # (r, k, d)
+            fill = donor_vals.mean(axis=1)  # (r, d)
+            rr, cc = np.where(~obs)
+            out[miss_rows[rr], cc] = fill[rr, cc]
+        return pa.table({f"{c}_imp": pa.array(out[:, j]) for j, c in enumerate(cols)})
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]

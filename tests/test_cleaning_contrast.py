@@ -187,3 +187,29 @@ def test_pratio_encoder(sf_dir):
     g = out.groupby("o_orderpriority")["y"].mean()
     expect = out["o_orderpriority"].map((g + 1e-6) / (1 - g + 1e-6))
     assert np.allclose(out["pr"], expect)
+
+
+def test_knn_imputer_donor_pool():
+    from ballet_ray.stages.cleaning import KNNImputer
+
+    # donors: two clear clusters; missing values must be filled from the
+    # row's own cluster
+    donors = pd.DataFrame(
+        {
+            "a": [0.0, 0.1, 0.2, 10.0, 10.1, 10.2],
+            "b": [0.0, 0.1, 0.2, 10.0, 10.1, 10.2],
+        }
+    )
+    probe = pd.DataFrame({"a": [0.05, 9.9, 5.0], "b": [np.nan, np.nan, 5.0]})
+    df = pd.concat([donors, probe], ignore_index=True)
+    pipe = FeatureEngineeringPipeline(
+        [Feature(["a", "b"], KNNImputer(n_neighbors=3), output=["a_imp", "b_imp"])]
+    )
+    out = pipe.fit_transform(rd.from_pandas(df)).to_pandas()
+    got = out.iloc[len(donors):]
+    # near-zero row imputes from the low cluster, near-ten from the high
+    assert got["b_imp"].iloc[0] < 1.0
+    assert got["b_imp"].iloc[1] > 9.0
+    # complete rows pass through untouched
+    assert np.isclose(got["b_imp"].iloc[2], 5.0)
+    assert np.allclose(out["a_imp"], df["a"])
