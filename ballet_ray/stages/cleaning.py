@@ -449,3 +449,111 @@ class KNNImputer(FittedTransform):
 
     def output_names(self, cols):
         return [f"{c}_imp" for c in cols]
+
+
+class IterativeImputer(FittedTransform):
+    """Round-based multivariate imputation (sklearn.impute.IterativeImputer
+    semantics, distributed): each round fits, for EVERY column with
+    missing values, a linear regression on the other columns — the normal
+    equations' Gram matrices are accumulated as per-batch partials in ONE
+    distributed pass per round (models solved on the driver from d tiny
+    (d+1)² systems), and rows are re-imputed with the updated models.
+    Updates are Jacobi-style (all columns refreshed from the previous
+    round's values — sklearn's default is sequential; documented
+    difference), which is what makes one-pass-per-round possible at
+    corpus scale. Transform applies the fitted models for ``max_iter``
+    local Jacobi steps per batch."""
+
+    def __init__(self, max_iter: int = 3):
+        self.max_iter = max_iter
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return []
+
+    # -- shared imputation kernel -------------------------------------
+    @staticmethod
+    def _impute_once(X, miss, means, models):
+        """One Jacobi step: refill every missing cell from the CURRENT
+        matrix (observed cells never change)."""
+        Xc = X.copy()
+        Xc[miss] = np.take(means, np.where(miss)[1])  # baseline for round 0
+        if models is not None:
+            d = X.shape[1]
+            pred = np.empty_like(Xc)
+            for j in range(d):
+                w, b = models[j]
+                others = np.delete(Xc, j, axis=1)
+                pred[:, j] = others @ w + b
+            Xc[miss] = pred[miss]
+        return Xc
+
+    def fit(self, ds, cols):
+        import ray.data as rdata
+        from ray.data.aggregate import Sum
+
+        d = len(cols)
+        # round 0: column means
+        def mean_partial(t: pa.Table) -> pa.Table:
+            out = {}
+            for c in cols:
+                x = _col_f64(t, c)
+                ok = ~np.isnan(x)
+                out[f"{c}_s"] = [float(x[ok].sum())]
+                out[f"{c}_n"] = [float(ok.sum())]
+            return pa.table(out)
+
+        aggs = [Sum(f"{c}_s", alias_name=f"{c}_s") for c in cols] + [
+            Sum(f"{c}_n", alias_name=f"{c}_n") for c in cols
+        ]
+        narrow = ds.select_columns(list(cols))
+        row = narrow.map_batches(mean_partial, batch_format="pyarrow").aggregate(*aggs)
+        means = np.array([row[f"{c}_s"] / max(row[f"{c}_n"], 1.0) for c in cols])
+
+        models = None
+        for _ in range(self.max_iter):
+            mdl = models
+
+            def gram_partial(t: pa.Table, mdl=mdl) -> pa.Table:
+                X = np.column_stack([_col_f64(t, c) for c in cols])
+                miss = np.isnan(X)
+                Xc = IterativeImputer._impute_once(X, miss, means, mdl)
+                out = {}
+                for j in range(d):
+                    ok = ~miss[:, j]  # fit only on rows where target observed
+                    Z = np.delete(Xc[ok], j, axis=1)
+                    Z1 = np.column_stack([Z, np.ones(len(Z))])
+                    y = Xc[ok][:, j]
+                    G = Z1.T @ Z1  # (d, d)
+                    v = Z1.T @ y
+                    out[f"g{j}"] = [G.ravel()]
+                    out[f"v{j}"] = [v]
+                return pa.table({k: pa.array(vv) for k, vv in out.items()})
+
+            parts = narrow.map_batches(gram_partial, batch_format="pyarrow").to_pandas()
+            models = []
+            for j in range(d):
+                G = np.sum([np.asarray(g).reshape(d, d) for g in parts[f"g{j}"]], axis=0)
+                v = np.sum([np.asarray(x) for x in parts[f"v{j}"]], axis=0)
+                sol = np.linalg.lstsq(G, v, rcond=None)[0]
+                models.append((sol[:-1], float(sol[-1])))
+        self.fitted_ = {"means": means, "models": models, "cols": list(cols)}
+        return self
+
+    def fit_table(self, table, cols):
+        import ray.data as rdata
+
+        self.fit(rdata.from_arrow(table.select(list(cols))), cols)
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        X = np.column_stack([_col_f64(table, c) for c in cols])
+        miss = np.isnan(X)
+        Xc = self._impute_once(X, miss, self.fitted_["means"], None)
+        for _ in range(self.max_iter):
+            upd = self._impute_once(Xc, miss, self.fitted_["means"], self.fitted_["models"])
+            Xc[miss] = upd[miss]
+        return pa.table({f"{c}_imp": pa.array(Xc[:, j]) for j, c in enumerate(cols)})
+
+    def output_names(self, cols):
+        return [f"{c}_imp" for c in cols]

@@ -213,3 +213,27 @@ def test_knn_imputer_donor_pool():
     # complete rows pass through untouched
     assert np.isclose(got["b_imp"].iloc[2], 5.0)
     assert np.allclose(out["a_imp"], df["a"])
+
+
+def test_iterative_imputer_recovers_linear_structure():
+    from ballet_ray.stages.cleaning import IterativeImputer
+
+    rng = np.random.RandomState(4)
+    n = 2_000
+    a = rng.randn(n)
+    b = 2.0 * a + 1.0 + 0.01 * rng.randn(n)  # near-deterministic relation
+    miss = rng.rand(n) < 0.2
+    b_obs = b.copy()
+    b_obs[miss] = np.nan
+    df = pd.DataFrame({"a": a, "b": b_obs})
+    pipe = FeatureEngineeringPipeline(
+        [Feature(["a", "b"], IterativeImputer(max_iter=3), output=["a_imp", "b_imp"])]
+    )
+    out = pipe.fit_transform(rd.from_pandas(df).repartition(4)).to_pandas()
+    got = out["b_imp"].to_numpy()
+    # imputed values recover b = 2a + 1 far better than the column mean
+    err_model = np.abs(got[miss] - b[miss]).mean()
+    err_mean = np.abs(np.nanmean(b_obs) - b[miss]).mean()
+    assert err_model < 0.15 * err_mean
+    # observed values untouched
+    assert np.allclose(got[~miss], b[~miss])
