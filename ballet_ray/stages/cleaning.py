@@ -20,6 +20,57 @@ from ballet_ray.stages.encoders import FittedTransform, _col_f64
 from ballet_ray.transformer import Transform
 
 
+def _row_hash(table: pa.Table, cols: list[str], seed: int) -> np.ndarray:
+    """Deterministic per-row uint64 hash of the row's values in ``cols``
+    (NaN canonicalized), independent of partitioning / batch boundaries —
+    the content-addressed seed for reservoir priorities and reproducible
+    random imputation draws."""
+    h = np.full(
+        len(table),
+        np.uint64((seed * 0x9E3779B97F4A7C15 + 0x243F6A8885A308D3) & 0xFFFFFFFFFFFFFFFF),
+        dtype=np.uint64,
+    )
+    with np.errstate(over="ignore"):
+        for c in cols:
+            v = _col_f64(table, c)
+            bits = v.view(np.uint64).copy()
+            bits[np.isnan(v)] = np.uint64(0x7FF8000000000001)  # canonical NaN
+            h ^= bits + np.uint64(0x9E3779B97F4A7C15) + (h << np.uint64(6)) + (h >> np.uint64(2))
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+    return h
+
+
+def _reservoir_sample(ds, cols: list[str], n: int, seed: int, *, complete_only: bool = False) -> pa.Table:
+    """Unbiased deterministic ~n-row sample of a Dataset: every row gets a
+    priority from a seeded content hash, each batch contributes at most its
+    n smallest, and a distributed sort takes the global n smallest. Unlike
+    ``ds.limit(n)`` (a PREFIX of the first blocks — biased on sorted or
+    partitioned data) the winners span all blocks uniformly; the driver
+    only ever sees n rows. Content-addressed priorities make the sample
+    identical across runs and repartitionings."""
+    cols = list(cols)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        if complete_only:
+            m = np.column_stack([_col_f64(t, c) for c in cols])
+            t = t.filter(pa.array(~np.isnan(m).any(axis=1)))
+        if len(t) == 0:
+            return pa.table(
+                {**{c: t.column(c) for c in cols}, "__prio": pa.array([], type=pa.uint64())}
+            )
+        pr = _row_hash(t, cols, seed)
+        if len(t) > n:
+            keep = np.sort(np.argpartition(pr, n - 1)[:n])
+            t = t.take(pa.array(keep))
+            pr = pr[keep]
+        return t.append_column("__prio", pa.array(pr))
+
+    cand = ds.select_columns(cols).map_batches(candidates, batch_format="pyarrow")
+    top = cand.sort("__prio").limit(n).to_pandas()
+    return pa.Table.from_pandas(top.drop(columns="__prio"), preserve_index=False)
+
+
 class OutlierTrimmer(FittedTransform):
     """DROP rows outside the fitted quantile bounds
     (feature_engine.outliers.OutlierTrimmer with the quantile capping
@@ -279,23 +330,36 @@ class CategoricalImputer(FittedTransform):
 class RandomSampleImputer(FittedTransform):
     """Fill missing values by sampling the train distribution
     (feature_engine.imputation.RandomSampleImputer). The fitted state is a
-    bounded reservoir of observed values; at transform, fills are drawn
-    DETERMINISTICALLY per row (seeded by the row's position hash), so the
-    imputation is reproducible across runs and batch splits."""
+    bounded reservoir of observed values drawn by an unbiased distributed
+    reservoir (priority = seeded content hash, global n smallest — spans
+    all blocks, unlike a ``limit()`` prefix); at transform, fills are drawn
+    DETERMINISTICALLY per row from a stable hash of the row's own content,
+    so the imputation is reproducible across runs AND across partitioning /
+    batch-boundary changes. The hash covers ``seed_cols`` when given
+    (feature_engine's ``seed='observation'`` analog — pass a unique id
+    column for full-entropy draws); otherwise the row's values in the input
+    columns (rows with identical input content then draw the same fill)."""
 
-    def __init__(self, reservoir: int = 4096, seed: int = 1754):
+    def __init__(self, reservoir: int = 4096, seed: int = 1754, seed_cols: list[str] | None = None):
         self.reservoir = reservoir
         self.seed = seed
+        self.seed_cols = list(seed_cols) if seed_cols else None
         self.fitted_ = None
+
+    def _stable_row_hash(self, table: pa.Table, cols) -> np.ndarray:
+        if self.seed_cols:
+            sub = table.select(self.seed_cols).to_pandas()
+            h = pd.util.hash_pandas_object(sub, index=False).to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                return h + np.uint64(self.seed)
+        return _row_hash(table, list(cols), self.seed)
 
     def agg_requests(self, cols):
         return []
 
     def fit(self, ds, cols):
-        # bounded reservoir: per-block contributions capped, first
-        # `reservoir` kept deterministically
-        take = ds.select_columns(cols).limit(self.reservoir * 4).to_pandas()
-        self.fit_table(pa.Table.from_pandas(take, preserve_index=False), cols)
+        sample = _reservoir_sample(ds, list(cols), self.reservoir * 2, self.seed)
+        self.fit_table(sample, cols)
         return self
 
     def fit_table(self, table, cols):
@@ -311,15 +375,17 @@ class RandomSampleImputer(FittedTransform):
     def transform_table(self, table, cols):
         self._check_fitted()
         out = {}
-        for c in cols:
+        # partition-independent draw: stable per-row content hash (seed_cols
+        # or the input columns, NaN canonicalized), varied per target column
+        hrow = self._stable_row_hash(table, cols)
+        for j, c in enumerate(cols):
             pool = self.fitted_[c]
             x = _col_f64(table, c)
             miss = np.isnan(x)
             if miss.any() and len(pool):
-                # deterministic draw: stable hash of the row's own index
-                # within the batch plus the seed
-                idx = np.flatnonzero(miss)
-                h = (np.uint64(self.seed) + idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                with np.errstate(over="ignore"):
+                    h = hrow[miss] * np.uint64(0xBF58476D1CE4E5B9) + np.uint64(j + 1)
+                    h ^= h >> np.uint64(31)
                 picks = (h % np.uint64(len(pool))).astype(np.int64)
                 x = x.copy()
                 x[miss] = pool[picks]
@@ -410,8 +476,11 @@ class KNNImputer(FittedTransform):
         return []
 
     def fit(self, ds, cols):
-        sample = ds.select_columns(cols).limit(self.donors * 8).to_pandas()
-        self.fit_table(pa.Table.from_pandas(sample, preserve_index=False), cols)
+        # unbiased distributed reservoir over COMPLETE rows only — a
+        # limit() prefix would draw donors from the first blocks alone,
+        # unrepresentative on data sorted/partitioned by time or source
+        sample = _reservoir_sample(ds, list(cols), self.donors * 2, self.seed, complete_only=True)
+        self.fit_table(sample, cols)
         return self
 
     def fit_table(self, table, cols):
@@ -511,6 +580,11 @@ class IterativeImputer(FittedTransform):
         means = np.array([row[f"{c}_s"] / max(row[f"{c}_n"], 1.0) for c in cols])
 
         models = None
+        # per-j flattened gram+moment length: Z1 has d columns → G is d×d, v is d
+        nq = d * d + d
+        gram_aggs = [
+            Sum(f"q{j}_{p}", alias_name=f"q{j}_{p}") for j in range(d) for p in range(nq)
+        ]
         for _ in range(self.max_iter):
             mdl = models
 
@@ -526,15 +600,19 @@ class IterativeImputer(FittedTransform):
                     y = Xc[ok][:, j]
                     G = Z1.T @ Z1  # (d, d)
                     v = Z1.T @ y
-                    out[f"g{j}"] = [G.ravel()]
-                    out[f"v{j}"] = [v]
-                return pa.table({k: pa.array(vv) for k, vv in out.items()})
+                    flat = np.concatenate([G.ravel(), v])
+                    for p in range(nq):
+                        out[f"q{j}_{p}"] = [float(flat[p])]
+                return pa.table(out)
 
-            parts = narrow.map_batches(gram_partial, batch_format="pyarrow").to_pandas()
+            # gram/moment partials reduced by a distributed Sum aggregate —
+            # the driver sees ONE row per round, not one per batch
+            row_g = narrow.map_batches(gram_partial, batch_format="pyarrow").aggregate(*gram_aggs)
             models = []
             for j in range(d):
-                G = np.sum([np.asarray(g).reshape(d, d) for g in parts[f"g{j}"]], axis=0)
-                v = np.sum([np.asarray(x) for x in parts[f"v{j}"]], axis=0)
+                flat = np.array([row_g[f"q{j}_{p}"] for p in range(nq)])
+                G = flat[: d * d].reshape(d, d)
+                v = flat[d * d :]
                 sol = np.linalg.lstsq(G, v, rcond=None)[0]
                 models.append((sol[:-1], float(sol[-1])))
         self.fitted_ = {"means": means, "models": models, "cols": list(cols)}

@@ -672,10 +672,17 @@ def simhash_pairs(
         .map_groups(part_pairs, batch_format="pyarrow")
     )
 
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    # cross-partition dedupe: hamming is a pure function of the two fixed
+    # signatures, so a grouped Min dedupes AND preserves it without the
+    # per-pair pandas groups a map_groups(head(1)) would shuffle (millions
+    # of 1-2 row groups at scale — same pattern as _lsh_pairs_from_signed).
+    from ray.data.aggregate import Min
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dd, batch_format="pandas")
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .repartition(max(2, coarse // 2))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -711,7 +718,7 @@ def _unionfind_labels(edges_df: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 
 def assign_clusters(
-    pairs, *, id_col: str = "doc_id", max_rounds: int = 10,
+    pairs, *, id_col: str = "doc_id", max_rounds: int = 30,
     num_partitions: int | None = None, driver_edges_threshold: int = 50_000,
 ):
     """Near-dup pairs → per-id cluster representative (the minimum id of its
@@ -786,7 +793,8 @@ def assign_clusters(
             {id_col: pa.array(np.concatenate([a, b])), "label": pa.array(np.concatenate([m, m]))}
         )
 
-    for _ in range(max_rounds):
+    converged = False
+    for _ in range(max_rounds + 1):
         # attach both endpoints' labels to every edge (two hash joins)
         la = edges.join(
             _rename(labels, ["id_a", "label_a"]),
@@ -799,6 +807,7 @@ def assign_clusters(
         # fixed point: no edge's endpoints disagree. The driver sees one int.
         changed = lab.map_batches(disagreeing, batch_format="pyarrow").count()
         if changed == 0:
+            converged = True
             break
         # every emitted candidate min(label_a, label_b) ≤ the endpoint's own
         # current label (label_a IS id_a's label), so the grouped Min both
@@ -809,6 +818,20 @@ def assign_clusters(
             .aggregate(Min("label", alias_name="label"))
             .repartition(num_partitions)
             .materialize()
+        )
+    if not converged:
+        # propagation moves the component minimum one hop per round, so a
+        # component with diameter > max_rounds exits unconverged — that
+        # silently under-dedups (split clusters). Surface it loudly.
+        import warnings
+
+        warnings.warn(
+            f"assign_clusters: min-label propagation did not converge within "
+            f"{max_rounds} rounds ({changed} edge endpoints still disagree); "
+            f"clusters with diameter > {max_rounds} are split. "
+            f"Raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return _rename(labels, [id_col, "cluster_rep"])
 
@@ -951,6 +974,12 @@ class TokenMinHasher:
                 p[~valid[a:b]] = UMAX
                 out[row:hi] = np.minimum.reduceat(p, noff[row:hi] - a, axis=0)
                 row = hi
+        empty_rows = lens == 0
+        if empty_rows.any():
+            # k==1 inserts no pad tokens, so an empty row's reduceat start
+            # coincides with its successor's and would copy the neighbor's
+            # first permutation value — force the sentinel explicitly
+            out[empty_rows] = np.uint64(UMAX)
         return out
 
     def __call__(self, table: pa.Table) -> pa.Table:

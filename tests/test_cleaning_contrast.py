@@ -237,3 +237,69 @@ def test_iterative_imputer_recovers_linear_structure():
     assert err_model < 0.15 * err_mean
     # observed values untouched
     assert np.allclose(got[~miss], b[~miss])
+
+
+def test_reservoir_sample_spans_blocks_and_is_partition_invariant():
+    # block-sorted distribution shift: a limit()-prefix sample would see
+    # only the low half; the content-hash reservoir must span all blocks
+    from ballet_ray.stages.cleaning import _reservoir_sample
+
+    lo = pd.DataFrame({"v": np.linspace(0.0, 1.0, 4000)})
+    hi = pd.DataFrame({"v": np.linspace(100.0, 101.0, 4000)})
+    df = pd.concat([lo, hi], ignore_index=True)
+    tbl = _reservoir_sample(rd.from_pandas(df).repartition(8), ["v"], 512, seed=7)
+    vals = tbl.column("v").to_numpy()
+    assert len(vals) == 512
+    frac_hi = float((vals > 50).mean())
+    assert 0.35 < frac_hi < 0.65  # ~uniform across the shifted halves
+    # identical winners under a different partitioning
+    tbl2 = _reservoir_sample(rd.from_pandas(df).repartition(3), ["v"], 512, seed=7)
+    assert np.array_equal(np.sort(vals), np.sort(tbl2.column("v").to_numpy()))
+
+
+def test_knn_imputer_donors_span_blocks():
+    from ballet_ray.stages.cleaning import KNNImputer
+
+    # the first blocks hold only the low cluster — prefix sampling would
+    # leave the high-cluster probe without in-cluster donors
+    r0, r1 = np.random.RandomState(0), np.random.RandomState(1)
+    lo = pd.DataFrame({"a": r0.normal(0, 0.1, 3000)})
+    lo["b"] = lo["a"]
+    hi = pd.DataFrame({"a": r1.normal(10, 0.1, 3000)})
+    hi["b"] = hi["a"]
+    df = pd.concat([lo, hi], ignore_index=True)
+    imp = KNNImputer(n_neighbors=3, donors=256)
+    imp.fit(rd.from_pandas(df).repartition(8), ["a", "b"])
+    donors = imp.fitted_["donors"]
+    assert (donors[:, 0] < 5).any() and (donors[:, 0] > 5).any()
+    out = imp.transform_table(pa.table({"a": [9.9], "b": [np.nan]}), ["a", "b"])
+    assert out.column("b_imp").to_numpy()[0] > 9.0
+
+
+def test_random_sample_imputer_partition_invariant():
+    from ballet_ray.stages.cleaning import RandomSampleImputer
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1000)
+    x[::5] = np.nan
+    df = pd.DataFrame({"rid": np.arange(1000), "v": x})
+    imp = RandomSampleImputer(seed=3, seed_cols=["rid"])
+    imp.fit(rd.from_pandas(df[["v"]]), ["v"])
+    whole = imp.transform_table(
+        pa.Table.from_pandas(df, preserve_index=False), ["v"]
+    ).column("v_imp").to_numpy()
+    # same rows split across different batch boundaries -> identical fills
+    for split in (2, 5):
+        parts = np.array_split(df, split)
+        got = np.concatenate(
+            [
+                imp.transform_table(
+                    pa.Table.from_pandas(p.reset_index(drop=True), preserve_index=False), ["v"]
+                ).column("v_imp").to_numpy()
+                for p in parts
+            ]
+        )
+        assert np.allclose(whole, got)
+    # full-entropy draws: distinct missing rows get distinct fills
+    miss_fills = whole[np.isnan(x)]
+    assert len(np.unique(np.round(miss_fills, 9))) > 10

@@ -144,3 +144,24 @@ def test_pack_unpack_roundtrip_property(rows, slice_from):
     back = unpack_list_columns(pack_list_columns(sliced))
     assert back.column("tokens").to_pylist() == sliced.column("tokens").to_pylist()
     assert back.column("id").to_pylist() == sliced.column("id").to_pylist()
+
+
+def test_token_minhash_k1_empty_rows_sentinel():
+    """k==1 inserts no pad tokens, so an empty row's reduceat start equals
+    its successor's — the signer must still emit the UINT32_MAX sentinel,
+    never the neighbor's first permutation value."""
+    import numpy as np
+
+    from ballet_ray.stages.dedup import TokenMinHasher
+
+    tm = TokenMinHasher(num_perm=8, k=1)
+    rows = [[5, 9], [], [7], []]
+    flat = np.concatenate([np.asarray(r, dtype=np.int64) for r in rows if r])
+    off = np.zeros(len(rows) + 1, dtype=np.int64)
+    off[1:] = np.cumsum([len(r) for r in rows])
+    got = tm.signatures_from_flat(flat, off)
+    umax = np.iinfo(np.uint32).max
+    assert (got[1] == umax).all()
+    assert (got[3] == umax).all()
+    assert not (got[0] == umax).all()
+    assert not (got[2] == umax).all()

@@ -73,7 +73,11 @@ def main() -> None:
 
     rdata.Dataset.to_pandas = forbidden
     try:
-        labels = assign_clusters(pairs)
+        # driver_edges_threshold=0 forces the fully distributed propagation
+        # path — the to_pandas ban guards THAT path; the sub-threshold
+        # driver union-find fast path legitimately materializes its (small,
+        # bounded-by-dup-count) edge set.
+        labels = assign_clusters(pairs, driver_edges_threshold=0)
         labels = labels.materialize()
     finally:
         rdata.Dataset.to_pandas = orig_to_pandas
