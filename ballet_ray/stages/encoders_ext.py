@@ -730,7 +730,10 @@ class CatBoostEncoder:
 
         class _CatBoostOrdered(KeyedTransform):
             requires_fit = True
-            sliceable = False  # needs the whole per-category prefix
+            # per-category prefix state is carried across hot slices: the
+            # slice summary accumulates prior row counts + target sums, so
+            # a hot category's ordered scan is exact when time-sliced
+            carry_prefix = True
 
             def __init__(self, key, order_by):
                 super().__init__(key, order_by)
@@ -741,6 +744,19 @@ class CatBoostEncoder:
 
             def bind_fit_results(self, cols, results):
                 self.fitted_ = {c: results[("moments", c)]["mean"] for c in cols}
+
+            def transform_sorted_carried(self, table, cols, prior_rows, prior_sums):
+                out = {}
+                n = table.num_rows
+                cnt_before = prior_rows + np.arange(n)
+                for c in cols:
+                    prior = self.fitted_[c]
+                    y = _vals(table, c)
+                    y0 = np.where(np.isnan(y), 0.0, y)
+                    csum = np.cumsum(y0)
+                    sum_before = np.concatenate([[0.0], csum[:-1]]) + prior_sums.get(c, 0.0)
+                    out[f"{c}_cb"] = (sum_before + a * prior) / (cnt_before + a)
+                return out
 
             def transform_sorted(self, table, codes, starts, cols):
                 out = {}

@@ -223,10 +223,19 @@ class CumSum(KeyedTransform):
     """Per-entity running sum (skits IntegratedTransformer parity —
     reference re-export ballet/eng/external/skits.py). NaN contributes 0.
 
-    Whole-prefix state: opts out of hot-entity time slicing (the carry
-    summary tracks prior row counts, not prior sums)."""
+    Hot-entity time slices are exact: the carry summary accumulates each
+    prior slice's column sums (``prior_sums``), and the sliced kernel
+    (``transform_sorted_carried``) offsets its local cumsum by them."""
 
-    sliceable = False
+    carry_prefix = True
+
+    def transform_sorted_carried(self, table, cols, prior_rows, prior_sums):
+        out = {}
+        for c in cols:
+            v = _vals(table, c)
+            cs = np.cumsum(np.where(np.isnan(v), 0.0, v))
+            out[f"{c}_cumsum"] = cs + prior_sums.get(c, 0.0)
+        return out
 
     def transform_sorted(self, table, codes, starts, cols):
         n = len(codes)
@@ -322,6 +331,36 @@ def compute_carry_extended(
     Shared by the streaming keyed pass (apply_keyed) and the checkpointed
     backfill's per-partition path.
     """
+    if getattr(t, "carry_prefix", False):
+        # whole-prefix transforms (CumSum, ordered CatBoost): computed
+        # directly on the slice with the carried prior row count / column
+        # sums — no tail/head row extension needed
+        prior_rows = carry["prior_rows"] if carry else 0
+        prior_sums = carry.get("prior_sums", {}) if carry else {}
+        outs = t.transform_sorted_carried(narrow_sorted, cols, prior_rows, prior_sums)
+        return {k: np.asarray(v) for k, v in outs.items()}
+    if isinstance(t, RollingMeanTime):
+        # time-range windows: extend with the previous ADJACENT slice's
+        # rows inside the window range (``ttail``); slice_us >= range_us is
+        # enforced by the hot plan so the window never reaches further back
+        tt_ts = (carry or {}).get("ttail_ts", np.empty(0, dtype=np.int64))
+        ttn = len(tt_ts)
+        real_ts = _ts_us_col(narrow_sorted.column(order_col))
+        ext_cols: dict = {}
+        ts_all = np.concatenate([tt_ts, real_ts])
+        if pa.types.is_timestamp(narrow_sorted.column(order_col).type):
+            ext_cols[order_col] = pa.array(ts_all.astype("datetime64[us]"))
+        else:
+            ext_cols[order_col] = pa.array(ts_all)
+        for c in dict.fromkeys(cols):
+            if c == order_col:
+                continue
+            tt_v = (carry or {}).get("ttail", {}).get(c, np.full(ttn, np.nan))
+            ext_cols[c] = pa.array(np.concatenate([tt_v, _vals(narrow_sorted, c)]))
+        ext_tbl = pa.table(ext_cols)
+        zeros = np.zeros(len(ts_all), dtype=np.int64)
+        outs = t.transform_sorted(ext_tbl, zeros, zeros, cols)
+        return {k: np.asarray(v)[ttn:] for k, v in outs.items()}
     n = narrow_sorted.num_rows
     tail_n = len(carry["tail_ts"]) if carry else 0
     head_n = len(carry.get("head_ts", ())) if carry else 0
@@ -390,11 +429,14 @@ def _append_outputs(tbl: pa.Table, names, outs: dict) -> pa.Table:
     return tbl
 
 
-def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_max, gaps):
+def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_max, gaps,
+                          range_us: int = 0):
     """Narrow pre-pass over hot entities only: one summary row per
     (key, time-slice) with the tail rows, last non-null values, internal
-    session-boundary counts and row count — everything the main pass needs
-    to make sliced windows exact across slice boundaries."""
+    session-boundary counts, per-column sums (whole-prefix transforms),
+    time-window tail rows (``range_us`` > 0, for RollingMeanTime) and row
+    count — everything the main pass needs to make sliced windows exact
+    across slice boundaries."""
     import pickle
 
     import pandas as pd
@@ -451,8 +493,17 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
             v = _vals(t, c)
             ok = ~np.isnan(v)
             summary["last_valid"][c] = float(v[np.flatnonzero(ok)[-1]]) if ok.any() else None
+            summary["col_sums"] = summary.get("col_sums", {})
+            summary["col_sums"][c] = float(np.where(ok, v, 0.0).sum())
         for g in gaps:
             summary["bounds"][g] = int(((ts[1:] - ts[:-1]) > g).sum()) if n > 1 else 0
+        if range_us:
+            t0, slice_us = hot_plan[k]
+            local = sid % 1_000_000
+            nominal_end = t0 + (local + 1) * slice_us
+            keep = ts >= nominal_end - range_us
+            summary["ttail_ts"] = ts[keep]
+            summary["ttail"] = {c: _vals(t, c)[keep] for c in value_cols}
         return pa.table({"key": [k], "slice_id": [sid], "blob": [pickle.dumps(summary)]})
 
     rows = narrow.groupby("__slice_id").map_groups(summarize, batch_format="pyarrow").to_pandas()
@@ -467,21 +518,39 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
         run_tail_ts = np.empty(0, dtype=np.int64)
         run_last_valid = {c: None for c in value_cols}
         run_rows = 0
+        run_sums = {c: 0.0 for c in value_cols}
         run_sessions = {g: 0 for g in gaps}
         prev_last_ts = None
+        prev_sid = None
+        prev_ttail_ts = np.empty(0, dtype=np.int64)
+        prev_ttail = {c: np.empty(0) for c in value_cols}
         for sid, s in summaries:
             carries[sid] = {
                 "tail": {c: run_tail[c].copy() for c in value_cols},
                 "tail_ts": run_tail_ts.copy(),
                 "last_valid": dict(run_last_valid),
                 "prior_rows": run_rows,
+                "prior_sums": dict(run_sums),
                 "prior_sessions": dict(run_sessions),
             }
+            if range_us:
+                # time-window tail: only the ADJACENT previous slice can
+                # fall inside the window (slice_us >= range_us enforced)
+                adjacent = prev_sid is not None and sid - prev_sid == 1
+                carries[sid]["ttail_ts"] = prev_ttail_ts if adjacent else np.empty(0, dtype=np.int64)
+                carries[sid]["ttail"] = (
+                    prev_ttail if adjacent else {c: np.empty(0) for c in value_cols}
+                )
+                prev_ttail_ts = s["ttail_ts"]
+                prev_ttail = s["ttail"]
             entry = {g: (1 if prev_last_ts is not None and (s["first_ts"] - prev_last_ts) > g else 0) for g in gaps}
             for g in gaps:
                 run_sessions[g] += s["bounds"][g] + entry[g]
             run_rows += s["n"]
+            for c in value_cols:
+                run_sums[c] += s["col_sums"][c]
             prev_last_ts = s["last_ts"]
+            prev_sid = sid
             for c in value_cols:
                 v = s["tail"][c]
                 run_tail[c] = np.concatenate([run_tail[c], v])[-w_max:] if w_max else np.empty(0)
@@ -543,9 +612,14 @@ def apply_keyed(
 
     sliceable = bool(order_by) and all(
         not type(t).__name__ == "GroupedFunctionTransform"
-        and not isinstance(t, RollingMeanTime)
         and getattr(t, "sliceable", True)
         for t, _, _ in transforms
+    )
+    # time-range windows bound how finely a hot entity may be sliced: the
+    # slice must span at least the window so only the adjacent previous
+    # slice's rows (the carried ``ttail``) can fall inside it
+    range_us = max(
+        (t.range_us for t, _, _ in transforms if isinstance(t, RollingMeanTime)), default=0
     )
     hot_plan, hot_ids, carries = {}, {}, {}
     if skew_threshold is not None and sliceable:
@@ -558,12 +632,17 @@ def apply_keyed(
         hot_plan = _hot_key_plan(
             pre_ds, key, order_by[0], skew_threshold, slice_target, sample_frac=hot_sample_frac
         )
+        if range_us:
+            hot_plan = {
+                k: (t0, max(slice_us, range_us)) for k, (t0, slice_us) in hot_plan.items()
+            }
         hot_ids = {k: i for i, k in enumerate(hot_plan)}
         if hot_plan:
             w_max = max((t.lookback for t, _, _ in transforms), default=0)
             gaps = sorted({t.gap_us for t, _, _ in transforms if isinstance(t, Sessionize)})
             carries = _summarize_hot_slices(
-                pre_ds, transforms, key, order_by, hot_plan, hot_ids, max(w_max, 1), gaps
+                pre_ds, transforms, key, order_by, hot_plan, hot_ids, max(w_max, 1), gaps,
+                range_us=range_us,
             )
 
     order_col = order_by[0] if order_by else None

@@ -184,7 +184,11 @@ class CheckpointedBackfill:
             import ray.data as rd
 
             from ballet_ray.stages.asof import _hot_key_plan
-            from ballet_ray.stages.windows import Sessionize, _summarize_hot_slices
+            from ballet_ray.stages.windows import (
+                RollingMeanTime,
+                Sessionize,
+                _summarize_hot_slices,
+            )
 
             value_cols = sorted({c for _, cols, _ in transforms for c in cols})
             narrow = rd.read_parquet(
@@ -194,12 +198,21 @@ class CheckpointedBackfill:
                 narrow, self.key, order_col, self.skew_threshold, self.slice_target,
                 sample_frac=self.hot_sample_frac,
             )
+            range_us = max(
+                (t.range_us for t, _, _ in transforms if isinstance(t, RollingMeanTime)),
+                default=0,
+            )
+            if range_us:
+                hot_plan = {
+                    k: (t0, max(slice_us, range_us)) for k, (t0, slice_us) in hot_plan.items()
+                }
             hot_ids = {k: i for i, k in enumerate(hot_plan)}
             if hot_plan:
                 w_max = max((t.lookback for t, _, _ in transforms), default=0)
                 gaps = sorted({t.gap_us for t, _, _ in transforms if isinstance(t, Sessionize)})
                 carries = _summarize_hot_slices(
-                    narrow, transforms, self.key, (order_col,), hot_plan, hot_ids, max(w_max, 1), gaps
+                    narrow, transforms, self.key, (order_col,), hot_plan, hot_ids, max(w_max, 1), gaps,
+                    range_us=range_us,
                 )
         state = {"hot_plan": hot_plan, "hot_ids": hot_ids, "carries": carries, "order_col": order_col}
         tmp = path + ".tmp"

@@ -107,3 +107,73 @@ def test_hot_key_plan_sampled_is_distributed(sf_dir):
     # full-pass plan agrees on the hot set
     plan_full = _hot_key_plan(ds, "doc_id", "event_ts", 10_000, 5_000)
     assert set(plan_full) == {"hot_doc"}
+
+
+def _rtmean_oracle(df, range_s):
+    """Trailing time-range mean [ts-R, ts] incl. peers, per key."""
+    o = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    out = np.full(len(o), np.nan)
+    for _, g in o.groupby("k", sort=False):
+        ts = g["ts"].astype("int64").to_numpy()  # us
+        v = g["v"].to_numpy()
+        r = int(range_s * 1_000_000)
+        for i, (t_i, idx) in enumerate(zip(ts, g.index)):
+            m = (ts >= t_i - r) & (ts <= t_i)
+            vv = v[m]
+            vv = vv[~np.isnan(vv)]
+            out[idx] = vv.mean() if len(vv) else np.nan
+    o["v_rtmean"] = out
+    return o
+
+
+def test_sliced_cumsum_and_rolling_time_match_oracle():
+    """CumSum (prior-sum carry) and RollingMeanTime (ttail carry) must be
+    exact across hot-entity time-slice boundaries."""
+    from ballet_ray.stages.windows import CumSum, RollingMeanTime
+
+    df = _skewed_frame()
+    ds = rd.from_pandas(df).repartition(7)
+    transforms = [
+        (CumSum(key="k", order_by="ts"), ["v"], ["v_cumsum"]),
+        (RollingMeanTime(86400, "ts", key="k"), ["v"], ["v_rtmean"]),
+    ]
+    out = apply_keyed(
+        ds, transforms, "k", "ts", num_buckets=8, skew_threshold=500, slice_target=300
+    ).to_pandas()
+    got = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    exp = _rtmean_oracle(df, 86400)
+    exp["v_cumsum"] = (
+        exp.groupby("k", sort=False)["v"].transform(lambda s: s.fillna(0.0).cumsum())
+    )
+    assert np.allclose(got["v_cumsum"].to_numpy(), exp["v_cumsum"].to_numpy(), equal_nan=True)
+    assert np.allclose(got["v_rtmean"].to_numpy(), exp["v_rtmean"].to_numpy(), equal_nan=True)
+    # sanity: unsliced run identical
+    out2 = apply_keyed(
+        rd.from_pandas(df).repartition(7), transforms, "k", "ts", num_buckets=8
+    ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    assert np.allclose(got["v_cumsum"].to_numpy(), out2["v_cumsum"].to_numpy(), equal_nan=True)
+    assert np.allclose(got["v_rtmean"].to_numpy(), out2["v_rtmean"].to_numpy(), equal_nan=True)
+
+
+def test_sliced_catboost_matches_oracle():
+    """The ordered CatBoost scan over a hot category must carry its prefix
+    (count, target sum) exactly across time-slice boundaries."""
+    from ballet_ray.stages.encoders_ext import CatBoostEncoder
+
+    df = _skewed_frame()
+    rng = np.random.RandomState(8)
+    df["y"] = rng.rand(len(df)).round(3)
+    prior = float(df["y"].mean())
+    t = CatBoostEncoder("k", "ts", a=1.0).keyed()
+    t.fitted_ = {"y": prior}
+    ds = rd.from_pandas(df).repartition(7)
+    out = apply_keyed(
+        ds, [(t, ["y"], ["y_cb"])], "k", "ts", num_buckets=8,
+        skew_threshold=500, slice_target=300,
+    ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    o = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    g = o.groupby("k", sort=False)
+    cnt_before = g.cumcount().to_numpy()
+    sum_before = g["y"].transform(lambda s: s.fillna(0.0).cumsum().shift(1, fill_value=0.0)).to_numpy()
+    expect = (sum_before + 1.0 * prior) / (cnt_before + 1.0)
+    assert np.allclose(out["y_cb"].to_numpy(), expect)
