@@ -653,25 +653,17 @@ FROM events
 def q_backfill_grid(sf_dir: str):
     """Backfill: latest event value per user at three fixed timestamps —
     the north rule's entity×timestamp grid materialization."""
-    import ray.data as rdata
-
-    from ballet_ray.stages.asof import backfill
+    from ballet_ray.stages.asof import backfill, make_backfill_grid
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    users = ev.groupby("user_id").count().select_columns(["user_id"]).to_pandas()
+    # distributed grid: distinct users stay a Dataset, stamps broadcast
+    users = ev.groupby("user_id").count().select_columns(["user_id"])
     stamps = pd.to_datetime(["2024-01-10", "2024-02-01", "2024-03-01"]).values.astype("datetime64[us]")
-    grid = pd.DataFrame(
-        {
-            "user_id": np.repeat(users["user_id"].to_numpy(), len(stamps)),
-            "ts": np.tile(stamps, len(users)),
-        }
-    )
+    grid = make_backfill_grid(users, stamps, key="user_id", ts_col="ts")
     from ray.data.aggregate import Max
 
     dedup = ev.groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
-    out = backfill(
-        rdata.from_pandas(grid), dedup, on="ts", by="user_id", feature_cols=["value"]
-    )
+    out = backfill(grid, dedup, on="ts", by="user_id", feature_cols=["value"])
     return out.select_columns(["user_id", "ts", "value"])
 
 
@@ -1337,6 +1329,172 @@ FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 # registry
 # ---------------------------------------------------------------------------
 
+def q_dfs_two_hop_customer(sf_dir: str):
+    """Depth-2 DFS: lineitems roll up to orders, then order-level features
+    roll up to customers (featuretools recursive-DFS parity)."""
+    from ballet_ray.stages.aggregates import dfs_two_hop
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    out = dfs_two_hop(
+        cust, orders, li,
+        gp_key="c_custkey", parent_gp_key="o_custkey",
+        parent_key="o_orderkey", child_parent_key="l_orderkey",
+        value_cols=["l_quantity"], child_aggs=("count", "sum"),
+        parent_aggs=("count", "sum", "mean"), fill_missing=0.0,
+    ).select_columns(
+        ["c_custkey", "child_count", "child_count_sum", "child_count_mean",
+         "l_quantity_sum_sum", "l_quantity_sum_mean"]
+    )
+    return _round_cols(
+        _cast_cols(out, {"child_count": pa.float64()}),
+        {"child_count_sum": 2, "child_count_mean": 4,
+         "l_quantity_sum_sum": 2, "l_quantity_sum_mean": 4},
+    )
+
+
+SQL_DFS_TWO_HOP_CUSTOMER = """
+WITH l1g AS (
+  SELECT l_orderkey, COUNT(*) AS cc, SUM(l_quantity) AS qs FROM lineitem GROUP BY 1
+),
+l1 AS (
+  SELECT o.o_orderkey, o.o_custkey, COALESCE(g.cc, 0) AS cc, COALESCE(g.qs, 0.0) AS qs
+  FROM orders o LEFT JOIN l1g g ON o.o_orderkey = g.l_orderkey
+),
+l2 AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(cc) AS cc_sum, AVG(cc) AS cc_mean,
+         SUM(qs) AS qs_sum, AVG(qs) AS qs_mean
+  FROM l1 GROUP BY 1
+)
+SELECT c.c_custkey,
+       CAST(COALESCE(l2.n_orders, 0) AS DOUBLE) AS child_count,
+       ROUND(COALESCE(l2.cc_sum, 0.0), 2)       AS child_count_sum,
+       ROUND(COALESCE(l2.cc_mean, 0.0), 4)      AS child_count_mean,
+       ROUND(COALESCE(l2.qs_sum, 0.0), 2)       AS l_quantity_sum_sum,
+       ROUND(COALESCE(l2.qs_mean, 0.0), 4)      AS l_quantity_sum_mean
+FROM customer c LEFT JOIN l2 ON c.c_custkey = l2.o_custkey
+"""
+
+
+def q_dtree_disc_orders(sf_dir: str):
+    """Histogram-CART discretiser (depth 1, 64 equal-width bins): price →
+    leaf mean of ln(price). The SQL oracle replays the identical split
+    search with window functions."""
+    from ballet_ray.stages.trees import DecisionTreeDiscretiser
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def addy(t: pa.Table) -> pa.Table:
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("y", pa.array(np.log(x)))
+
+    ds = ds.map_batches(addy, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_totalprice", DecisionTreeDiscretiser(target_col="y", max_depth=1, bins=64),
+                 output="price_tree")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "price_tree"])
+    return _round_cols(out, {"price_tree": 4})
+
+
+SQL_DTREE_DISC_ORDERS = """
+WITH p AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders),
+d AS (
+  SELECT o_orderkey, LN(o_totalprice) AS y,
+         LEAST(CAST(FLOOR((o_totalprice - p.mn) / ((p.mx - p.mn) / 64.0)) AS INT), 63) AS b
+  FROM orders, p
+),
+h AS (SELECT b, COUNT(*) AS c, SUM(y) AS s, SUM(y*y) AS ss FROM d GROUP BY b),
+tot AS (SELECT SUM(c) AS C, SUM(s) AS S, SUM(ss) AS SS FROM h),
+cand AS (
+  SELECT b, SUM(c) OVER w AS cl, SUM(s) OVER w AS sl, SUM(ss) OVER w AS ssl
+  FROM h WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT cand.b,
+         (ssl - sl*sl/cl) + ((tot.SS - ssl) - (tot.S - sl)*(tot.S - sl)/(tot.C - cl)) AS sse,
+         sl/cl AS lmean, (tot.S - sl)/(tot.C - cl) AS rmean
+  FROM cand, tot WHERE cl > 0 AND cl < tot.C
+),
+best AS (SELECT * FROM scored ORDER BY sse ASC, b ASC LIMIT 1)
+SELECT d.o_orderkey,
+       ROUND(CASE WHEN d.b <= best.b THEN best.lmean ELSE best.rmean END, 4) AS price_tree
+FROM d, best
+"""
+
+
+def q_dtree_encode_priority(sf_dir: str):
+    """DecisionTree category encoder (depth 4 ≥ n_categories-1 guarantees
+    greedy isolation of all 5 priorities → encoding equals the
+    per-category target mean, which the oracle checks end-to-end through
+    the tree machinery)."""
+    from ballet_ray.stages.trees import DecisionTreeEncoder
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", DecisionTreeEncoder(target_col="o_totalprice", max_depth=4),
+                 output="pri_dtree")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_dtree"])
+    return _round_cols(out, {"pri_dtree": 4})
+
+
+SQL_DTREE_ENCODE_PRIORITY = """
+WITH g AS (SELECT o_orderpriority, AVG(o_totalprice) AS m FROM orders GROUP BY 1)
+SELECT o.o_orderkey, ROUND(g.m, 4) AS pri_dtree
+FROM orders o JOIN g USING (o_orderpriority)
+"""
+
+
+def q_glmm_encode_priority(sf_dir: str):
+    """GLMM (intercept-only random effects) target encoding via the
+    method-of-moments shrinkage formula the SQL oracle replicates."""
+    from ballet_ray.stages.encoders_ext import GLMMEncoder
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    pipe = FeatureEngineeringPipeline(
+        [Feature("o_orderpriority", GLMMEncoder(target_col="o_totalprice"), output="pri_glmm")]
+    )
+    out = pipe.fit_transform(ds).select_columns(["o_orderkey", "pri_glmm"])
+    return _round_cols(out, {"pri_glmm": 4})
+
+
+SQL_GLMM_ENCODE_PRIORITY = """
+WITH g AS (
+  SELECT o_orderpriority AS cat, CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+         AVG(o_totalprice) AS m, SUM(o_totalprice * o_totalprice) AS ss
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS N, CAST(COUNT(*) AS DOUBLE) AS k, SUM(n * m) / SUM(n) AS mu,
+         SUM(ss - n * m * m) AS ssw, SUM(n * n) AS sn2
+  FROM g
+),
+parms AS (
+  SELECT N, k, mu,
+         ssw / GREATEST(N - k, 1.0) AS sigma2,
+         (N - sn2 / N) / GREATEST(k - 1.0, 1.0) AS c_n
+  FROM tot
+),
+btw AS (SELECT SUM(g.n * (g.m - p.mu) * (g.m - p.mu)) AS ssb FROM g, parms p),
+parms2 AS (
+  SELECT p.*, GREATEST(0.0, (b.ssb - (p.k - 1.0) * p.sigma2) / GREATEST(p.c_n, 1e-12)) AS tau2
+  FROM parms p, btw b
+),
+enc AS (
+  SELECT g.cat, p.mu + (g.m - p.mu) * (p.tau2 / (p.tau2 + p.sigma2 / g.n)) AS e
+  FROM g, parms2 p
+)
+SELECT o.o_orderkey, ROUND(enc.e, 4) AS pri_glmm
+FROM orders o JOIN enc ON o.o_orderpriority = enc.cat
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -1393,6 +1551,10 @@ QUERIES = {
     "cumsum_events": q_cumsum_events,
     "ts_features_events": q_ts_features_events,
     "dfs_customer_orders": q_dfs_customer_orders,
+    "dfs_two_hop_customer": q_dfs_two_hop_customer,
+    "dtree_disc_orders": q_dtree_disc_orders,
+    "dtree_encode_priority": q_dtree_encode_priority,
+    "glmm_encode_priority": q_glmm_encode_priority,
 }
 
 ORACLE_SQL = {
@@ -1448,4 +1610,8 @@ ORACLE_SQL = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ts_features_events": SQL_TS_FEATURES_EVENTS,
     "dfs_customer_orders": SQL_DFS_CUSTOMER_ORDERS,
+    "dfs_two_hop_customer": SQL_DFS_TWO_HOP_CUSTOMER,
+    "dtree_disc_orders": SQL_DTREE_DISC_ORDERS,
+    "dtree_encode_priority": SQL_DTREE_ENCODE_PRIORITY,
+    "glmm_encode_priority": SQL_GLMM_ENCODE_PRIORITY,
 }

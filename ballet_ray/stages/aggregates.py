@@ -478,6 +478,57 @@ def extract_ts_features(
     return out.union(rdata.from_pandas(pd.DataFrame(rows)))
 
 
+def dfs_two_hop(
+    grandparent,
+    parent,
+    child,
+    *,
+    gp_key: str,
+    parent_gp_key: str,
+    parent_key: str,
+    child_parent_key: str | None = None,
+    value_cols: list[str],
+    child_aggs: tuple = ("count", "sum"),
+    parent_aggs: tuple = ("sum", "mean"),
+    fill_missing: float | None = 0.0,
+):
+    """Depth-2 deep feature synthesis (featuretools-style recursive DFS —
+    reference re-export ballet/eng/external/featuretools.py:1-6): child
+    aggregates roll up to the parent first, then those per-parent features
+    aggregate again to the grandparent, yielding features like
+    SUM(orders.SUM(lineitem.quantity)) and MEAN(orders.COUNT(lineitem)).
+    Composed from two one-level passes, child aggregates first — both
+    combiner-pre-reduced, so no key's raw rows ever funnel into one task.
+    Output columns: the level-2 names ``child_count`` (parents per
+    grandparent) plus ``<level1_col>_<agg>`` for every level-1 feature
+    (e.g. ``child_count_sum``, ``<col>_sum_mean``)."""
+    level1 = dfs_aggregate_features(
+        parent,
+        child,
+        parent_key=parent_key,
+        child_key=child_parent_key,
+        value_cols=value_cols,
+        aggs=child_aggs,
+        fill_missing=fill_missing,
+    )
+    l1_cols = []
+    if "count" in child_aggs:
+        l1_cols.append("child_count")
+    for c in value_cols:
+        for a in child_aggs:
+            if a != "count":
+                l1_cols.append(f"{c}_{a}")
+    return dfs_aggregate_features(
+        grandparent,
+        level1,
+        parent_key=gp_key,
+        child_key=parent_gp_key,
+        value_cols=l1_cols,
+        aggs=parent_aggs,
+        fill_missing=fill_missing,
+    )
+
+
 _DFS_AGGS = ("count", "sum", "mean", "min", "max", "std")
 
 

@@ -352,6 +352,27 @@ def asof_join(
     return both.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
 
 
+def make_backfill_grid(entities, stamps, *, key: str, ts_col: str = "ts"):
+    """Distributed entity×timestamp grid: each batch of distinct entities
+    cross-joins the (small, broadcast-by-closure) timestamp vector inside
+    ``map_batches`` — the entity set never funnels through the driver, so
+    the backfill entry point stays scale-clean at corpus-size cardinality."""
+    stamps = np.asarray(stamps)
+
+    def cross(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:  # schema-less empty block from a shuffle
+            return pa.table({key: pa.array([]), ts_col: pa.array(stamps[:0])})
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: pa.array(np.repeat(k, len(stamps))),
+                ts_col: pa.array(np.tile(stamps, len(k))),
+            }
+        )
+
+    return entities.map_batches(cross, batch_format="pyarrow")
+
+
 def backfill(
     grid,
     features,

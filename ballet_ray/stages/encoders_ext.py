@@ -814,3 +814,75 @@ class PRatioEncoder(FittedTransform):
 
     def output_names(self, cols):
         return [f"{c}_pratio" for c in cols]
+
+
+class GLMMEncoder(FittedTransform):
+    """Intercept-only random-effects target encoding — the last
+    category_encoders member on the reference surface
+    (ballet/eng/external/category_encoders.py:31). The library fits a
+    statsmodels MixedLM; the distributed analog here is the closed-form
+    empirical-Bayes shrinkage of each category mean toward the grand mean,
+    with variance components from the one-way-ANOVA method of moments
+    (Cochran) — all derived from ONE grouped-moments pass:
+
+        sigma2 = within-category SSE / (N - k)       (pooled residual var)
+        c_n    = (N - Σn_c²/N) / (k - 1)
+        tau2   = max(0, (between SS - (k-1)·sigma2) / c_n)
+        enc(c) = mu + (ȳ_c - mu) · tau2 / (tau2 + sigma2 / n_c)
+
+    Unknown categories at transform → the grand mean mu (zero random
+    effect), matching the library's behavior for unseen levels."""
+
+    def __init__(self, target_col: str):
+        self.target_col = target_col
+        self.fitted_ = None
+
+    def agg_requests(self, cols):
+        return [("grouped_moments", self.target_col, c) for c in cols]
+
+    @staticmethod
+    def _shrink(gm: dict) -> dict:
+        cats = list(gm)
+        n = np.array([gm[g]["count"] for g in cats], dtype=np.float64)
+        m = np.array([gm[g]["mean"] for g in cats], dtype=np.float64)
+        sd0 = np.array([gm[g]["std0"] for g in cats], dtype=np.float64)
+        N, k = float(n.sum()), len(cats)
+        mu = float((n * m).sum() / N) if N else np.nan
+        ss_within = float((n * sd0 * sd0).sum())
+        sigma2 = ss_within / max(N - k, 1.0)
+        ss_between = float((n * (m - mu) ** 2).sum())
+        c_n = (N - float((n * n).sum()) / N) / max(k - 1, 1) if N else 1.0
+        tau2 = max(0.0, (ss_between - (k - 1) * sigma2) / max(c_n, 1e-12))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            enc = mu + (m - mu) * (tau2 / (tau2 + sigma2 / np.maximum(n, 1.0)))
+        return {"mu": mu, "enc": {c: float(e) for c, e in zip(cats, enc)}}
+
+    def bind_fit_results(self, cols, results):
+        self.fitted_ = {
+            c: self._shrink(results[("grouped_moments", self.target_col, c)]) for c in cols
+        }
+
+    def fit_table(self, table, cols):
+        y = _col_f64(table, self.target_col)
+        acc = {}
+        for c in cols:
+            k = table.column(c).to_pandas()
+            df = pd.DataFrame({"k": k, "y": y}).dropna()
+            gm = {
+                g: {"count": float(len(v)), "mean": float(v.mean()), "std0": float(v.std(ddof=0))}
+                for g, v in df.groupby("k")["y"]
+            }
+            acc[c] = self._shrink(gm)
+        self.fitted_ = acc
+
+    def transform_table(self, table, cols):
+        self._check_fitted()
+        out = {}
+        for c in cols:
+            st = self.fitted_[c]
+            vals = pd.Series(table.column(c).to_pandas()).map(st["enc"])
+            out[f"{c}_glmm"] = pa.array(vals.fillna(st["mu"]).to_numpy(dtype=np.float64))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_glmm" for c in cols]
