@@ -301,11 +301,14 @@ def q_asof_click_purchase(sf_dir: str):
     clicks = ev.map_batches(split_left, batch_format="pyarrow")
     purchases = ev.map_batches(split_right, batch_format="pyarrow")
 
-    # dedupe right per (user, ts): keep max value (deterministic) — an
-    # aggregate, not map_groups: tree-reduce beats per-group pandas
-    from ray.data.aggregate import Max
+    # dedupe right per (user, ts): keep max value (deterministic) — the
+    # coarse-partition grouped_reduce (the (user, ts) key is one group per
+    # purchase row; Ray's per-group combine costs ~60 µs per distinct key)
+    from ballet_ray.functions.reduce import grouped_reduce
 
-    purchases = purchases.groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
+    purchases = grouped_reduce(
+        purchases, ["user_id", "ts"], {"value": "max"}, pre_combine=True
+    )
     out = asof_join(
         clicks,
         purchases.map_batches(lambda t: t.rename_columns(["user_id", "ts", "last_purchase_value"]), batch_format="pyarrow"),
@@ -332,18 +335,22 @@ FROM clicks c ASOF LEFT JOIN purchases p
 
 
 def q_tumbling_window_events(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ballet_ray.functions.reduce import grouped_reduce
 
     ds = _events(sf_dir)
 
     def bucket(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t.column("ts"), unit="hour")
-        return t.append_column("window_start", hour)
+        t = t.append_column("window_start", hour)
+        t = t.append_column("n_events", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.append_column("sum_value", t.column("value"))
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    # (user, window) is high-cardinality → coarse-partition grouped_reduce
+    out = grouped_reduce(
+        ds.map_batches(bucket, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        {"n_events": "sum", "sum_value": "sum"},
+        pre_combine=True,
     )
     return _round_cols(out, {"sum_value": 2})
 
@@ -655,14 +662,14 @@ def q_backfill_grid(sf_dir: str):
     the north rule's entity×timestamp grid materialization."""
     from ballet_ray.stages.asof import backfill, make_backfill_grid
 
+    from ballet_ray.functions.reduce import distinct_keys, grouped_reduce
+
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     # distributed grid: distinct users stay a Dataset, stamps broadcast
-    users = ev.groupby("user_id").count().select_columns(["user_id"])
+    users = distinct_keys(ev, "user_id")
     stamps = pd.to_datetime(["2024-01-10", "2024-02-01", "2024-03-01"]).values.astype("datetime64[us]")
     grid = make_backfill_grid(users, stamps, key="user_id", ts_col="ts")
-    from ray.data.aggregate import Max
-
-    dedup = ev.groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
+    dedup = grouped_reduce(ev, ["user_id", "ts"], {"value": "max"}, pre_combine=True)
     out = backfill(grid, dedup, on="ts", by="user_id", feature_cols=["value"])
     return out.select_columns(["user_id", "ts", "value"])
 
@@ -723,8 +730,10 @@ WHERE l_orderkey IN (
 def q_distinct_users_per_type(sf_dir: str):
     """COUNT(DISTINCT user_id) per event_type — two-level pre-aggregation
     (distinct pairs first, then count) instead of shipping raw rows."""
+    from ballet_ray.functions.reduce import distinct_keys
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    pairs = ds.groupby(["event_type", "user_id"]).count().select_columns(["event_type", "user_id"])
+    pairs = distinct_keys(ds, ["event_type", "user_id"])
     out = pairs.groupby("event_type").count()
     return out.map_batches(
         lambda t: t.rename_columns(["event_type", "n_users"]), batch_format="pyarrow"
@@ -739,11 +748,19 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event
 def q_grouped_minmax_broadcast(sf_dir: str):
     """Per-user min/max joined back to every row via broadcast — the
     computed-small-side broadcast join pattern."""
-    from ray.data.aggregate import Max, Min
+    from ballet_ray.functions.reduce import grouped_reduce
 
     ds = _events(sf_dir)
-    stats = ds.groupby("user_id").aggregate(
-        Min("value", alias_name="user_min"), Max("value", alias_name="user_max")
+    stats = grouped_reduce(
+        ds.map_batches(
+            lambda t: t.append_column("user_min", t.column("value")).append_column(
+                "user_max", t.column("value")
+            ),
+            batch_format="pyarrow",
+        ),
+        "user_id",
+        {"user_min": "min", "user_max": "max"},
+        pre_combine=True,
     )
     out = broadcast_join(ds, stats, key="user_id", value_cols=["user_min", "user_max"])
     return out.select_columns(["event_id", "user_id", "user_min", "user_max"])
@@ -1495,6 +1512,100 @@ FROM orders o JOIN enc ON o.o_orderpriority = enc.cat
 """
 
 
+def q_ts_features_full_events(sf_dir: str):
+    """The full tsfresh-style catalogue (23 features) per user — moments,
+    quantiles, diff stats, mean crossings, least-squares trend — every
+    member skew-safe via bounded hot-entity passes."""
+    from ballet_ray.stages.aggregates import _TS_FEATURES_FULL, extract_ts_features
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"])
+    out = extract_ts_features(
+        ds, key="user_id", order_by=["ts", "event_id"], value_col="value",
+        features=_TS_FEATURES_FULL,
+    )
+    return _round_cols(
+        out,
+        {
+            "value_mean": 4, "value_std": 4, "value_variance": 4, "value_min": 4,
+            "value_max": 4, "value_median": 4, "value_quantile_25": 4,
+            "value_quantile_75": 4, "value_skewness": 4, "value_kurtosis": 4,
+            "value_root_mean_square": 4, "value_sum": 2, "value_abs_energy": 2,
+            "value_mean_abs_change": 4, "value_absolute_sum_of_changes": 2,
+            "value_mean_change": 6, "value_cid_ce": 2, "value_ratio_beyond_2sigma": 6,
+            "value_linear_trend_slope": 6,
+        },
+    )
+
+
+SQL_TS_FEATURES_FULL_EVENTS = """
+WITH e AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p
+  FROM events WHERE value IS NOT NULL
+),
+base AS (
+  SELECT user_id,
+         COUNT(*) AS n, SUM(value) AS sum_v, AVG(value) AS mean_v,
+         STDDEV_POP(value) AS std_v, VAR_POP(value) AS var_v,
+         MIN(value) AS min_v, MAX(value) AS max_v,
+         QUANTILE_CONT(value, 0.5) AS med_v,
+         QUANTILE_CONT(value, 0.25) AS q25_v, QUANTILE_CONT(value, 0.75) AS q75_v,
+         SUM(value * value) AS abs_energy, SQRT(AVG(value * value)) AS rms_v,
+         SUM(p * value) AS spx, SUM(CAST(p AS DOUBLE) * p) AS sp2
+  FROM e GROUP BY user_id
+),
+cent AS (
+  SELECT e.user_id,
+         CAST(SUM(CASE WHEN e.value > b.mean_v THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN e.value < b.mean_v THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         AVG(CASE WHEN ABS(e.value - b.mean_v) > 2 * b.std_v THEN 1.0 ELSE 0.0 END) AS beyond2,
+         AVG(POWER(e.value - b.mean_v, 3)) AS m3,
+         AVG(POWER(e.value - b.mean_v, 4)) AS m4
+  FROM e JOIN base b USING (user_id) GROUP BY e.user_id
+),
+lagd AS (
+  SELECT e.user_id, e.value, b.mean_v,
+         LAG(e.value) OVER (PARTITION BY e.user_id ORDER BY e.p) AS lv
+  FROM e JOIN base b USING (user_id)
+),
+diffs AS (
+  SELECT user_id,
+         AVG(ABS(value - lv)) AS mac,
+         SUM(ABS(value - lv)) AS asoc,
+         SUM(value - lv) / COUNT(*) AS mean_chg,
+         SQRT(SUM((value - lv) * (value - lv))) AS cid,
+         CAST(SUM(CASE WHEN (value > mean_v) <> (lv > mean_v) THEN 1 ELSE 0 END) AS BIGINT) AS xc
+  FROM lagd WHERE lv IS NOT NULL GROUP BY user_id
+)
+SELECT b.user_id,
+       ROUND(b.mean_v, 4)  AS value_mean,
+       ROUND(b.std_v, 4)   AS value_std,
+       ROUND(b.min_v, 4)   AS value_min,
+       ROUND(b.max_v, 4)   AS value_max,
+       ROUND(b.med_v, 4)   AS value_median,
+       ROUND(b.abs_energy, 2) AS value_abs_energy,
+       ROUND(d.mac, 4)     AS value_mean_abs_change,
+       c.n_above           AS value_count_above_mean,
+       CAST(b.n AS BIGINT) AS value_n,
+       ROUND(b.sum_v, 2)   AS value_sum,
+       ROUND(b.var_v, 4)   AS value_variance,
+       ROUND(c.m3 / POWER(b.std_v, 3), 4) AS value_skewness,
+       ROUND(c.m4 / POWER(b.std_v, 4) - 3.0, 4) AS value_kurtosis,
+       ROUND(b.rms_v, 4)   AS value_root_mean_square,
+       ROUND(b.q25_v, 4)   AS value_quantile_25,
+       ROUND(b.q75_v, 4)   AS value_quantile_75,
+       ROUND(d.asoc, 2)    AS value_absolute_sum_of_changes,
+       ROUND(d.mean_chg, 6) AS value_mean_change,
+       ROUND(d.cid, 2)     AS value_cid_ce,
+       c.n_below           AS value_count_below_mean,
+       ROUND(c.beyond2, 6) AS value_ratio_beyond_2sigma,
+       d.xc                AS value_number_crossings_mean,
+       ROUND((b.spx - (b.n - 1) / 2.0 * b.sum_v)
+             / (b.sp2 - b.n * POWER((b.n - 1) / 2.0, 2)), 6) AS value_linear_trend_slope
+FROM base b JOIN cent c USING (user_id) JOIN diffs d USING (user_id)
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -1555,6 +1666,7 @@ QUERIES = {
     "dtree_disc_orders": q_dtree_disc_orders,
     "dtree_encode_priority": q_dtree_encode_priority,
     "glmm_encode_priority": q_glmm_encode_priority,
+    "ts_features_full_events": q_ts_features_full_events,
 }
 
 ORACLE_SQL = {
@@ -1614,4 +1726,5 @@ ORACLE_SQL = {
     "dtree_disc_orders": SQL_DTREE_DISC_ORDERS,
     "dtree_encode_priority": SQL_DTREE_ENCODE_PRIORITY,
     "glmm_encode_priority": SQL_GLMM_ENCODE_PRIORITY,
+    "ts_features_full_events": SQL_TS_FEATURES_FULL_EVENTS,
 }

@@ -46,37 +46,110 @@ _TS_FEATURES = (
     "n",
 )
 
+# the full tsfresh-style catalogue (tsfresh.feature_extraction.feature_calculators
+# names where they exist; population-moment definitions, linear-interpolated
+# quantiles, 0-based index positions for the trend). Every member has BOTH a
+# whole-series kernel and a bounded-per-task hot-entity path.
+_TS_FEATURES_FULL = _TS_FEATURES + (
+    "sum",
+    "variance",
+    "skewness",
+    "kurtosis",
+    "root_mean_square",
+    "quantile_25",
+    "quantile_75",
+    "absolute_sum_of_changes",
+    "mean_change",
+    "cid_ce",
+    "count_below_mean",
+    "ratio_beyond_2sigma",
+    "number_crossings_mean",
+    "linear_trend_slope",
+)
+
 
 def _per_entity_stats(x: np.ndarray, features) -> dict:
-    """Whole-series kernel (non-hot path); x already NaN-filtered."""
+    """Whole-series kernel (non-hot path); x already NaN-filtered and in
+    entity order. Definitions shared with the hot path: population moments
+    (skew = m3/sigma^3, kurtosis = m4/sigma^4 - 3), np.quantile linear
+    interpolation, crossings of the mean counted as (x_t > mu) flips,
+    least-squares slope against 0-based positions."""
     row: dict = {}
     n = len(x)
+    mu = float(x.mean()) if n else np.nan
+    sigma = float(x.std()) if n else np.nan
+    d = np.diff(x) if n > 1 else np.empty(0)
     for f in features:
         if f == "n":
             row["n"] = n
+        elif f == "sum":
+            row["sum"] = float(x.sum())
         elif f == "mean":
-            row["mean"] = x.mean() if n else np.nan
+            row["mean"] = mu
         elif f == "std":
-            row["std"] = x.std() if n else np.nan
+            row["std"] = sigma
+        elif f == "variance":
+            row["variance"] = sigma * sigma if n else np.nan
+        elif f == "skewness":
+            row["skewness"] = (
+                float(((x - mu) ** 3).mean() / sigma**3) if n and sigma > 0 else np.nan
+            )
+        elif f == "kurtosis":
+            row["kurtosis"] = (
+                float(((x - mu) ** 4).mean() / sigma**4 - 3.0) if n and sigma > 0 else np.nan
+            )
+        elif f == "root_mean_square":
+            row["root_mean_square"] = float(np.sqrt((x * x).mean())) if n else np.nan
         elif f == "min":
             row["min"] = x.min() if n else np.nan
         elif f == "max":
             row["max"] = x.max() if n else np.nan
         elif f == "median":
             row["median"] = float(np.median(x)) if n else np.nan
+        elif f == "quantile_25":
+            row["quantile_25"] = float(np.quantile(x, 0.25)) if n else np.nan
+        elif f == "quantile_75":
+            row["quantile_75"] = float(np.quantile(x, 0.75)) if n else np.nan
         elif f == "abs_energy":
             row["abs_energy"] = float((x * x).sum())
         elif f == "mean_abs_change":
-            row["mean_abs_change"] = float(np.abs(np.diff(x)).mean()) if n > 1 else np.nan
+            row["mean_abs_change"] = float(np.abs(d).mean()) if n > 1 else np.nan
+        elif f == "absolute_sum_of_changes":
+            row["absolute_sum_of_changes"] = float(np.abs(d).sum())
+        elif f == "mean_change":
+            row["mean_change"] = float((x[-1] - x[0]) / (n - 1)) if n > 1 else np.nan
+        elif f == "cid_ce":
+            row["cid_ce"] = float(np.sqrt((d * d).sum()))
         elif f == "count_above_mean":
-            row["count_above_mean"] = int((x > x.mean()).sum()) if n else 0
+            row["count_above_mean"] = int((x > mu).sum()) if n else 0
+        elif f == "count_below_mean":
+            row["count_below_mean"] = int((x < mu).sum()) if n else 0
+        elif f == "ratio_beyond_2sigma":
+            row["ratio_beyond_2sigma"] = (
+                float((np.abs(x - mu) > 2 * sigma).mean()) if n else np.nan
+            )
+        elif f == "number_crossings_mean":
+            row["number_crossings_mean"] = (
+                int(((x[1:] > mu) != (x[:-1] > mu)).sum()) if n > 1 else 0
+            )
+        elif f == "linear_trend_slope":
+            if n > 1:
+                p = np.arange(n, dtype=np.float64)
+                pbar = (n - 1) / 2.0
+                row["linear_trend_slope"] = float(
+                    ((p * x).sum() - pbar * x.sum()) / ((p * p).sum() - n * pbar * pbar)
+                )
+            else:
+                row["linear_trend_slope"] = np.nan
     return row
 
 
 def _grouped_count(ds, key: str):
-    """Mergeable per-key row count: per-batch pandas combiner → grouped
-    Sum. The shuffle ships one (key, partial) row per batch per key."""
-    from ray.data.aggregate import Sum
+    """Mergeable per-key row count: per-batch pandas combiner → coarse-
+    partition grouped_reduce (the key is high-cardinality, where Ray's
+    per-group combine costs ~60 µs/key/task). The shuffle ships one
+    (key, partial) row per batch per key."""
+    from ballet_ray.functions.reduce import grouped_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
@@ -85,11 +158,10 @@ def _grouped_count(ds, key: str):
         )["__cnt"].sum()
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    return (
-        ds.select_columns([key])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Sum("__cnt", alias_name="__cnt"))
+    return grouped_reduce(
+        ds.select_columns([key]).map_batches(partial, batch_format="pyarrow"),
+        key,
+        {"__cnt": "sum"},
     )
 
 
@@ -103,12 +175,13 @@ def _hot_base_stats(hot_ds, key: str, value_col: str) -> pd.DataFrame:
         k = t.column(key).to_numpy(zero_copy_only=False)
         x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(x)
+        xv = np.where(ok, x, 0.0)
         df = pd.DataFrame(
             {
                 key: k,
                 "__n": ok.astype(np.int64),
-                "__s": np.where(ok, x, 0.0),
-                "__ss": np.where(ok, x * x, 0.0),
+                "__s": xv,
+                "__ss": xv * xv,
                 "__mn": np.where(ok, x, np.inf),
                 "__mx": np.where(ok, x, -np.inf),
             }
@@ -136,12 +209,16 @@ def _hot_base_stats(hot_ds, key: str, value_col: str) -> pd.DataFrame:
     with np.errstate(invalid="ignore", divide="ignore"):
         mean = s / n
         var = np.maximum(ss / n - mean * mean, 0.0)
+        rms = np.sqrt(ss / n)
     out = pd.DataFrame(
         {
             key: agg[key],
             "n": agg["__n"].astype(np.int64),
+            "sum": s,
             "mean": np.where(n > 0, mean, np.nan),
             "std": np.where(n > 0, np.sqrt(var), np.nan),
+            "variance": np.where(n > 0, var, np.nan),
+            "root_mean_square": np.where(n > 0, rms, np.nan),
             "min": np.where(n > 0, agg["__mn"].to_numpy(), np.nan),
             "max": np.where(n > 0, agg["__mx"].to_numpy(), np.nan),
             "abs_energy": ss,
@@ -150,121 +227,176 @@ def _hot_base_stats(hot_ds, key: str, value_col: str) -> pd.DataFrame:
     return out
 
 
-def _hot_count_above_mean(hot_ds, key: str, value_col: str, means: dict) -> dict:
-    """Second mergeable pass with the (tiny) hot-key means broadcast in the
-    task closure: per-batch partial counts of value > mean(key) → Sum."""
+def _hot_centered_stats(hot_ds, key: str, value_col: str, means: dict, stds: dict) -> pd.DataFrame:
+    """Second mergeable pass with the (tiny) hot-key means/stds broadcast
+    in the task closure: per-batch partial counts of value above/below the
+    key's mean and beyond 2 sigma, plus CENTERED third/fourth moment sums
+    (numerically stable skew/kurtosis — raw-moment differences cancel
+    catastrophically at corpus magnitudes)."""
     from ray.data.aggregate import Sum
 
-    def partial(t: pa.Table, means=means) -> pa.Table:
+    def partial(t: pa.Table, means=means, stds=stds) -> pa.Table:
         k = t.column(key).to_numpy(zero_copy_only=False)
         x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
         mu = pd.Series(k).map(means).to_numpy(dtype=np.float64)
-        above = (x > mu).astype(np.int64)  # NaN compares False, like SQL
-        g = pd.DataFrame({key: k, "__a": above}).groupby(key, sort=False)["__a"].sum()
+        sd = pd.Series(k).map(stds).to_numpy(dtype=np.float64)
+        ok = ~np.isnan(x)
+        c = np.where(ok, x - mu, 0.0)
+        g = pd.DataFrame(
+            {
+                key: k,
+                "__a": (x > mu).astype(np.int64),  # NaN compares False, like SQL
+                "__b": (x < mu).astype(np.int64),
+                "__y": (np.abs(np.where(ok, c, 0.0)) > 2 * sd).astype(np.int64),
+                "__c3": c * c * c,
+                "__c4": c * c * c * c,
+            }
+        ).groupby(key, sort=False).sum()
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    agg = (
+    return (
         hot_ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key)
-        .aggregate(Sum("__a", alias_name="__a"))
+        .aggregate(
+            Sum("__a", alias_name="__a"),
+            Sum("__b", alias_name="__b"),
+            Sum("__y", alias_name="__y"),
+            Sum("__c3", alias_name="__c3"),
+            Sum("__c4", alias_name="__c4"),
+        )
         .to_pandas()
     )
-    return dict(zip(agg[key], agg["__a"].astype(np.int64)))
 
 
-def _hot_mean_abs_change(hot_ds, key: str, order_by: list, value_col: str,
-                         skew_threshold: int, slice_target: int) -> dict:
-    """Order-dependent |x - lag(x)| via the hot-sliced keyed Difference
-    pass (exact across time-slice boundaries by carried state), then a
-    mergeable Sum/count reduction."""
+def _hot_ordered_stats(hot_ds, key: str, order_by: list, value_col: str, means: dict,
+                       skew_threshold: int, slice_target: int) -> pd.DataFrame:
+    """All ORDER-dependent hot-entity reductions in one pass: a hot-sliced
+    keyed Lag(1) + CumCount pass (exact across time-slice boundaries by
+    carried state) attaches each row's predecessor value and 0-based
+    position, then a mergeable partial reduction derives
+
+      sum|d| / sum d / sum d^2 / n_d   (mean_abs_change, absolute_sum_of_
+                                        changes, mean_change, cid_ce)
+      crossings of the broadcast mean   (number_crossings_mean)
+      sum(pos * x)                      (linear_trend_slope — sum(pos) and
+                                        sum(pos^2) are closed-form in n)
+    """
     from ray.data.aggregate import Sum
 
-    from ballet_ray.stages.windows import Difference, apply_keyed
+    from ballet_ray.stages.windows import CumCount, Lag, apply_keyed
 
-    t = Difference(1, key, tuple(order_by))
-    dcol = t.output_names([value_col])[0]
-    diffd = apply_keyed(
+    t_lag = Lag(1, key, tuple(order_by))
+    t_cc = CumCount(key, tuple(order_by))
+    lagc = t_lag.output_names([value_col])[0]
+    ext = apply_keyed(
         hot_ds,
-        [(t, [value_col], [dcol])],
+        [(t_lag, [value_col], [lagc]), (t_cc, [value_col], ["cum_count"])],
         key,
         tuple(order_by),
         skew_threshold=skew_threshold,
         slice_target=slice_target,
     )
 
-    def partial(t_: pa.Table) -> pa.Table:
+    def partial(t_: pa.Table, means=means) -> pa.Table:
         k = t_.column(key).to_numpy(zero_copy_only=False)
-        d = t_.column(dcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = t_.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lg = t_.column(lagc).to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = t_.column("cum_count").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = pd.Series(k).map(means).to_numpy(dtype=np.float64)
+        d = x - lg
         ok = ~np.isnan(d)
+        has_prev = ~np.isnan(lg) & ~np.isnan(x)
         g = pd.DataFrame(
-            {key: k, "__sd": np.where(ok, np.abs(d), 0.0), "__nd": ok.astype(np.int64)}
-        ).groupby(key, sort=False).agg({"__sd": "sum", "__nd": "sum"})
+            {
+                key: k,
+                "__sad": np.where(ok, np.abs(d), 0.0),
+                "__sd": np.where(ok, d, 0.0),
+                "__sd2": np.where(ok, d * d, 0.0),
+                "__nd": ok.astype(np.int64),
+                "__xc": (has_prev & ((x > mu) != (lg > mu))).astype(np.int64),
+                "__spx": np.where(np.isnan(x), 0.0, pos * x),
+            }
+        ).groupby(key, sort=False).sum()
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    agg = (
-        diffd.select_columns([key, dcol])
+    return (
+        ext.select_columns([key, value_col, lagc, "cum_count"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(key)
-        .aggregate(Sum("__sd", alias_name="__sd"), Sum("__nd", alias_name="__nd"))
+        .aggregate(
+            Sum("__sad", alias_name="__sad"),
+            Sum("__sd", alias_name="__sd"),
+            Sum("__sd2", alias_name="__sd2"),
+            Sum("__nd", alias_name="__nd"),
+            Sum("__xc", alias_name="__xc"),
+            Sum("__spx", alias_name="__spx"),
+        )
         .to_pandas()
     )
-    out = {}
-    for _, r in agg.iterrows():
-        out[r[key]] = float(r["__sd"] / r["__nd"]) if r["__nd"] > 0 else np.nan
-    return out
 
 
-def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
-                collect_cap: int = 500_000, buckets: int = 256, max_iters: int = 12) -> dict:
-    """Exact per-key median for hot entities by distributed bucket
-    selection: iteratively histogram each key's value range (mergeable
-    per-batch partial counts → grouped Sum), locate the bucket(s) holding
-    the two middle ranks, and either narrow the range or — once the
-    candidate bucket is under ``collect_cap`` rows OR its width shrinks to
-    float resolution (duplicate-heavy data) — collect just that range as
-    DISTINCT (value, count) partials and select exactly by rank. Never
-    materializes a hot entity."""
+def _hot_quantiles(hot_ds, key: str, value_col: str, base: pd.DataFrame, qs,
+                   collect_cap: int = 500_000, buckets: int = 256, max_iters: int = 12) -> dict:
+    """Exact per-key quantiles (np.quantile linear interpolation) for hot
+    entities by distributed bucket selection: iteratively histogram each
+    (key, q)'s value range (mergeable per-batch partial counts -> grouped
+    Sum), locate the bucket(s) holding the two bracketing ranks
+    r1 = floor((n-1)q), r2 = ceil((n-1)q), and either narrow the range or
+    -- once the candidate bucket is under ``collect_cap`` rows OR its width
+    shrinks to float resolution (duplicate-heavy data) -- collect just that
+    range as DISTINCT (value, count) partials and interpolate exactly by
+    rank. All requested quantiles share each histogram/collect pass (one
+    range entry per (key, q)); a hot entity is never materialized. Returns
+    {q: {key: value}}."""
     from ray.data.aggregate import Sum
 
-    state = {}
+    qs = list(qs)
+    state: dict = {}
     for _, r in base.iterrows():
         n = int(r["n"])
-        if n == 0:
-            state[r[key]] = None  # all-null → NaN median
-            continue
-        state[r[key]] = {
-            "lo": float(r["min"]),
-            "hi": float(r["max"]),
-            "n": n,
-            "r1": (n - 1) // 2,
-            "r2": n // 2,
-            "below": 0,  # count of values < lo across the whole series
-            "done": None,
-        }
-    result = {k: np.nan for k in state}
-    active = {k: v for k, v in state.items() if v is not None}
+        for q in qs:
+            if n == 0:
+                state[(r[key], q)] = None  # all-null -> NaN
+                continue
+            pos = (n - 1) * q
+            r1 = int(np.floor(pos))
+            state[(r[key], q)] = {
+                "lo": float(r["min"]),
+                "hi": float(r["max"]),
+                "n": n,
+                "r1": r1,
+                "r2": int(np.ceil(pos)),
+                "w": float(pos - r1),
+                "below": 0,  # count of values < lo across the whole series
+                "done": None,
+            }
+    result = {lbl: np.nan for lbl in state}
+    active = {lbl: v for lbl, v in state.items() if v is not None}
 
     for _ in range(max_iters):
-        active = {k: v for k, v in active.items() if v["done"] is None}
+        active = {lbl: v for lbl, v in active.items() if v["done"] is None}
         if not active:
             break
-        # degenerate range → every in-range value equals lo
-        for k, st in list(active.items()):
+        # degenerate range -> every in-range value equals lo
+        for lbl, st in list(active.items()):
             if st["hi"] <= st["lo"]:
-                result[k] = st["lo"]
+                result[lbl] = st["lo"]
                 st["done"] = True
-        active = {k: v for k, v in active.items() if v["done"] is None}
+        active = {lbl: v for lbl, v in active.items() if v["done"] is None}
         if not active:
             break
         edges = {
-            k: np.linspace(st["lo"], st["hi"], buckets + 1) for k, st in active.items()
+            lbl: np.linspace(st["lo"], st["hi"], buckets + 1) for lbl, st in active.items()
         }
+        tag_of = {lbl: i for i, lbl in enumerate(active)}  # per-range tag: same
+        # (key, bucket) under different q ranges must NOT merge counts
 
-        def hist_partial(t: pa.Table, edges=edges) -> pa.Table:
+        def hist_partial(t: pa.Table, edges=edges, tag_of=tag_of) -> pa.Table:
             k = t.column(key).to_numpy(zero_copy_only=False)
             x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
             frames = []
-            for kk, e in edges.items():
+            for lbl, e in edges.items():
+                kk = lbl[0]
                 m = (k == kk) & ~np.isnan(x)
                 if not m.any():
                     continue
@@ -274,11 +406,11 @@ def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
                 cnt = np.bincount(b, minlength=buckets)
                 nz = np.flatnonzero(cnt)
                 frames.append(
-                    pd.DataFrame({key: kk, "__b": nz, "__c": cnt[nz].astype(np.int64)})
+                    pd.DataFrame({"__t": tag_of[lbl], "__b": nz, "__c": cnt[nz].astype(np.int64)})
                 )
             if not frames:
                 return pa.table(
-                    {key: pa.array([], type=t.column(key).type),
+                    {"__t": pa.array([], type=pa.int64()),
                      "__b": pa.array([], type=pa.int64()),
                      "__c": pa.array([], type=pa.int64())}
                 )
@@ -286,26 +418,26 @@ def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
 
         hist = (
             hot_ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby([key, "__b"])
+            .groupby(["__t", "__b"])
             .aggregate(Sum("__c", alias_name="__c"))
-            .to_pandas()  # ≤ hot_keys × buckets rows
+            .to_pandas()  # <= (hot_keys x qs) x buckets rows
         )
         collect_ranges = {}
-        for kk, st in active.items():
-            sub = hist[hist[key] == kk].sort_values("__b")
+        for lbl, st in active.items():
+            sub = hist[hist["__t"] == tag_of[lbl]].sort_values("__b")
             cnt = np.zeros(buckets, dtype=np.int64)
             cnt[sub["__b"].to_numpy()] = sub["__c"].to_numpy()
             cum = np.concatenate([[0], np.cumsum(cnt)])
-            e = edges[kk]
-            # both middle ranks, relative to values >= lo (st["below"] are smaller)
+            e = edges[lbl]
+            # both bracketing ranks, relative to values >= lo (st["below"] are smaller)
             need = [st["r1"] - st["below"], st["r2"] - st["below"]]
-            bsel = [int(np.searchsorted(cum, q, side="right") - 1) for q in need]
+            bsel = [int(np.searchsorted(cum, rk, side="right") - 1) for rk in need]
             b_lo, b_hi = min(bsel), max(bsel)
             span = int(cum[b_hi + 1] - cum[b_lo])
             width = float(e[b_hi + 1] - e[b_lo])
             at_resolution = width <= 16 * np.spacing(max(abs(e[b_lo]), abs(e[b_hi + 1]), 1.0))
             # duplicate-heavy data: the candidate span stops shrinking once
-            # only (near-)identical values remain — count-based narrowing
+            # only (near-)identical values remain -- count-based narrowing
             # can't converge, but the DISTINCT values in the range are few
             if span == st.get("last_span"):
                 st["stuck"] = st.get("stuck", 0) + 1
@@ -316,11 +448,11 @@ def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
                 # distinct-value collect: duplicate-heavy buckets stay over
                 # the row cap forever, but their DISTINCT values are few
                 # once the range is at float resolution
-                collect_ranges[kk] = (e[b_lo], e[b_hi + 1], st["below"] + int(cum[b_lo]))
+                collect_ranges[lbl] = (e[b_lo], e[b_hi + 1], st["below"] + int(cum[b_lo]))
                 st["done"] = "collect"
             else:
                 # narrow to the single bucket holding both ranks (they are
-                # at most adjacent; if they straddle, span is 2 buckets —
+                # at most adjacent; if they straddle, span is 2 buckets --
                 # still narrow, re-histogram the combined range)
                 st["below"] += int(cum[b_lo])
                 st["lo"], st["hi"] = float(e[b_lo]), float(e[b_hi + 1])
@@ -328,20 +460,23 @@ def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
         if collect_ranges:
             from ray.data.aggregate import Sum as _Sum
 
-            def grab(t: pa.Table, cr=collect_ranges) -> pa.Table:
+            ctag = {lbl: i for i, lbl in enumerate(collect_ranges)}
+
+            def grab(t: pa.Table, cr=collect_ranges, ctag=ctag) -> pa.Table:
                 k = t.column(key).to_numpy(zero_copy_only=False)
                 x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
                 frames = []
-                for kk, (lo, hi, _) in cr.items():
+                for lbl, (lo, hi, _) in cr.items():
+                    kk = lbl[0]
                     m = (k == kk) & ~np.isnan(x) & (x >= lo) & (x <= hi)
                     if m.any():
                         uv, uc = np.unique(x[m], return_counts=True)
                         frames.append(
-                            pd.DataFrame({key: kk, "__v": uv, "__c": uc.astype(np.int64)})
+                            pd.DataFrame({"__t": ctag[lbl], "__v": uv, "__c": uc.astype(np.int64)})
                         )
                 if not frames:
                     return pa.table(
-                        {key: pa.array([], type=t.column(key).type),
+                        {"__t": pa.array([], type=pa.int64()),
                          "__v": pa.array([], type=pa.float64()),
                          "__c": pa.array([], type=pa.int64())}
                     )
@@ -349,27 +484,41 @@ def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
 
             vals = (
                 hot_ds.map_batches(grab, batch_format="pyarrow")
-                .groupby([key, "__v"])
+                .groupby(["__t", "__v"])
                 .aggregate(_Sum("__c", alias_name="__c"))
-                .to_pandas()  # distinct in-range values per key — bounded
+                .to_pandas()  # distinct in-range values per (key, q) -- bounded
             )
-            for kk, (lo, hi, below) in collect_ranges.items():
-                sub = vals.loc[vals[key] == kk].sort_values("__v")
+            for lbl, (lo, hi, below) in collect_ranges.items():
+                sub = vals.loc[vals["__t"] == ctag[lbl]].sort_values("__v")
                 uv = sub["__v"].to_numpy()
                 cum = np.cumsum(sub["__c"].to_numpy())
-                st = active[kk]
-                # global ranks r1/r2 → local ranks after `below` smaller values;
+                st = active[lbl]
+                # global ranks r1/r2 -> local ranks after `below` smaller values;
                 # a rank r lands on the first distinct value whose cumcount > r
                 picks = []
-                for r in (st["r1"] - below, st["r2"] - below):
-                    picks.append(uv[int(np.searchsorted(cum, r, side="right"))])
-                result[kk] = float((picks[0] + picks[1]) / 2.0)
-    for kk, st in state.items():
-        if st is not None and np.isnan(result.get(kk, np.nan)) and st.get("done") is None:
+                for rk in (st["r1"] - below, st["r2"] - below):
+                    picks.append(uv[int(np.searchsorted(cum, rk, side="right"))])
+                # np.quantile linear interpolation between the bracketing ranks
+                result[lbl] = float(picks[0] * (1.0 - st["w"]) + picks[1] * st["w"])
+    for lbl, st in state.items():
+        if st is not None and np.isnan(result.get(lbl, np.nan)) and st.get("done") is None:
             # unresolved after max_iters (pathological): midpoint of the
             # final (float-resolution-narrow) range
-            result[kk] = float((st["lo"] + st["hi"]) / 2.0)
-    return result
+            result[lbl] = float((st["lo"] + st["hi"]) / 2.0)
+    out: dict = {q: {} for q in qs}
+    for (kk, q), v in result.items():
+        out[q][kk] = v
+    return out
+
+
+def _hot_median(hot_ds, key: str, value_col: str, base: pd.DataFrame,
+                collect_cap: int = 500_000, buckets: int = 256, max_iters: int = 12) -> dict:
+    """Exact per-key median — _hot_quantiles at q=0.5 (the (n-1)/2-rank
+    linear interpolation equals the even/odd middle-rank average)."""
+    return _hot_quantiles(
+        hot_ds, key, value_col, base, [0.5],
+        collect_cap=collect_cap, buckets=buckets, max_iters=max_iters,
+    )[0.5]
 
 
 def extract_ts_features(
@@ -394,7 +543,7 @@ def extract_ts_features(
     bounded by the threshold. ``skew_threshold=None`` disables the split.
     """
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-    unknown = set(features) - set(_TS_FEATURES)
+    unknown = set(features) - set(_TS_FEATURES_FULL)
     if unknown:
         raise ValueError(f"unknown ts features: {sorted(unknown)}")
 
@@ -439,39 +588,118 @@ def extract_ts_features(
         return out
 
     # ---- hot entities: bounded-per-task scale passes --------------------
+    # NaN-filter first so the order-dependent passes (diff, positions) see
+    # the same series the whole-group kernel does after its NaN drop
     from ballet_ray.stages.joins import semi_join_filter
 
-    hot_ds = semi_join_filter(narrow, np.array(hot_keys), key=key).materialize()
-    base = _hot_base_stats(hot_ds, key, value_col)
+    def drop_nan_values(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.filter(pa.array(~np.isnan(x)))
+
+    hot_ds = (
+        semi_join_filter(narrow, np.array(hot_keys), key=key)
+        .map_batches(drop_nan_values, batch_format="pyarrow")
+        .materialize()
+    )
     feats = set(features)
-    cam = (
-        _hot_count_above_mean(hot_ds, key, value_col, dict(zip(base[key], base["mean"])))
-        if "count_above_mean" in feats
-        else {}
-    )
-    mac = (
-        _hot_mean_abs_change(hot_ds, key, order_by, value_col, skew_threshold, slice_target)
-        if "mean_abs_change" in feats
-        else {}
-    )
-    med = _hot_median(hot_ds, key, value_col, base) if "median" in feats else {}
+    base = _hot_base_stats(hot_ds, key, value_col)
+    # a hot key whose values are ALL NaN has no rows after the filter —
+    # emit its empty-series row (n=0) like the whole-group kernel would
+    missing = [k2 for k2 in hot_keys if k2 not in set(base[key])]
+    if missing:
+        empty = pd.DataFrame({key: missing})
+        for c_ in ("sum", "abs_energy"):
+            empty[c_] = 0.0
+        for c_ in ("mean", "std", "variance", "root_mean_square", "min", "max"):
+            empty[c_] = np.nan
+        empty["n"] = 0
+        base = pd.concat([base, empty], ignore_index=True)
+    means = dict(zip(base[key], base["mean"]))
+
+    centered = None
+    if feats & {"count_above_mean", "count_below_mean", "ratio_beyond_2sigma",
+                "skewness", "kurtosis"}:
+        cdf = _hot_centered_stats(hot_ds, key, value_col, means,
+                                  dict(zip(base[key], base["std"])))
+        centered = cdf.set_index(key)
+
+    ordered = None
+    if feats & {"mean_abs_change", "absolute_sum_of_changes", "mean_change", "cid_ce",
+                "number_crossings_mean", "linear_trend_slope"}:
+        odf = _hot_ordered_stats(hot_ds, key, order_by, value_col, means,
+                                 skew_threshold, slice_target)
+        ordered = odf.set_index(key)
+
+    want_q = [q for q, f in ((0.25, "quantile_25"), (0.5, "median"), (0.75, "quantile_75"))
+              if f in feats]
+    quants = _hot_quantiles(hot_ds, key, value_col, base, want_q) if want_q else {}
 
     rows = []
     for _, r in base.iterrows():
         kk = r[key]
+        n = float(r["n"])
+        sd = float(r["std"])
+        # all-NaN hot keys have no centered/ordered partials: zero them,
+        # matching the whole-group kernel on an empty series
+        zero_c = pd.Series({"__a": 0, "__b": 0, "__y": 0, "__c3": np.nan, "__c4": np.nan})
+        zero_o = pd.Series(
+            {"__sad": 0.0, "__sd": 0.0, "__sd2": 0.0, "__nd": 0, "__xc": 0, "__spx": 0.0}
+        )
+        c = (
+            (centered.loc[kk] if kk in centered.index else zero_c)
+            if centered is not None
+            else None
+        )
+        o = (
+            (ordered.loc[kk] if kk in ordered.index else zero_o)
+            if ordered is not None
+            else None
+        )
         row = {key: kk}
         for f in features:
             name = f"{value_col}_{f}"
-            if f in ("mean", "std", "min", "max", "abs_energy"):
+            if f in ("sum", "mean", "std", "variance", "root_mean_square",
+                     "min", "max", "abs_energy"):
                 row[name] = float(r[f])
             elif f == "n":
                 row[name] = int(r["n"])
             elif f == "count_above_mean":
-                row[name] = int(cam.get(kk, 0))
+                row[name] = int(c["__a"])
+            elif f == "count_below_mean":
+                row[name] = int(c["__b"])
+            elif f == "ratio_beyond_2sigma":
+                row[name] = float(c["__y"] / n) if n else np.nan
+            elif f == "skewness":
+                row[name] = float((c["__c3"] / n) / sd**3) if n and sd > 0 else np.nan
+            elif f == "kurtosis":
+                row[name] = float((c["__c4"] / n) / sd**4 - 3.0) if n and sd > 0 else np.nan
             elif f == "mean_abs_change":
-                row[name] = float(mac.get(kk, np.nan))
+                row[name] = float(o["__sad"] / o["__nd"]) if o["__nd"] > 0 else np.nan
+            elif f == "absolute_sum_of_changes":
+                row[name] = float(o["__sad"])
+            elif f == "mean_change":
+                # telescoping: sum of consecutive diffs = last - first
+                row[name] = float(o["__sd"] / o["__nd"]) if o["__nd"] > 0 else np.nan
+            elif f == "cid_ce":
+                row[name] = float(np.sqrt(o["__sd2"]))
+            elif f == "number_crossings_mean":
+                row[name] = int(o["__xc"])
+            elif f == "linear_trend_slope":
+                if n > 1:
+                    # sum(pos) and sum(pos^2) are closed-form in n
+                    pbar = (n - 1) / 2.0
+                    sp2 = n * (n - 1) * (2 * n - 1) / 6.0
+                    row[name] = float(
+                        (o["__spx"] - pbar * r["sum"]) / (sp2 - n * pbar * pbar)
+                    )
+                else:
+                    row[name] = np.nan
             elif f == "median":
-                row[name] = float(med.get(kk, np.nan))
+                row[name] = float(quants[0.5].get(kk, np.nan))
+            elif f == "quantile_25":
+                row[name] = float(quants[0.25].get(kk, np.nan))
+            elif f == "quantile_75":
+                row[name] = float(quants[0.75].get(kk, np.nan))
         rows.append(row)
     import ray.data as rdata
 
@@ -585,23 +813,28 @@ def dfs_aggregate_features(
         g = pd.DataFrame(data).groupby(child_key, sort=False).agg(agg_spec)
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    agg_objs = [Sum("__rows", alias_name="__rows")]
-    for c in value_cols:
-        agg_objs.append(Sum(f"__n_{c}", alias_name=f"__n_{c}"))
-        if need_moments:
-            agg_objs.append(Sum(f"__s_{c}", alias_name=f"__s_{c}"))
-        if "std" in aggs:
-            agg_objs.append(Sum(f"__ss_{c}", alias_name=f"__ss_{c}"))
-        if "min" in aggs:
-            agg_objs.append(Min(f"__mn_{c}", alias_name=f"__mn_{c}"))
-        if "max" in aggs:
-            agg_objs.append(Max(f"__mx_{c}", alias_name=f"__mx_{c}"))
+    from ballet_ray.functions.reduce import grouped_reduce
 
-    merged = (
-        child.select_columns([child_key] + list(value_cols))
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(child_key)
-        .aggregate(*agg_objs)
+    # parent keys are high-cardinality → coarse-partition grouped_reduce
+    # (Ray's own per-group combine costs ~60 µs per distinct key per task)
+    merge_spec = {"__rows": "sum"}
+    for c in value_cols:
+        merge_spec[f"__n_{c}"] = "sum"
+        if need_moments:
+            merge_spec[f"__s_{c}"] = "sum"
+        if "std" in aggs:
+            merge_spec[f"__ss_{c}"] = "sum"
+        if "min" in aggs:
+            merge_spec[f"__mn_{c}"] = "min"
+        if "max" in aggs:
+            merge_spec[f"__mx_{c}"] = "max"
+
+    merged = grouped_reduce(
+        child.select_columns([child_key] + list(value_cols)).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        child_key,
+        merge_spec,
     )
 
     out_cols = []

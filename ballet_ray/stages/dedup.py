@@ -153,14 +153,29 @@ def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_pa
         ["content_h1", "content_h2", id_col]
     )
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.iloc[0:0][[id_col]]
-        return g.sort_values(id_col).iloc[1:][[id_col]]
+    # coarse-partition loser kernel: hash-partition on h1 so all rows of a
+    # content hash co-locate, then ONE vectorized pandas pass per partition
+    # (sort + duplicated mask). A per-content-hash map_groups would pay
+    # Ray's ~60 µs/group combine for every DISTINCT doc in the corpus.
+    n_parts = max(8, num_partitions)
 
-    loser_ds = hashed.groupby(["content_h1", "content_h2"]).map_groups(
-        losers, batch_format="pandas"
-    ).materialize()
+    def add_part(t: pa.Table) -> pa.Table:
+        h1 = t.column("content_h1").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((h1.astype(np.uint64) % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_h1", "content_h2", id_col])
+        dup = df.duplicated(subset=["content_h1", "content_h2"], keep="first")
+        return df.loc[dup, [id_col]]
+
+    loser_ds = (
+        hashed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pandas")
+        .materialize()
+    )
     if loser_ds.count() == 0:  # no duplicates at all → identity
         return ds
 
@@ -424,14 +439,15 @@ def _lsh_pairs_from_signed(
             batch_size=None,  # whole block — dedupe must see every pair
         )
     else:
-        pairs = (
-            candidates.groupby(["id_a", "id_b"])
-            .count()
-            .select_columns(["id_a", "id_b"])
-            # compact away the hash-shuffle's schema-less empty blocks before
-            # the Acero signature joins
-            .repartition(max(2, num_partitions // 2))
-        )
+        from ballet_ray.functions.reduce import distinct_keys
+
+        # coarse-partition distinct (groupby(id_a,id_b).count() would pay
+        # Ray's per-group combine for every distinct PAIR); the repartition
+        # also compacts away schema-less empty blocks before the Acero
+        # signature joins
+        pairs = distinct_keys(
+            candidates, ["id_a", "id_b"], num_parts=max(2, num_partitions // 2)
+        ).repartition(max(2, num_partitions // 2))
     if n_docs <= broadcast_docs:
         # small corpus: ship the (id → signature) matrix once via the object
         # store and verify inside map_batches — join startup costs more than
@@ -673,16 +689,14 @@ def simhash_pairs(
     )
 
     # cross-partition dedupe: hamming is a pure function of the two fixed
-    # signatures, so a grouped Min dedupes AND preserves it without the
-    # per-pair pandas groups a map_groups(head(1)) would shuffle (millions
-    # of 1-2 row groups at scale — same pattern as _lsh_pairs_from_signed).
-    from ray.data.aggregate import Min
+    # signatures, so a grouped min dedupes AND preserves it. grouped_reduce
+    # keeps Ray's shuffle keyed on the COARSE partition — per-pair groups
+    # (millions of 1-2 row groups) would pay ~60 µs/pair combine overhead.
+    from ballet_ray.functions.reduce import grouped_reduce
 
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
-        .repartition(max(2, coarse // 2))
-    )
+    return grouped_reduce(
+        pairs, ["id_a", "id_b"], {"hamming": "min"}, num_parts=max(2, coarse // 2)
+    ).repartition(max(2, coarse // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -733,8 +747,6 @@ def assign_clusters(
     near-dup clusters are almost always tiny, so ``max_rounds`` is a
     formality. Returns (id, cluster_rep) rows for every id in a pair.
     """
-    from ray.data.aggregate import Min
-
     from ballet_ray.stages.joins import default_join_partitions
 
     num_partitions = default_join_partitions(num_partitions)
@@ -765,10 +777,18 @@ def assign_clusters(
             labels_df = pd.DataFrame({id_col: [], "cluster_rep": []})
         return _rdata.from_pandas(labels_df)
 
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    # label reductions are keyed by doc id (high-cardinality) → the coarse-
+    # partition grouped_reduce, not Ray's per-group combine (~60 µs/key)
     labels = (
-        edges.map_batches(seed, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Min("label", alias_name="label"))
+        grouped_reduce(
+            edges.map_batches(seed, batch_format="pyarrow"),
+            id_col,
+            {"label": "min"},
+            num_parts=num_partitions,
+            pre_combine=True,
+        )
         .repartition(num_partitions)
         .materialize()
     )
@@ -813,9 +833,13 @@ def assign_clusters(
         # current label (label_a IS id_a's label), so the grouped Min both
         # propagates and preserves — no union with the old labels needed.
         labels = (
-            lab.map_batches(emit, batch_format="pyarrow")
-            .groupby(id_col)
-            .aggregate(Min("label", alias_name="label"))
+            grouped_reduce(
+                lab.map_batches(emit, batch_format="pyarrow"),
+                id_col,
+                {"label": "min"},
+                num_parts=num_partitions,
+                pre_combine=True,
+            )
             .repartition(num_partitions)
             .materialize()
         )
