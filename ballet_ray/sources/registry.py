@@ -79,28 +79,46 @@ class TableRegistry:
     so the cache avoids re-planning/re-listing files, not re-reading data —
     pass ``cache_ttl=0`` to disable."""
 
-    def __init__(self, input_dir: str, config: dict, *, cache_ttl: float = 600.0):
+    def __init__(
+        self,
+        input_dir: str,
+        config: dict,
+        *,
+        cache_ttl: float = 600.0,
+        materialize: bool = False,
+    ):
         self.input_dir = input_dir
         self.config = config
         self.cache_ttl = cache_ttl
+        self.materialize = materialize
         self._tables = {t["name"]: t for t in config.get("tables", [])}
         self._cache: dict[str, tuple[float, object]] = {}
 
     def names(self) -> list[str]:
         return list(self._tables)
 
-    def load(self, name: str):
+    def load(self, name: str, *, materialize: bool | None = None):
+        """``materialize=True`` caches the table's BLOCKS in the object
+        store (Ray's analog of the reference's in-memory DataFrame cache —
+        repeated pipelines over the same table skip the parquet re-read for
+        ``cache_ttl`` seconds, and the object store spills to disk if the
+        table outgrows memory). Default (False) caches only the lazy plan
+        handle, avoiding re-planning/re-listing, never re-read cost."""
         if name not in self._tables:
             raise KeyError(f"unknown table {name!r}; known: {self.names()}")
         import time
 
+        materialize = self.materialize if materialize is None else materialize
+        cache_key = (name, materialize)
         if self.cache_ttl > 0:
-            hit = self._cache.get(name)
+            hit = self._cache.get(cache_key)
             if hit is not None and time.monotonic() - hit[0] < self.cache_ttl:
                 return hit[1]
         ds = load_table_from_config(self.input_dir, self._tables[name])
+        if materialize:
+            ds = ds.materialize()
         if self.cache_ttl > 0:
-            self._cache[name] = (time.monotonic(), ds)
+            self._cache[cache_key] = (time.monotonic(), ds)
         return ds
 
     def load_split(self, split: str):

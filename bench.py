@@ -54,10 +54,18 @@ def headline_pipeline(corpus_dir: str):
     # the serial phases never decode the token payload. Materialized ONCE —
     # the fit aggregate, hot-key sample and slice-summary passes all reuse
     # the object-store blocks instead of re-decoding parquet three times
-    # (the narrow projection is ~3% of the table's bytes).
-    narrow = rd.read_parquet(
-        corpus_dir, columns=["doc_id", "event_ts", "n_tok", "source"]
-    ).materialize()
+    # (the narrow projection is ~3% of the table's bytes). Compacted to
+    # ~2 blocks per CPU: the parquet read splits into ~224 blocks, and each
+    # of the 3-4 light pre-pass scans pays ~3 ms of task overhead per block
+    # (0.77 s vs 0.10 s per scan, measured at 8 CPUs).
+    import ray
+
+    nblocks = 2 * int(ray.cluster_resources().get("CPU", 8))
+    narrow = (
+        rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts", "n_tok", "source"])
+        .repartition(nblocks)
+        .materialize()
+    )
     pipe = FeatureEngineeringPipeline(
         [
             Feature("tokens", TokenCount(), output="token_count"),

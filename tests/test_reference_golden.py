@@ -246,6 +246,20 @@ def test_table_registry(tmp_path, corpus_dir):
     assert load_table(str(p)).count() == 2
     with pytest.raises(KeyError):
         reg.load("nope")
+    # materialize-backed cache (reference 10-min load_data memoize,
+    # ballet/project.py:288-301): same MaterializedDataset handle back
+    # within the TTL, blocks pinned in the object store
+    m1 = reg.load("corpus", materialize=True)
+    m2 = reg.load("corpus", materialize=True)
+    assert m1 is m2
+    from ray.data.dataset import MaterializedDataset
+
+    assert isinstance(m1, MaterializedDataset)
+    # lazy and materialized entries cache independently
+    assert reg.load("corpus") is not m1
+    # TTL=0 disables caching
+    reg0 = TableRegistry("/", cfg, cache_ttl=0)
+    assert reg0.load("corpus") is not reg0.load("corpus")
 
 
 def test_nested_feature_as_transformer():
