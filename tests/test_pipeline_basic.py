@@ -169,3 +169,35 @@ def test_eng_namespace_reference_parity(sf_dir):
     out = pipe.fit_transform(ds).to_pandas()
     assert {"v_id", "value_lag1", "value_lag2", "value_lag3"} <= set(out.columns)
     assert eng.NoFitMixin().fit(None) is not None
+
+
+def test_token_stats_kernel_matches_per_row_reference():
+    """TokenStats' fused cumsum/LUT kernel vs a brute per-row computation,
+    including empty rows, a constant row (entropy 0), and sliced tables."""
+    import math
+
+    import pyarrow as pa
+
+    from ballet_ray.stages.core import TokenStats
+
+    rng = np.random.default_rng(11)
+    rows = [list(map(int, rng.integers(0, 50_257, rng.integers(0, 40)))) for _ in range(300)]
+    rows[0] = []
+    rows[7] = [50_256] * 90  # one repeated token -> entropy exactly 0
+    t = pa.table({"tokens": pa.array(rows, type=pa.list_(pa.int32()))})
+
+    for tab in (t, t.slice(3, 150)):  # sliced: non-zero offset start
+        out = TokenStats().transform_table(tab, ["tokens"])
+        toks = tab.column("tokens").to_pylist()
+        for i, row in enumerate(toks):
+            L = max(len(row), 1)
+            assert out.column("mean_token")[i].as_py() == pytest.approx(sum(row) / L)
+            assert out.column("rare_frac")[i].as_py() == pytest.approx(
+                sum(1 for x in row if x >= 45_000) / L
+            )
+            counts = {}
+            for x in row:
+                counts[x % 64] = counts.get(x % 64, 0) + 1
+            ent = -sum((c / L) * math.log(c / L) for c in counts.values())
+            assert out.column("token_entropy")[i].as_py() == pytest.approx(ent, abs=1e-12)
+    assert TokenStats().transform_table(t, ["tokens"]).column("token_entropy")[7].as_py() == 0.0
