@@ -61,6 +61,7 @@ class GroupwiseTransform(FittedTransform):
             stats = grouped_moments_fast(ds, gcol, cols)
             groups = set().union(*(stats[c].keys() for c in cols))
             self.fitted_ = {}
+            self._inner_cache = {}
             for g in groups:
                 inner = copy.deepcopy(proto)
                 results = {("moments", c): stats[c][g] for c in cols}
@@ -81,18 +82,32 @@ class GroupwiseTransform(FittedTransform):
         )
         pdf = states.to_pandas()
         self.fitted_ = {r["group"]: r["state"] for r in pdf.to_dict("records")}
+        self._inner_cache = {}
         return self
 
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
         self._check_fitted()
-        groups = table.column(self.groupby).to_numpy(zero_copy_only=False)
         out_names = self.output_names(cols)
         n = table.num_rows
         outs = {name: np.full(n, np.nan, dtype=np.float64) for name in out_names}
-        uniq = np.unique(groups) if n else []
-        for g in uniq:
-            mask = groups == g
-            sub = table.filter(pa.array(mask))
+        # dictionary-encode the group column once per batch: per-group masks
+        # become integer-code compares (string == over an object array costs
+        # ~2 ms per 10k rows; this whole stage ran at 19 ms/block before)
+        gcol = table.column(self.groupby)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = gcol.dictionary_encode() if not pa.types.is_dictionary(gcol.type) else gcol
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq_vals = enc.dictionary.to_pylist()
+        present = np.unique(codes[codes >= 0]) if n else []
+        # filter only the columns the inner transform reads — the batch may
+        # carry wide payloads (token lists) that per-group filters would
+        # otherwise copy once per group
+        needed = table.select(cols)
+        for gi in present:
+            g = uniq_vals[gi]
+            mask = codes == gi
+            sub = needed.filter(pa.array(mask))
             blob = self.fitted_.get(g)
             if blob is None:
                 if self.handle_unknown == "error":
@@ -102,7 +117,12 @@ class GroupwiseTransform(FittedTransform):
                 for name, c in zip(out_names, cols):
                     outs[name][mask] = sub.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
                 continue
-            inner = pickle.loads(blob)
+            # unpickle each group's fitted inner once per worker process,
+            # not once per batch (fit() resets the cache)
+            cache = self.__dict__.setdefault("_inner_cache", {})
+            inner = cache.get(g)
+            if inner is None:
+                inner = cache[g] = pickle.loads(blob)
             try:
                 res = inner.transform_table(sub, cols)
                 for name, rc in zip(out_names, res.column_names):
