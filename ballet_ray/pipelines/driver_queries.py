@@ -914,6 +914,40 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_quantiles_orders(sf_dir: str):
+    """KLL-sketch per-group quantiles of o_totalprice by o_orderpriority.
+
+    The KLL sketch is the exact value multiset until a level exceeds its
+    capacity, so at correctness scale (≤30k rows per priority at sf0.1 vs
+    k=65536) the oracle is plain quantile_disc; above capacity it degrades
+    to the documented ~1/k rank error (pytest covers 100k values at k=512).
+    At 100 TB this is one streaming pass whose shuffle carries one ≤0.5 MB
+    sketch per block, tree-merged — the distributed percentile primitive
+    for corpus quality-score thresholding."""
+    from ballet_ray.stages.sketches import approx_quantiles_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return approx_quantiles_per_group(
+        ds, "o_totalprice", "o_orderpriority", [0.25, 0.5, 0.75, 0.9, 0.99], k=65536
+    )
+
+
+SQL_APPROX_QUANTILES_ORDERS = """
+SELECT o_orderpriority, 0.25 AS q, quantile_disc(o_totalprice, 0.25) AS val
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 0.5, quantile_disc(o_totalprice, 0.5) FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 0.75, quantile_disc(o_totalprice, 0.75) FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 0.9, quantile_disc(o_totalprice, 0.9) FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 0.99, quantile_disc(o_totalprice, 0.99) FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # extended encoder families (encoders_ext / windows.Difference)
 # ---------------------------------------------------------------------------
@@ -1645,6 +1679,7 @@ QUERIES = {
     "minhash_cluster_dedup_docs": q_minhash_cluster_dedup_docs,
     "streaming_session_events": q_streaming_session_events,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_quantiles_orders": q_approx_quantiles_orders,
     "binary_encode_lang": q_binary_encode_lang,
     "woe_encode_orders": q_woe_encode_orders,
     "mestimate_encode_priority": q_mestimate_encode_priority,
@@ -1704,6 +1739,7 @@ ORACLE_SQL = {
     "langid_docs": _langid_sql(),
     "streaming_session_events": SQL_STREAMING_SESSION_EVENTS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "approx_quantiles_orders": SQL_APPROX_QUANTILES_ORDERS,
     "binary_encode_lang": SQL_BINARY_ENCODE_LANG,
     "woe_encode_orders": SQL_WOE_ENCODE_ORDERS,
     "mestimate_encode_priority": SQL_MESTIMATE_ENCODE_PRIORITY,

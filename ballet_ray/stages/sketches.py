@@ -98,3 +98,164 @@ def approx_distinct_per_group(ds, col: str, by: str, *, k: int = 256):
         .map_groups(merge_group, batch_format="pandas")
     )
     return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016, simplified:
+# fixed per-level capacity). Level h holds items of weight 2^h; a full level
+# sorts its buffer and promotes every other item (deterministic alternating
+# parity, so results are reproducible across runs and merge orders given the
+# same compaction sequence). While NO compaction has occurred the sketch is
+# the exact value multiset, so quantiles are exact below capacity — the same
+# "exact at test scale, approximate at corpus scale" contract as the KMV
+# distinct sketch above. Rank error is O(1/k) with ~k log(n/k) space.
+# ---------------------------------------------------------------------------
+
+
+class _KLL:
+    __slots__ = ("k", "levels", "parity")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity = 0
+
+    def add(self, values: np.ndarray):
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self.levels[0] = np.concatenate([self.levels[0], v])
+            self._compact()
+
+    def _compact(self):
+        h = 0
+        while h < len(self.levels):
+            buf = self.levels[h]
+            if len(buf) <= self.k:
+                h += 1
+                continue
+            buf = np.sort(buf)
+            keep = buf[self.parity :: 2]  # promote every other item
+            self.parity ^= 1
+            self.levels[h] = np.empty(0, np.float64)
+            if h + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h + 1] = np.concatenate([self.levels[h + 1], keep])
+            h += 1
+
+    def merge(self, other: "_KLL"):
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for h, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[h] = np.concatenate([self.levels[h], buf])
+        self._compact()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        items = np.concatenate(self.levels) if self.levels else np.empty(0)
+        weights = np.concatenate(
+            [np.full(len(buf), 1 << h, np.float64) for h, buf in enumerate(self.levels)]
+        ) if self.levels else np.empty(0)
+        if not len(items):
+            return np.full(len(list(qs)), np.nan)
+        order = np.argsort(items, kind="stable")
+        items, weights = items[order], weights[order]
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        out = np.empty(len(list(qs)))
+        for i, q in enumerate(qs):
+            # smallest element whose cumulative weight reaches q*W — the
+            # discrete quantile rule (DuckDB quantile_disc) when exact
+            target = max(q * total, np.finfo(np.float64).tiny)
+            out[i] = items[np.searchsorted(cum, target - 1e-9)]
+        return out
+
+    def serialize(self) -> bytes:
+        header = np.array([self.parity, len(self.levels)] + [len(b) for b in self.levels],
+                          dtype=np.int64)
+        payload = np.concatenate([np.array([len(header)], np.int64), header]).tobytes()
+        return payload + b"".join(np.ascontiguousarray(b).tobytes() for b in self.levels)
+
+    @classmethod
+    def deserialize(cls, blob: bytes, k: int) -> "_KLL":
+        nh = int(np.frombuffer(blob[:8], np.int64)[0])
+        header = np.frombuffer(blob[8 : 8 + 8 * nh], np.int64)
+        sk = cls(k)
+        sk.parity = int(header[0])
+        off = 8 + 8 * nh
+        sk.levels = []
+        for ln in header[2 : 2 + int(header[1])]:
+            sk.levels.append(np.frombuffer(blob[off : off + 8 * int(ln)], np.float64).copy())
+            off += 8 * int(ln)
+        if not sk.levels:
+            sk.levels = [np.empty(0, np.float64)]
+        return sk
+
+
+def approx_quantiles(ds, col: str, qs, *, k: int = 4096) -> np.ndarray:
+    """Approximate quantiles of ``col`` in one streaming pass: each batch
+    emits ONE serialized KLL sketch, blocks pre-merge, and a single grouped
+    reduce hands the driver exactly one sketch (same tree-merge shape as
+    approx_distinct — the shuffle carries sketch bytes, never values).
+    Exact when the column has ≤ k values; rank error ~1/k above."""
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = _KLL(k)
+        sk.add(t.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([sk.serialize()])})
+
+    def merge_blobs(blobs) -> bytes:
+        acc = _KLL(k)
+        for blob in blobs:
+            acc.merge(_KLL.deserialize(blob, k))
+        return acc.serialize()
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([merge_blobs(t.column("sketch").to_pylist())])})
+
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sketch": [merge_blobs(g["sketch"])]})
+
+    parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    out = (parts.map_batches(combine, batch_format="pyarrow")
+           .groupby("g").map_groups(final, batch_format="pandas").take(1))
+    return _KLL.deserialize(out[0]["sketch"], k).quantiles(qs)
+
+
+def approx_quantiles_per_group(ds, col: str, by: str, qs, *, k: int = 2048):
+    """Per-group approximate quantiles: per-batch per-group sketches →
+    grouped sketch merge → (group, q, val) rows. Returns pandas."""
+    import pandas as pd
+
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t.column(by).to_numpy(zero_copy_only=False)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        rows_g, rows_s = [], []
+        for g in np.unique(groups):
+            sk = _KLL(k)
+            sk.add(vals[groups == g])
+            rows_g.append(g)
+            rows_s.append(sk.serialize())
+        return pa.table({by: pa.array(rows_g), "sketch": pa.array(rows_s)})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = _KLL(k)
+        for blob in g["sketch"]:
+            acc.merge(_KLL.deserialize(blob, k))
+        vals = acc.quantiles(qs)
+        return pd.DataFrame({by: [g[by].iloc[0]] * len(qs), "q": qs, "val": vals})
+
+    return (
+        ds.select_columns([by, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -210,3 +210,56 @@ def test_token_dedup_end_to_end_with_list_payload():
         assert f"d{i:05d}" in survivors and f"d{i:05d}_c1" not in survivors
     row = kept[kept["doc_id"] == "d00000"].iloc[0]
     assert np.array_equal(np.asarray(row["tokens"]), toks[n_uniq])
+
+
+def test_kll_quantile_sketch_bounds_and_exactness():
+    """KLL: exact below capacity (matches the discrete-quantile rule),
+    bounded rank error above it, merge- and serialization-safe."""
+    import numpy as np
+
+    from ballet_ray.stages.sketches import _KLL
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 100_000)
+    xs = np.sort(x)
+    qs = [0.1, 0.5, 0.9, 0.99]
+
+    # exact below capacity: discrete quantile (smallest elem with cum >= q*n)
+    exact = _KLL(200_000)
+    exact.add(x)
+    for q, e in zip(qs, exact.quantiles(qs)):
+        assert e == xs[int(np.ceil(q * len(xs))) - 1]
+
+    # approximate: rank error well under 1% at k=512 on 100k values
+    sk = _KLL(512)
+    for chunk in np.array_split(x, 37):
+        sk.add(chunk)
+    for q, e in zip(qs, sk.quantiles(qs)):
+        assert abs(np.searchsorted(xs, e) / len(xs) - q) < 0.01
+
+    # merging two half-sketches stays within the same bound
+    a, b = _KLL(512), _KLL(512)
+    a.add(x[:50_000])
+    b.add(x[50_000:])
+    m = a.merge(b)
+    assert abs(np.searchsorted(xs, m.quantiles([0.5])[0]) / len(xs) - 0.5) < 0.01
+
+    # serialize/deserialize roundtrip preserves every level + parity
+    r = _KLL.deserialize(m.serialize(), 512)
+    assert r.parity == m.parity
+    assert all(np.array_equal(p, q2) for p, q2 in zip(m.levels, r.levels))
+
+
+def test_approx_quantiles_distributed_matches_exact(sf_dir):
+    """Tree-merged distributed path over a multi-block dataset: exact
+    below capacity regardless of block boundaries."""
+    import numpy as np
+    import ray.data as rd
+
+    from ballet_ray.stages.sketches import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]).repartition(8)
+    got = approx_quantiles(ds, "o_totalprice", [0.5, 0.9], k=1_000_000)
+    vals = np.sort(ds.to_pandas()["o_totalprice"].to_numpy())
+    for q, g in zip([0.5, 0.9], got):
+        assert g == vals[int(np.ceil(q * len(vals))) - 1]
