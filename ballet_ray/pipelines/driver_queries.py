@@ -559,6 +559,31 @@ def q_quality_docs(sf_dir: str):
     return _round_cols(out, {"mean_wlen": 4, "alpha_frac": 4, "quality": 6})
 
 
+def q_word_repetition_docs(sf_dir: str):
+    """Gopher-style within-document repetition filters (duplicate-word and
+    top-word fractions) — the standard corpus-quality signals for dropping
+    boilerplate/spam before training. One vectorized map_batches pass."""
+    from ballet_ray.stages.text import WordRepetition
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline([Feature("text", WordRepetition())])
+    out = pipe.fit_transform(ds).select_columns(["doc_id", "dup_word_frac", "top_word_frac"])
+    return _round_cols(out, {"dup_word_frac": 6, "top_word_frac": 6})
+
+
+SQL_WORD_REPETITION_DOCS = """
+WITH counts AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    GROUP BY doc_id, w
+)
+SELECT doc_id,
+       ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_word_frac,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_word_frac
+FROM counts GROUP BY doc_id
+"""
+
+
 SQL_QUALITY_DOCS = """
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words,
@@ -1662,6 +1687,7 @@ QUERIES = {
     "token_count_docs": q_token_count_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "quality_docs": q_quality_docs,
+    "word_repetition_docs": q_word_repetition_docs,
     "exact_dedup_docs": q_exact_dedup_docs,
     "distinct_lang_counts": q_distinct_lang_counts,
     "knn_embeddings": q_knn_embeddings,
@@ -1726,6 +1752,7 @@ ORACLE_SQL = {
     "token_count_docs": SQL_TOKEN_COUNT_DOCS,
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "quality_docs": SQL_QUALITY_DOCS,
+    "word_repetition_docs": SQL_WORD_REPETITION_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,

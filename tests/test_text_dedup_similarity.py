@@ -228,3 +228,32 @@ def test_lsh_knn_recall_vs_brute(sf_dir):
     # the query's own vector is always recovered (cosine 1 with itself)
     for qi in range(3):
         assert qi in set(approx[approx["query_idx"] == qi]["vec_id"])
+
+
+def test_word_repetition_matches_counter_reference():
+    import collections
+
+    import pytest
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ballet_ray.stages.text import WordRepetition
+
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 30))) for _ in range(200)]
+    texts += ["", "solo", "a a a a a"]
+    t = pa.table({"text": pa.array(texts)})
+    for tab in (t, t.slice(5, 120)):
+        out = WordRepetition().transform_table(tab, ["text"])
+        for txt, d, tp in zip(
+            tab.column("text").to_pylist(),
+            out.column("dup_word_frac").to_pylist(),
+            out.column("top_word_frac").to_pylist(),
+        ):
+            ws = txt.split(" ")
+            cnt = collections.Counter(ws)
+            L = max(len(ws), 1)
+            assert d == pytest.approx(1 - len(cnt) / L)
+            assert tp == pytest.approx(max(cnt.values()) / L)
