@@ -641,6 +641,28 @@ SELECT query_idx, vec_id FROM (
 """
 
 
+def q_ivf_knn_embeddings(sf_dir: str):
+    """IVF-bucketed ANN (coarse k-means cells + probe-limited exact scan)
+    — the scale path beside LSH. Full probing (nprobe = K) is exhaustive
+    and exactly equals brute force, which makes this correctness mode
+    DuckDB-oracle-able; the pytest covers partial-probe recall. At corpus
+    scale nprobe/K bounds the fraction of vectors each query touches."""
+    from ballet_ray.stages.similarity import ivf_fit_centroids, ivf_knn
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = qdf[qdf["vec_id"] < 2].sort_values("vec_id")
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    cents = ivf_fit_centroids(emb, embedding_col="embedding", n_centroids=16,
+                              sample_size=256, iters=3)
+    out = ivf_knn(emb, q, cents, embedding_col="embedding", id_col="vec_id",
+                  k=5, nprobe=len(cents))
+    return _cast_cols(out.select_columns(["query_idx", "vec_id"]), {"query_idx": pa.int64()})
+
+
+SQL_IVF_KNN_EMBEDDINGS = SQL_KNN_EMBEDDINGS
+
+
 def q_cumcount_events(sf_dir: str):
     from ballet_ray.stages.windows import CumCount
 
@@ -1706,6 +1728,7 @@ QUERIES = {
     "streaming_session_events": q_streaming_session_events,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_quantiles_orders": q_approx_quantiles_orders,
+    "ivf_knn_embeddings": q_ivf_knn_embeddings,
     "binary_encode_lang": q_binary_encode_lang,
     "woe_encode_orders": q_woe_encode_orders,
     "mestimate_encode_priority": q_mestimate_encode_priority,
@@ -1767,6 +1790,7 @@ ORACLE_SQL = {
     "streaming_session_events": SQL_STREAMING_SESSION_EVENTS,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "approx_quantiles_orders": SQL_APPROX_QUANTILES_ORDERS,
+    "ivf_knn_embeddings": SQL_IVF_KNN_EMBEDDINGS,
     "binary_encode_lang": SQL_BINARY_ENCODE_LANG,
     "woe_encode_orders": SQL_WOE_ENCODE_ORDERS,
     "mestimate_encode_priority": SQL_MESTIMATE_ENCODE_PRIORITY,

@@ -200,3 +200,120 @@ def embedding_near_dup_pairs(
         )
 
     return bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+
+
+def ivf_fit_centroids(
+    ds, *, embedding_col: str, n_centroids: int = 256, sample_size: int = 8192,
+    iters: int = 5, seed: int = 1754,
+):
+    """Distributed k-means for IVF coarse quantization. Init centroids from
+    a seeded-hash priority sample (unbiased across blocks, like the imputer
+    reservoir — NOT a first-blocks prefix), then ``iters`` Lloyd rounds
+    where each round is ONE map_batches pass emitting per-centroid partial
+    (sum, count) rows reduced by a grouped Sum — the driver sees
+    n_centroids rows per round, never vectors. Returns (K, d) float32."""
+    import pyarrow.compute as pc
+
+    from ballet_ray.functions.partition import stable_hash_array
+
+    # --- unbiased init sample: per-batch top-(cap) by hashed priority,
+    # merged on the driver by the same priority (deterministic)
+    cap = max(64, sample_size // 8)
+
+    proj = np.random.RandomState(seed ^ 0x5EED).randn(1024).astype(np.float32)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, embedding_col, dtype=np.float32)
+        if not len(m):
+            return pa.table({"prio": pa.array([], pa.uint64()),
+                             "vec": pa.array([], pa.binary())})
+        # content-stable priority (block- and run-agnostic, vectorized):
+        # project onto a fixed random direction and hash the bit pattern
+        key = (m @ proj[: m.shape[1]]).astype(np.float64).view(np.int64)
+        prio = stable_hash_array(key)
+        k = min(cap, len(m))
+        sel = np.argsort(prio)[:k]
+        return pa.table({"prio": pa.array(prio[sel]),
+                         "vec": pa.array([m[i].tobytes() for i in sel], pa.binary())})
+
+    parts = ds.select_columns([embedding_col]).map_batches(
+        sample_batch, batch_format="pyarrow"
+    ).sort("prio").limit(sample_size).to_pandas()
+    sample = np.stack([np.frombuffer(b, np.float32) for b in parts["vec"]])
+    sample = _normalize(sample.astype(np.float64)).astype(np.float32)
+
+    rng = np.random.RandomState(seed)
+    K = min(n_centroids, len(sample))
+    cents = sample[rng.choice(len(sample), K, replace=False)]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)).astype(np.float32)
+            if not len(m):
+                return pa.table({"cid": pa.array([], pa.int32()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.binary())})
+            assign = np.argmax(m @ c.T, axis=1)
+            uniq = np.unique(assign)
+            sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+            for j, u in enumerate(uniq):
+                sums[j] = m[assign == u].sum(axis=0)
+            cnt = np.bincount(assign, minlength=c.shape[0])[uniq]
+            return pa.table({"cid": pa.array(uniq.astype(np.int32)),
+                             "cnt": pa.array(cnt.astype(np.int64)),
+                             "vsum": pa.array([s.tobytes() for s in sums], pa.binary())})
+
+        import pandas as pd
+
+        def reduce_cid(g: pd.DataFrame) -> pd.DataFrame:
+            tot = np.zeros_like(np.frombuffer(g["vsum"].iloc[0], np.float64))
+            for b in g["vsum"]:
+                tot = tot + np.frombuffer(b, np.float64)
+            return pd.DataFrame({"cid": [int(g["cid"].iloc[0])],
+                                 "cnt": [int(g["cnt"].sum())],
+                                 "vsum": [tot.tobytes()]})
+
+        stats = (ds.select_columns([embedding_col])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .groupby("cid").map_groups(reduce_cid, batch_format="pandas")
+                 .to_pandas())
+        new = cents.copy()
+        for _, r in stats.iterrows():
+            if r["cnt"] > 0:
+                new[int(r["cid"])] = (np.frombuffer(r["vsum"], np.float64) / r["cnt"]).astype(np.float32)
+        cents = _normalize(new.astype(np.float64)).astype(np.float32)
+    return cents
+
+
+def ivf_knn(
+    ds, queries: np.ndarray, centroids: np.ndarray, *, embedding_col: str,
+    id_col: str, k: int = 10, nprobe: int = 8,
+):
+    """IVF approximate top-k: rows whose coarse cell is among any query's
+    ``nprobe`` nearest centroids are scanned exactly (one GEMM per batch);
+    everything else is skipped. With ``nprobe == len(centroids)`` the scan
+    is exhaustive and exactly equals ``knn_brute`` — the correctness mode;
+    at corpus scale nprobe/K is the fraction of data touched."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, len(c))
+    qprobes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe = np.unique(qprobes)
+    cref = ray.put(c.astype(np.float32))
+    pref = ray.put(probe)
+
+    def keep(t: pa.Table) -> pa.Table:
+        cc, pp = ray.get(cref), ray.get(pref)
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)).astype(np.float32)
+        if not len(m):
+            return t
+        assign = np.argmax(m @ cc.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, pp)))
+
+    return knn_brute(
+        ds.map_batches(keep, batch_format="pyarrow"), q,
+        embedding_col=embedding_col, id_col=id_col, k=k,
+    )

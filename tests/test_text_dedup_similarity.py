@@ -257,3 +257,29 @@ def test_word_repetition_matches_counter_reference():
             L = max(len(ws), 1)
             assert d == pytest.approx(1 - len(cnt) / L)
             assert tp == pytest.approx(max(cnt.values()) / L)
+
+
+def test_ivf_knn_recall_and_full_probe_exactness(sf_dir):
+    """IVF with partial probing recalls most of brute's top-k; with
+    nprobe=K it is exactly brute (exhaustive scan through the same path)."""
+    from ballet_ray.stages.similarity import ivf_fit_centroids, ivf_knn, knn_brute
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(6)
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id").head(5)
+    q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    cents = ivf_fit_centroids(emb, embedding_col="embedding", n_centroids=8,
+                              sample_size=128, iters=3)
+    assert cents.shape[1] == 64 and np.isfinite(cents).all()
+
+    brute = knn_brute(emb, q, embedding_col="embedding", id_col="vec_id", k=5).to_pandas()
+    full = ivf_knn(emb, q, cents, embedding_col="embedding", id_col="vec_id",
+                   k=5, nprobe=8).to_pandas()
+    bset = {(r.query_idx, r.vec_id) for r in brute.itertuples()}
+    fset = {(r.query_idx, r.vec_id) for r in full.itertuples()}
+    assert fset == bset
+
+    part = ivf_knn(emb, q, cents, embedding_col="embedding", id_col="vec_id",
+                   k=5, nprobe=2).to_pandas()
+    pset = {(r.query_idx, r.vec_id) for r in part.itertuples()}
+    recall = len(pset & bset) / len(bset)
+    assert recall >= 0.6, recall  # queries' own cells are always probed
