@@ -559,6 +559,35 @@ def q_quality_docs(sf_dir: str):
     return _round_cols(out, {"mean_wlen": 4, "alpha_frac": 4, "quality": 6})
 
 
+def q_tfidf_top_terms_docs(sf_dir: str):
+    """Top TF-IDF term per document (sklearn smooth idf, lexicographic
+    tie-break). Scale shape: one vocab-keyed groupby builds the DF table,
+    which is broadcast; the per-doc argmax runs inside map_batches with no
+    doc-keyed shuffle (a doc's terms never span blocks)."""
+    from ballet_ray.stages.text import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, text_col="text", id_col="doc_id", round_to=6)
+
+
+SQL_TFIDF_TOP_TERMS_DOCS = """
+WITH counts AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    GROUP BY doc_id, w
+), df AS (
+    SELECT w, COUNT(*) AS df FROM counts GROUP BY w
+), n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, w AS top_term,
+       ROUND(c * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS score
+FROM counts JOIN df USING (w) CROSS JOIN n
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY c * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) DESC, w
+) = 1
+"""
+
+
 def q_word_repetition_docs(sf_dir: str):
     """Gopher-style within-document repetition filters (duplicate-word and
     top-word fractions) — the standard corpus-quality signals for dropping
@@ -1710,6 +1739,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "quality_docs": q_quality_docs,
     "word_repetition_docs": q_word_repetition_docs,
+    "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
     "exact_dedup_docs": q_exact_dedup_docs,
     "distinct_lang_counts": q_distinct_lang_counts,
     "knn_embeddings": q_knn_embeddings,
@@ -1776,6 +1806,7 @@ ORACLE_SQL = {
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "quality_docs": SQL_QUALITY_DOCS,
     "word_repetition_docs": SQL_WORD_REPETITION_DOCS,
+    "tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,

@@ -237,3 +237,123 @@ class WordRepetition(Transform):
 
     def output_names(self, cols: list[str]) -> list[str]:
         return ["dup_word_frac", "top_word_frac"]
+
+
+def doc_term_counts(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, term, tf) rows: per-document word counts, split on ' '.
+
+    Each document's rows are emitted COMPLETE within its own batch (a row
+    never spans blocks), which downstream passes exploit: per-doc
+    reductions can run inside map_batches with no doc-keyed shuffle. The
+    kernel is the same batch-wide dictionary-encode + lexsort + segmented
+    boundary count as WordRepetition — no per-row Python."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        n = len(words)
+        flat = words.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        T = len(codes)
+        ids = t.column(id_col)
+        if T == 0:
+            return pa.table({id_col: ids.slice(0, 0), "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((codes, row_idx))
+        rs, cs = row_idx[order], codes[order]
+        new_group = np.empty(T, bool)
+        new_group[0] = True
+        np.logical_or(rs[1:] != rs[:-1], cs[1:] != cs[:-1], out=new_group[1:])
+        starts = np.flatnonzero(new_group)
+        glens = np.diff(np.append(starts, T))
+        doc_of_group = rs[starts]
+        term_codes = cs[starts]
+        terms = pa.Array.from_pandas(flat.dictionary.to_pandas().iloc[term_codes].reset_index(drop=True))
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of_group)),
+            "term": terms.cast(pa.string()),
+            "tf": pa.array(glens.astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(counts, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    round_to: int | None = 6):
+    """Top TF-IDF term per document (sklearn smooth idf:
+    ``ln((1+N)/(1+df)) + 1``), tie-broken by lexicographically smallest
+    term. Two passes, no doc-keyed shuffle anywhere:
+
+    1. DF table: doc-term counts → ``groupby(term).count()`` (each
+       (doc, term) appears exactly once, so count = document frequency).
+       The table is vocab-sized and broadcast via ``ray.put`` — fine up to
+       ~tens of millions of distinct terms; above that swap the merge for
+       the repo's hash_join on ``term`` and reduce per-doc maxima with a
+       grouped max (documented scale path).
+    2. Scoring pass: per-batch doc-term counts again, DF merged in-batch,
+       and the per-doc argmax emitted directly — complete without any
+       shuffle because a doc's terms never span batches.
+    """
+    dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
+    df_tbl = dt.groupby("term").count().to_pandas()
+    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    n_docs = int(ds.count())
+    import ray as _ray
+
+    dref = _ray.put(df_map)
+
+    def top1(t: pa.Table) -> pa.Table:
+        dfm = _ray.get(dref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        n = len(words)
+        flat = words.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        T = len(codes)
+        ids = t.column(id_col)
+        if T == 0:
+            return pa.table({id_col: ids.slice(0, 0), "top_term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((codes, row_idx))
+        rs, cs = row_idx[order], codes[order]
+        new_group = np.empty(T, bool)
+        new_group[0] = True
+        np.logical_or(rs[1:] != rs[:-1], cs[1:] != cs[:-1], out=new_group[1:])
+        starts = np.flatnonzero(new_group)
+        glens = np.diff(np.append(starts, T)).astype(np.float64)
+        doc_of_group = rs[starts]
+        dict_terms = np.asarray(flat.dictionary.to_pandas(), dtype=object)
+        terms = dict_terms[cs[starts]]
+        # idf per dictionary code (vectorized over the batch's vocab)
+        dfs = np.array([dfm.get(w, 0) for w in dict_terms], np.float64)[cs[starts]]
+        idf = np.log((1.0 + n_docs) / (1.0 + dfs)) + 1.0
+        score = glens * idf
+        # per-doc argmax with lexicographic tie-break: sort groups by
+        # (doc, -score, term) and take each doc's first group
+        sel = np.lexsort((terms, -score, doc_of_group))
+        first = np.empty(len(sel), bool)
+        first[0] = True
+        first[1:] = doc_of_group[sel][1:] != doc_of_group[sel][:-1]
+        win = sel[first]
+        sc = score[win]
+        if round_to is not None:
+            sc = np.round(sc, round_to)
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of_group[win])),
+            "top_term": pa.array(list(terms[win]), pa.string()),
+            "score": pa.array(sc),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(top1, batch_format="pyarrow")

@@ -283,3 +283,39 @@ def test_ivf_knn_recall_and_full_probe_exactness(sf_dir):
     pset = {(r.query_idx, r.vec_id) for r in part.itertuples()}
     recall = len(pset & bset) / len(bset)
     assert recall >= 0.6, recall  # queries' own cells are always probed
+
+
+def test_tfidf_matches_hand_reference():
+    import collections
+    import math
+
+    from ballet_ray.stages.text import doc_term_counts, tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat", "the dog ran", "cat cat cat dog",
+                 "unique words here"],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    got = {(r.doc_id, r.term): r.tf
+           for r in doc_term_counts(ds).to_pandas().itertuples()}
+    ref = collections.Counter()
+    for _, r in docs.iterrows():
+        for w in r["text"].split(" "):
+            ref[(r["doc_id"], w)] += 1
+    assert got == dict(ref)
+
+    top = tfidf_top_terms(ds).to_pandas().sort_values("doc_id")
+    df = collections.Counter()
+    for _, w in ref:
+        df[w] += 1
+    n = len(docs)
+    best = {}
+    for (d, w), c in ref.items():
+        s = c * (math.log((1 + n) / (1 + df[w])) + 1)
+        cur = best.get(d)
+        if cur is None or s > cur[1] + 1e-12 or (abs(s - cur[1]) < 1e-12 and w < cur[0]):
+            best[d] = (w, s)
+    for r in top.itertuples():
+        w, s = best[r.doc_id]
+        assert r.top_term == w and r.score == round(s, 6)
