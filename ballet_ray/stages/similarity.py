@@ -220,7 +220,7 @@ def ivf_fit_centroids(
     # merged on the driver by the same priority (deterministic)
     cap = max(64, sample_size // 8)
 
-    proj = np.random.RandomState(seed ^ 0x5EED).randn(1024).astype(np.float32)
+    proj = np.random.RandomState(seed ^ 0x5EED).randn(8192).astype(np.float32)
 
     def sample_batch(t: pa.Table) -> pa.Table:
         m = _emb_matrix(t, embedding_col, dtype=np.float32)
@@ -229,7 +229,9 @@ def ivf_fit_centroids(
                              "vec": pa.array([], pa.binary())})
         # content-stable priority (block- and run-agnostic, vectorized):
         # project onto a fixed random direction and hash the bit pattern
-        key = (m @ proj[: m.shape[1]]).astype(np.float64).view(np.int64)
+        d = m.shape[1]
+        p = proj[:d] if d <= len(proj) else np.resize(proj, d)
+        key = (m @ p).astype(np.float64).view(np.int64)
         prio = stable_hash_array(key)
         k = min(cap, len(m))
         sel = np.argsort(prio)[:k]
