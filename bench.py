@@ -145,6 +145,8 @@ def run_bench() -> dict:
         "exact_dedup_docs": dq.q_exact_dedup_docs,
         "minhash_dedup_docs": dq.q_minhash_dedup_docs,
         "knn_embeddings": dq.q_knn_embeddings,
+        "ts_features_events": dq.q_ts_features_events,
+        "tfidf_top_terms_docs": dq.q_tfidf_top_terms_docs,
     }
     qtimes = {}
     if os.environ.get("BENCH_SKIP_QUERIES"):
