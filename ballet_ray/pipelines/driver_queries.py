@@ -588,6 +588,34 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_unigram_logprob_docs(sf_dir: str):
+    """KenLM-style unigram LM scoring (smoothed corpus unigram model,
+    per-doc total and mean log-probability) — the cheap fluency signal for
+    corpus filtering. One vocab groupby + broadcast log-prob table; the
+    per-doc sums run in-batch with no doc-keyed shuffle."""
+    from ballet_ray.stages.text import unigram_logprob_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_logprob_scores(ds, text_col="text", id_col="doc_id", alpha=0.5)
+
+
+SQL_UNIGRAM_LOGPROB_DOCS = """
+WITH words AS (
+    SELECT doc_id, w FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+), tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT w) AS vocab FROM words),
+cnts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+lp AS (
+    SELECT w, ln((c + 0.5) / (tot.total + 0.5 * tot.vocab)) AS logp
+    FROM cnts CROSS JOIN tot
+)
+SELECT words.doc_id,
+       ROUND(SUM(lp.logp), 4) AS logprob,
+       ROUND(SUM(lp.logp) / COUNT(*), 4) AS mean_logprob
+FROM words JOIN lp USING (w)
+GROUP BY words.doc_id
+"""
+
+
 def q_word_repetition_docs(sf_dir: str):
     """Gopher-style within-document repetition filters (duplicate-word and
     top-word fractions) — the standard corpus-quality signals for dropping
@@ -1740,6 +1768,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "word_repetition_docs": q_word_repetition_docs,
     "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
+    "unigram_logprob_docs": q_unigram_logprob_docs,
     "exact_dedup_docs": q_exact_dedup_docs,
     "distinct_lang_counts": q_distinct_lang_counts,
     "knn_embeddings": q_knn_embeddings,
@@ -1807,6 +1836,7 @@ ORACLE_SQL = {
     "quality_docs": SQL_QUALITY_DOCS,
     "word_repetition_docs": SQL_WORD_REPETITION_DOCS,
     "tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS,
+    "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,

@@ -357,3 +357,59 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(top1, batch_format="pyarrow")
+
+
+def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                           alpha: float = 0.5, round_to: int | None = 4):
+    """KenLM-style unigram language-model scoring: per-document total and
+    per-word mean log-probability under the corpus's own smoothed unigram
+    distribution ``p(w) = (c(w)+alpha) / (total+alpha*vocab)`` — the
+    standard cheap fluency/quality signal for corpus filtering (documents
+    of gibberish or rare-token spam score far below prose).
+
+    Scale shape (same as tfidf_top_terms): ONE vocab-keyed groupby builds
+    the corpus counts, the log-prob table broadcasts via ``ray.put``, and
+    the per-doc sums run inside map_batches with no doc-keyed shuffle."""
+    dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
+    counts = dt.groupby("term").sum("tf").to_pandas()
+    total = float(counts["sum(tf)"].sum())
+    vocab = float(len(counts))
+    denom = total + alpha * vocab
+    logp = dict(zip(counts["term"], np.log((counts["sum(tf)"].to_numpy(np.float64) + alpha) / denom)))
+    import ray as _ray
+
+    lref = _ray.put(logp)
+    oov = float(np.log(alpha / denom))
+
+    def score(t: pa.Table) -> pa.Table:
+        lp = _ray.get(lref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        n = len(words)
+        flat = words.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        safe = np.maximum(lens, 1)
+        ids = t.column(id_col)
+        if len(codes) == 0:
+            z = np.zeros(n)
+            return pa.table({id_col: ids, "logprob": pa.array(z), "mean_logprob": pa.array(z)})
+        dict_terms = np.asarray(flat.dictionary.to_pandas(), dtype=object)
+        code_lp = np.array([lp.get(w, oov) for w in dict_terms], np.float64)
+        per_tok = code_lp[codes]
+        cs = np.empty(len(per_tok) + 1, np.float64)
+        cs[0] = 0.0
+        np.cumsum(per_tok, out=cs[1:])
+        tot = cs[offsets[1:]] - cs[offsets[:-1]]
+        out_tot, out_mean = tot, tot / safe
+        if round_to is not None:
+            out_tot = np.round(out_tot, round_to)
+            out_mean = np.round(out_mean, round_to)
+        return pa.table({id_col: ids, "logprob": pa.array(out_tot),
+                         "mean_logprob": pa.array(out_mean)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")

@@ -319,3 +319,30 @@ def test_tfidf_matches_hand_reference():
     for r in top.itertuples():
         w, s = best[r.doc_id]
         assert r.top_term == w and r.score == round(s, 6)
+
+
+def test_unigram_logprob_matches_hand_reference():
+    import collections
+    import math
+
+    import pytest
+
+    from ballet_ray.stages.text import unigram_logprob_scores
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat", "the the the dog", "rare words appear once"],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    out = unigram_logprob_scores(ds, alpha=0.5, round_to=None).to_pandas().sort_values("doc_id")
+
+    cnt = collections.Counter(w for t in docs["text"] for w in t.split(" "))
+    total, vocab = sum(cnt.values()), len(cnt)
+    lp = {w: math.log((c + 0.5) / (total + 0.5 * vocab)) for w, c in cnt.items()}
+    for r in out.itertuples():
+        ws = docs.loc[docs.doc_id == r.doc_id, "text"].iloc[0].split(" ")
+        exp = sum(lp[w] for w in ws)
+        assert r.logprob == pytest.approx(exp)
+        assert r.mean_logprob == pytest.approx(exp / len(ws))
+    # gibberish scores below prose under the corpus model: frequency order
+    assert out.set_index("doc_id")["mean_logprob"][2] > out.set_index("doc_id")["mean_logprob"][3]
