@@ -165,3 +165,65 @@ def test_token_minhash_k1_empty_rows_sentinel():
     assert (got[3] == umax).all()
     assert not (got[0] == umax).all()
     assert not (got[2] == umax).all()
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=400
+    ),
+    k=st.sampled_from([8, 32, 128]),
+    nsplit=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=40, deadline=None)
+def test_kll_merge_any_split_equals_single_feed(data, k, nsplit):
+    """Feeding a stream whole vs merging arbitrary chunk sketches must
+    agree: both are valid KLL states whose quantiles stay within the
+    sketch's rank-error bound of the true discrete quantile."""
+    import numpy as np
+
+    from ballet_ray.stages.sketches import _KLL
+
+    x = np.asarray(data)
+    whole = _KLL(k)
+    whole.add(x)
+    merged = _KLL(k)
+    for chunk in np.array_split(x, nsplit):
+        part = _KLL(k)
+        part.add(chunk)
+        merged.merge(part)
+    xs = np.sort(x)
+    for q in (0.25, 0.5, 0.9):
+        for sk in (whole, merged):
+            v = sk.quantiles([q])[0]
+            rank = np.searchsorted(xs, v, side="right") / len(xs)
+            lo_rank = np.searchsorted(xs, v, side="left") / len(xs)
+            # rank error bound: generous 4/k + slack for tiny inputs
+            eps = 4.0 / k + 1.0 / max(len(xs), 1)
+            assert lo_rank - eps <= q <= rank + eps
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_word_repetition_property_matches_counter(texts):
+    import collections
+
+    import pyarrow as pa
+
+    from ballet_ray.stages.text import WordRepetition
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = WordRepetition().transform_table(t, ["text"])
+    for txt, d, tp in zip(
+        texts,
+        out.column("dup_word_frac").to_pylist(),
+        out.column("top_word_frac").to_pylist(),
+    ):
+        ws = txt.split(" ")
+        cnt = collections.Counter(ws)
+        L = max(len(ws), 1)
+        assert abs(d - (1 - len(cnt) / L)) < 1e-12
+        assert abs(tp - max(cnt.values()) / L) < 1e-12
