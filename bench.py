@@ -171,11 +171,25 @@ def run_bench() -> dict:
             return pa.table({"seq_id": pa.array(ids), "tokens": t.column("tokens")})
 
         tq = time.time()
+        # prune at the read: limit() has no parquet pushdown (a plain
+        # read .limit(100k) decoded 2.4M rows / 2.5 GB before dropping 96%
+        # of them — measured 14 s of a 45 s run), so list just enough
+        # lexically-first shard files to cover the limit. Same rows: Ray
+        # reads files in listing order, so the first 100k rows live in the
+        # first ceil(100k / rows_per_shard) files.
+        shard_files = sorted(
+            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+            if f.endswith(".parquet")
+        )
+        rows_per_shard = CORPUS_ROWS // len(shard_files)
+        need = -(-100_000 // rows_per_shard)  # ceil
         seqs = (
-            rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts", "tokens"])
+            rd.read_parquet(shard_files[:need], columns=["doc_id", "event_ts", "tokens"])
             .limit(100_000)
-            # limit() collapses to few blocks — re-spread for parallel signing
-            .repartition(num_cpus)
+            # limit() collapses to few blocks — re-spread for parallel
+            # signing; 2 blocks per CPU (Ray bundles small adjacent blocks
+            # into one task: at 1 block/CPU only half the cores signed)
+            .repartition(2 * num_cpus)
             .map_batches(add_seq_id, batch_format="pyarrow")
         )
         token_minhash_lsh_pairs(seqs, id_col="seq_id", est_threshold=0.9).count()
