@@ -206,7 +206,10 @@ def ivf_fit_centroids(
     ds, *, embedding_col: str, n_centroids: int = 256, sample_size: int = 8192,
     iters: int = 5, seed: int = 1754,
 ):
-    """Distributed k-means for IVF coarse quantization. Init centroids from
+    """Distributed k-means for IVF coarse quantization (inverted-file ANN,
+    Jégou/Douze/Schmid 2011 "Product quantization for nearest neighbor
+    search" §IV — here with exact residual scoring instead of PQ codes,
+    the right trade at list<float> column widths). Init centroids from
     a seeded-hash priority sample (unbiased across blocks, like the imputer
     reservoir — NOT a first-blocks prefix), then ``iters`` Lloyd rounds
     where each round is ONE map_batches pass emitting per-centroid partial
