@@ -588,6 +588,37 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_ngram_repetition_docs(sf_dir: str):
+    """Duplicate/top bigram fractions (the n>1 half of the Gopher
+    repetition family) — exact counts over base-V integer n-gram keys."""
+    from ballet_ray.stages.text import NgramRepetition
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline([Feature("text", NgramRepetition(2))])
+    out = pipe.fit_transform(ds).select_columns(["doc_id", "dup_2gram_frac", "top_2gram_frac"])
+    return _round_cols(out, {"dup_2gram_frac": 6, "top_2gram_frac": 6})
+
+
+SQL_NGRAM_REPETITION_DOCS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+    FROM ws
+), counts AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+), agg AS (
+    SELECT doc_id,
+           1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_f,
+           MAX(c) * 1.0 / SUM(c) AS top_f
+    FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(COALESCE(agg.dup_f, 0.0), 6) AS dup_2gram_frac,
+       ROUND(COALESCE(agg.top_f, 0.0), 6) AS top_2gram_frac
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_unigram_logprob_docs(sf_dir: str):
     """KenLM-style unigram LM scoring (smoothed corpus unigram model,
     per-doc total and mean log-probability) — the cheap fluency signal for
@@ -1769,6 +1800,7 @@ QUERIES = {
     "word_repetition_docs": q_word_repetition_docs,
     "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
     "unigram_logprob_docs": q_unigram_logprob_docs,
+    "ngram_repetition_docs": q_ngram_repetition_docs,
     "exact_dedup_docs": q_exact_dedup_docs,
     "distinct_lang_counts": q_distinct_lang_counts,
     "knn_embeddings": q_knn_embeddings,
@@ -1837,6 +1869,7 @@ ORACLE_SQL = {
     "word_repetition_docs": SQL_WORD_REPETITION_DOCS,
     "tfidf_top_terms_docs": SQL_TFIDF_TOP_TERMS_DOCS,
     "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
+    "ngram_repetition_docs": SQL_NGRAM_REPETITION_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,

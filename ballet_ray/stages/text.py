@@ -413,3 +413,79 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
                          "mean_logprob": pa.array(out_mean)})
 
     return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
+class NgramRepetition(Transform):
+    """Duplicate / top n-gram fractions per document (the rest of the
+    Gopher repetition family beyond WordRepetition's unigrams — Rae et al.
+    2021 §A1.1 uses top 2–4-gram and duplicate 5–10-gram fractions).
+
+    Exact and vectorized: words are dictionary-encoded once per batch and
+    an n-gram is the base-V integer of its n consecutive codes, so counts
+    are over int64 keys (bijective with the word n-grams within the batch
+    — no hash collisions). Documents with fewer than n words emit 0 for
+    both fractions."""
+
+    def __init__(self, n: int = 2):
+        if n < 2:
+            raise ValueError("use WordRepetition for unigrams")
+        self.n = n
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        c = cols[0]
+        n_ = self.n
+        col = table.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        nrows = len(words)
+        flat = words.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(max(len(flat.dictionary), 1))
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        T = len(codes)
+        glens = np.maximum(lens - (n_ - 1), 0)  # n-grams per row
+        zeros = np.zeros(nrows)
+        if T == 0 or glens.sum() == 0:
+            return pa.table({f"dup_{n_}gram_frac": pa.array(zeros),
+                             f"top_{n_}gram_frac": pa.array(zeros)})
+        # valid n-gram start positions: drop each row's last n-1 positions
+        # (short rows' spill-over indices land on positions the previous
+        # boundary already invalidated; negative wraps land on the global
+        # tail, which the last boundary invalidates)
+        valid = np.ones(T, bool)
+        for j in range(1, n_):
+            valid[offsets[1:] - j] = False
+        starts = np.flatnonzero(valid)
+        keys = codes[starts].copy()
+        for j in range(1, n_):
+            keys *= V
+            keys += codes[starts + j]
+        row_of = np.repeat(np.arange(nrows, dtype=np.int64), glens)
+        order = np.lexsort((keys, row_of))
+        rs, ks = row_of[order], keys[order]
+        m = len(ks)
+        new_group = np.empty(m, bool)
+        new_group[0] = True
+        np.logical_or(rs[1:] != rs[:-1], ks[1:] != ks[:-1], out=new_group[1:])
+        goffsets = np.concatenate([[0], np.cumsum(glens)])
+        gs = np.cumsum(new_group)
+        distinct = np.zeros(nrows, np.int64)
+        nz = glens > 0
+        distinct[nz] = (gs[goffsets[1:][nz] - 1] - gs[goffsets[:-1][nz]]
+                        + new_group[goffsets[:-1][nz]])
+        gstarts = np.flatnonzero(new_group)
+        runlens = np.diff(np.append(gstarts, m))
+        first_group_of_row = gs[goffsets[:-1][nz]] - new_group[goffsets[:-1][nz]]
+        top = np.zeros(nrows, np.int64)
+        top[nz] = np.maximum.reduceat(runlens, first_group_of_row)
+        safe = np.maximum(glens, 1)
+        return pa.table({
+            f"dup_{n_}gram_frac": pa.array(np.where(nz, 1.0 - distinct / safe, 0.0)),
+            f"top_{n_}gram_frac": pa.array(np.where(nz, top / safe, 0.0)),
+        })
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return [f"dup_{self.n}gram_frac", f"top_{self.n}gram_frac"]

@@ -346,3 +346,33 @@ def test_unigram_logprob_matches_hand_reference():
         assert r.mean_logprob == pytest.approx(exp / len(ws))
     # gibberish scores below prose under the corpus model: frequency order
     assert out.set_index("doc_id")["mean_logprob"][2] > out.set_index("doc_id")["mean_logprob"][3]
+
+
+def test_ngram_repetition_matches_brute_reference():
+    import collections
+
+    from ballet_ray.stages.text import NgramRepetition
+
+    def ref(txt, n):
+        ws = txt.split(" ")
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        cnt = collections.Counter(grams)
+        return 1 - len(cnt) / len(grams), max(cnt.values()) / len(grams)
+
+    rng = np.random.RandomState(9)
+    vocab = ["a", "b", "cc", "d"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 25))) for _ in range(200)]
+    texts += ["", "x", "x y", "a b a b a b", "q q q q q"]
+    t = pa.table({"text": pa.array(texts)})
+    for n in (2, 3):
+        for tab, base in ((t, texts), (t.slice(3, 150), texts[3:153])):
+            out = NgramRepetition(n).transform_table(tab, ["text"])
+            for txt, d, tp in zip(
+                base,
+                out.column(f"dup_{n}gram_frac").to_pylist(),
+                out.column(f"top_{n}gram_frac").to_pylist(),
+            ):
+                ed, et = ref(txt, n)
+                assert abs(d - ed) < 1e-12 and abs(tp - et) < 1e-12
