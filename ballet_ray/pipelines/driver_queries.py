@@ -1033,14 +1033,14 @@ def q_approx_distinct_users(sf_dir: str):
     """KMV-sketch approximate COUNT(DISTINCT user_id) per event_type.
 
     A KMV sketch is provably EXACT while the merged sketch holds fewer than
-    k distinct hashes, so at the driver's correctness scale (≤150 distinct
-    users per type vs k=256) the oracle is plain COUNT(DISTINCT); above
-    capacity it degrades to the documented ±1/√(k-2) estimate (pytest
-    covers the error bound at 5k distinct)."""
+    k distinct hashes, so at every shipped test scale (≤1,500 distinct
+    users per type at sf0.1 vs k=2048) the oracle is plain COUNT(DISTINCT);
+    above capacity it degrades to the documented ±1/√(k-2) estimate
+    (pytest covers the error bound at 5k distinct with a small k)."""
     from ballet_ray.stages.sketches import approx_distinct_per_group
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    return approx_distinct_per_group(ds, "user_id", "event_type", k=256)
+    return approx_distinct_per_group(ds, "user_id", "event_type", k=2048)
 
 
 SQL_APPROX_DISTINCT_USERS = """
@@ -1720,7 +1720,8 @@ base AS (
          QUANTILE_CONT(value, 0.5) AS med_v,
          QUANTILE_CONT(value, 0.25) AS q25_v, QUANTILE_CONT(value, 0.75) AS q75_v,
          SUM(value * value) AS abs_energy, SQRT(AVG(value * value)) AS rms_v,
-         SUM(p * value) AS spx, SUM(CAST(p AS DOUBLE) * p) AS sp2
+         SUM(p * value) AS spx, SUM(CAST(p AS DOUBLE) * p) AS sp2,
+         arg_min(value, p) AS first_v, arg_max(value, p) AS last_v
   FROM e GROUP BY user_id
 ),
 cent AS (
@@ -1764,7 +1765,10 @@ SELECT b.user_id,
        ROUND(b.q25_v, 4)   AS value_quantile_25,
        ROUND(b.q75_v, 4)   AS value_quantile_75,
        ROUND(d.asoc, 2)    AS value_absolute_sum_of_changes,
-       ROUND(d.mean_chg, 6) AS value_mean_change,
+       -- telescoping closed form (last-first)/(n-1): the same two float64
+       -- ops the engine performs, not a SUM over ~n diffs whose rounding
+       -- can land the other side of the 1e-6 boundary (hit at sf0.1)
+       ROUND((b.last_v - b.first_v) / (b.n - 1), 6) AS value_mean_change,
        ROUND(d.cid, 2)     AS value_cid_ce,
        c.n_below           AS value_count_below_mean,
        ROUND(c.beyond2, 6) AS value_ratio_beyond_2sigma,
