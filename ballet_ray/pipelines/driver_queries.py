@@ -1779,6 +1779,154 @@ FROM base b JOIN cent c USING (user_id) JOIN diffs d USING (user_id)
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking (HF overflow-token shape) over each doc's
+    word sequence: max_len=16, stride=12 overlapping windows. Pure
+    one-to-many map_batches — no shuffle; the list payload is windowed
+    with one vectorized gather. Chunks are emitted as md5 of the joined
+    window (list columns don't hash stably across engines)."""
+    import hashlib
+
+    from ballet_ray.stages.sequences import chunk_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "w": pc.split_pattern(t.column("text"), " ")})
+
+    chunks = chunk_sequences(
+        ds.map_batches(words, batch_format="pyarrow"),
+        list_col="w",
+        id_col="doc_id",
+        max_len=16,
+        stride=12,
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join(t.column("w"), " ")
+        md5s = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in joined.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "chunk_id": pc.cast(t.column("chunk_id"), pa.int64()),
+                "chunk_md5": pa.array(md5s),
+                "chunk_len": pc.cast(t.column("chunk_len"), pa.int64()),
+            }
+        )
+
+    return chunks.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_CHUNK_DOCS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, UNNEST([{
+        'chunk_id': (i - 1) // 12,
+        'chunk_md5': md5(array_to_string(w[i:i+15], ' ')),
+        'chunk_len': len(w[i:i+15])
+    } FOR i IN range(1, len(w) + 1, 12)], recursive := true)
+FROM ws
+"""
+
+
+def q_pack_docs(sf_dir: str):
+    """Greedy first-fit-decreasing packing of word sequences into
+    max_len=128 training examples (partition-local, zero shuffle).
+    Bin membership depends on batch boundaries, so not SQL-expressible —
+    rows-only here; invariants (mass preservation, capacity, coverage)
+    are pytest-enforced in test_sequences.py."""
+    from ballet_ray.stages.sequences import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "w": pc.split_pattern(t.column("text"), " ")})
+
+    packs = pack_sequences(
+        ds.map_batches(words, batch_format="pyarrow"), list_col="w", id_col="doc_id", max_len=128
+    )
+    return packs.select_columns(["pack_id", "n_docs", "n_tok"])
+
+
+def q_hash_split_docs(sf_dir: str):
+    """Stable md5-keyed train/val/test assignment — reproducible under any
+    repartitioning (rows decide, not blocks)."""
+    from ballet_ray.stages.core import HashSplit
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    pipe = FeatureEngineeringPipeline([Feature("doc_id", HashSplit({"train": 0.8, "val": 0.1, "test": 0.1}))])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "split"])
+
+
+SQL_HASH_SPLIT_DOCS = """
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+    FROM documents
+)
+"""
+
+
+def q_redact_docs(sf_dir: str):
+    """Regex redaction (PII-scrub shape) with RE2 kernels; the corpus is
+    synthetic words, so the demonstration patterns hit real text: vowel
+    runs and the article 'the'."""
+    from ballet_ray.stages.text import RegexRedactor
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    red = RegexRedactor([(r"\bthe\b", "<ART>"), (r"[aeiou]+", "*")])
+    pipe = FeatureEngineeringPipeline([Feature("text", red)])
+    return pipe.fit_transform(ds).select_columns(["doc_id", "text_redacted", "text_n_redactions"])
+
+
+SQL_REDACT_DOCS = """
+WITH s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\bthe\\b')) AS h1,
+           regexp_replace(text, '\\bthe\\b', '<ART>', 'g') AS t1
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(t1, '[aeiou]+', '*', 'g') AS text_redacted,
+       h1 + len(regexp_extract_all(t1, '[aeiou]+')) AS text_n_redactions
+FROM s1
+"""
+
+
+def q_vocab_top_docs(sf_dir: str):
+    """Corpus vocabulary build: global word frequencies, top 50.
+    Scale shape: per-batch partial counts (one split + value_counts per
+    block) → one small vocab-keyed groupby sum → sort+limit on the tiny
+    result. The doc payload never shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        vc = pc.value_counts(words)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({"w": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("w")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    out = counts.sort(["cnt", "w"], descending=[True, False]).limit(50)
+    return out
+
+
+SQL_VOCAB_TOP_DOCS = """
+SELECT w, COUNT(*) AS cnt
+FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+GROUP BY w
+ORDER BY cnt DESC, w
+LIMIT 50
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -1846,6 +1994,11 @@ QUERIES = {
     "dtree_encode_priority": q_dtree_encode_priority,
     "glmm_encode_priority": q_glmm_encode_priority,
     "ts_features_full_events": q_ts_features_full_events,
+    "chunk_docs": q_chunk_docs,
+    "pack_docs": q_pack_docs,
+    "hash_split_docs": q_hash_split_docs,
+    "redact_docs": q_redact_docs,
+    "vocab_top_docs": q_vocab_top_docs,
 }
 
 ORACLE_SQL = {
@@ -1912,4 +2065,8 @@ ORACLE_SQL = {
     "dtree_encode_priority": SQL_DTREE_ENCODE_PRIORITY,
     "glmm_encode_priority": SQL_GLMM_ENCODE_PRIORITY,
     "ts_features_full_events": SQL_TS_FEATURES_FULL_EVENTS,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "hash_split_docs": SQL_HASH_SPLIT_DOCS,
+    "redact_docs": SQL_REDACT_DOCS,
+    "vocab_top_docs": SQL_VOCAB_TOP_DOCS,
 }

@@ -213,6 +213,49 @@ class TokenStats(Transform):
         return ["mean_token", "token_entropy", "rare_frac"]
 
 
+class HashSplit(Transform):
+    """Deterministic train/val/test assignment from a stable content hash.
+
+    ``u = int(md5(str(key))[:8], 16) / 2^32`` → the first split whose
+    cumulative fraction exceeds ``u``. Rows, not partitions, decide the
+    split, so the assignment is reproducible under any repartitioning or
+    cluster size — the property a 100 TB corpus split must have (sampling
+    by block or by ``random()`` is neither stable nor resumable). DuckDB
+    parity: ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS
+    UBIGINT)``.
+    """
+
+    def __init__(self, fracs: dict[str, float] | None = None):
+        import hashlib
+
+        self.fracs = dict(fracs or {"train": 0.8, "val": 0.1, "test": 0.1})
+        if abs(sum(self.fracs.values()) - 1.0) > 1e-9:
+            raise ValueError("split fractions must sum to 1")
+        self._md5 = hashlib.md5
+        names, bounds, acc = [], [], 0.0
+        for name, f in self.fracs.items():
+            acc += f
+            names.append(name)
+            bounds.append(acc)
+        self._names = np.asarray(names, dtype=object)
+        self._bounds = np.asarray(bounds)
+        self._bounds[-1] = np.inf  # guard float-sum epsilon at the top end
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        c = cols[0]
+        keys = pc.cast(table.column(c), pa.string()).to_pylist()
+        u = np.fromiter(
+            (int(self._md5(k.encode()).hexdigest()[:8], 16) for k in keys),
+            dtype=np.uint64,
+            count=len(keys),
+        ) / 2.0**32
+        idx = np.searchsorted(self._bounds, u, side="right")
+        return pa.table({"split": pa.array(self._names[idx])})
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return ["split"]
+
+
 class ArrowExprTransform(Transform):
     """Arbitrary vectorized table→columns function, declared output names.
 

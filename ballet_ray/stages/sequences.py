@@ -1,0 +1,240 @@
+"""Sequence-shaping operators for tokenized training corpora.
+
+The north-rule corpus is ``(doc_id, tokens:list<int32>, n_tok, source)``;
+before training, pipelines reshape it into fixed-length examples:
+
+- :func:`chunk_sequences` — split every row's list into stride-spaced
+  context windows of at most ``max_len`` (HF ``return_overflowing_tokens``
+  shape). One-to-many ``map_batches``; no shuffle, no Python loop over
+  rows — windows are materialized with one vectorized gather over the
+  flattened child values.
+- :func:`pack_sequences` — greedy first-fit-decreasing packing of
+  whole rows into bins of capacity ``max_len`` (GPT-style example
+  packing, doc boundaries preserved as a list of spans). Packing is
+  partition-local by design: bins never span blocks, so the stage is a
+  plain ``map_batches`` with no all-to-all movement — the 100 TB shape.
+
+Reference anchor: these are corpus-scale siblings of the reference's
+row-wise transformer steps (ballet/eng/base.py) applied to the
+tokenized table; the reference has no sequence ops (its inputs are
+feature matrices), so semantics follow the public HF/GPT conventions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _list_parts(col: "pa.ChunkedArray | pa.Array"):
+    """(values, lens, row_starts) of a list column, slice-safe."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col)
+    lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    values = pc.list_flatten(col)
+    row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return values, lens, row_starts
+
+
+def _exclusive_cumsum(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x)
+    out[0] = 0
+    np.cumsum(x[:-1], out=out[1:])
+    return out
+
+
+def chunk_table(
+    table: pa.Table,
+    *,
+    list_col: str,
+    id_col: str,
+    max_len: int,
+    stride: int | None = None,
+    drop_remainder: bool = False,
+    out_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """Batch kernel for :func:`chunk_sequences` (exposed for reuse/tests).
+
+    Window starts are ``0, stride, 2*stride, ...`` while ``start < len``
+    (every offset gets a window until the row is exhausted — DuckDB
+    parity: ``[w[i:i+max_len-1] FOR i IN range(1, len(w)+1, stride)]``).
+    With ``drop_remainder`` only full ``max_len`` windows survive.
+    Empty/null rows emit no chunks.
+    """
+    if stride is None:
+        stride = max_len
+    if stride <= 0 or max_len <= 0:
+        raise ValueError("max_len and stride must be positive")
+    out_col = out_col or list_col
+    values, lens, row_starts = _list_parts(table.column(list_col))
+
+    if drop_remainder:
+        n_chunks = np.where(lens >= max_len, (lens - max_len) // stride + 1, 0)
+    else:
+        n_chunks = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+    total = int(n_chunks.sum())
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+    chunk_id = np.arange(total, dtype=np.int64) - np.repeat(_exclusive_cumsum(n_chunks), n_chunks)
+    start = chunk_id * stride
+    chunk_len = np.minimum(max_len, lens[row_idx] - start)
+    global_start = row_starts[row_idx] + start
+
+    # gather flattened window values: one arange + two repeats
+    n_out = int(chunk_len.sum())
+    if total:
+        seg = np.repeat(global_start - _exclusive_cumsum(chunk_len), chunk_len)
+        take_idx = seg + np.arange(n_out, dtype=np.int64)
+        gathered = values.take(pa.array(take_idx))
+        offsets = np.concatenate([[0], np.cumsum(chunk_len)])
+    else:
+        gathered = values.slice(0, 0)
+        offsets = np.zeros(1, dtype=np.int64)
+    chunks = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), gathered)
+
+    cols: dict[str, object] = {id_col: table.column(id_col).take(pa.array(row_idx))}
+    for c in carry_cols:
+        cols[c] = table.column(c).take(pa.array(row_idx))
+    cols["chunk_id"] = pa.array(chunk_id.astype(np.int32))
+    cols[out_col] = chunks
+    cols["chunk_len"] = pa.array(chunk_len.astype(np.int32))
+    return pa.table(cols)
+
+
+def chunk_sequences(
+    ds,
+    *,
+    list_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_len: int,
+    stride: int | None = None,
+    drop_remainder: bool = False,
+    out_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+    batch_size: int | None = None,
+):
+    """Explode each row's list into context windows (one-to-many).
+
+    Scale shape: pure ``map_batches`` over Arrow — each input block maps
+    to an output block ~``max_len/stride``× its token mass, streaming
+    through the object store with no shuffle. Pick ``batch_size`` so
+    (batch token mass × expansion) fits the worker heap; default lets
+    Ray size blocks.
+    """
+    kwargs = dict(
+        list_col=list_col,
+        id_col=id_col,
+        max_len=max_len,
+        stride=stride,
+        drop_remainder=drop_remainder,
+        out_col=out_col,
+        carry_cols=carry_cols,
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        return chunk_table(t, **kwargs)
+
+    mb: dict = {"batch_format": "pyarrow"}
+    if batch_size is not None:
+        mb["batch_size"] = batch_size
+    return ds.map_batches(f, **mb)
+
+
+def pack_table(
+    table: pa.Table,
+    *,
+    list_col: str,
+    id_col: str,
+    max_len: int,
+) -> pa.Table:
+    """Batch kernel for :func:`pack_sequences`.
+
+    First-fit-decreasing over the batch's rows (rows longer than
+    ``max_len`` are pre-chunked). The Python loop is over *rows* (bin
+    placement is inherently sequential); all token movement is one
+    vectorized gather. ``pack_id`` = id of the pack's first (longest)
+    row — unique because every row lands in exactly one pack.
+    """
+    # pre-chunk long rows so every candidate fits a bin
+    table = chunk_table(table, list_col=list_col, id_col=id_col, max_len=max_len)
+    values, lens, row_starts = _list_parts(table.column(list_col))
+    n = len(lens)
+    order = np.lexsort((np.arange(n), -lens))  # len desc, stable by position
+    bins_rem: list[int] = []
+    bin_rows: list[list[int]] = []
+    for r in order:
+        length = int(lens[r])
+        if length <= 0:
+            continue
+        placed = False
+        for b, rem in enumerate(bins_rem):
+            if rem >= length:
+                bins_rem[b] = rem - length
+                bin_rows[b].append(r)
+                placed = True
+                break
+        if not placed:
+            bins_rem.append(max_len - length)
+            bin_rows.append([r])
+
+    ids = table.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    packed_rows = np.array([r for rows in bin_rows for r in rows], dtype=np.int64)
+    docs_per_bin = np.array([len(rows) for rows in bin_rows], dtype=np.int64)
+    seg_lens = lens[packed_rows]
+    n_out = int(seg_lens.sum())
+    if len(packed_rows):
+        seg = np.repeat(row_starts[packed_rows] - _exclusive_cumsum(seg_lens), seg_lens)
+        gathered = values.take(pa.array(seg + np.arange(n_out, dtype=np.int64)))
+    else:
+        gathered = values.slice(0, 0)
+
+    tok_per_bin = np.add.reduceat(seg_lens, _exclusive_cumsum(docs_per_bin)) if len(bin_rows) else np.zeros(0, np.int64)
+    bin_tok_offsets = np.concatenate([[0], np.cumsum(tok_per_bin)])
+    bin_doc_offsets = np.concatenate([[0], np.cumsum(docs_per_bin)])
+    tokens = pa.ListArray.from_arrays(pa.array(bin_tok_offsets, type=pa.int32()), gathered)
+    # per-pack member ids + spans (doc boundaries inside the pack)
+    member_ids = pa.ListArray.from_arrays(
+        pa.array(bin_doc_offsets, type=pa.int32()), ids.take(pa.array(packed_rows))
+    )
+    span_lens = pa.ListArray.from_arrays(
+        pa.array(bin_doc_offsets, type=pa.int32()), pa.array(seg_lens.astype(np.int32))
+    )
+    first_rows = [rows[0] for rows in bin_rows]
+    return pa.table(
+        {
+            "pack_id": ids.take(pa.array(np.asarray(first_rows, dtype=np.int64))),
+            list_col: tokens,
+            "doc_ids": member_ids,
+            "span_lens": span_lens,
+            "n_docs": pa.array(docs_per_bin.astype(np.int32)),
+            "n_tok": pa.array(tok_per_bin.astype(np.int32)),
+        }
+    )
+
+
+def pack_sequences(
+    ds,
+    *,
+    list_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_len: int,
+    batch_size: int = 4096,
+):
+    """Pack rows into ≤``max_len`` training examples, partition-locally.
+
+    Each batch packs independently (first-fit-decreasing), so the stage
+    streams with zero shuffle; cross-block packing would buy a few
+    percent fill at the cost of an all-to-all — the wrong trade at
+    corpus scale. Invariants: token mass is preserved exactly, every
+    (possibly pre-chunked) row appears in exactly one pack, and
+    ``n_tok <= max_len`` for every pack.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        return pack_table(t, list_col=list_col, id_col=id_col, max_len=max_len)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

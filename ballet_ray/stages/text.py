@@ -63,6 +63,47 @@ class Fingerprint(Transform):
         return [f"{c}_md5" for c in cols]
 
 
+#: conservative RE2-compatible PII patterns (work identically in pyarrow's
+#: RE2 and DuckDB's regexp_* — no lookarounds, no backrefs)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+class RegexRedactor(Transform):
+    """Sequential regex redaction (PII scrubbing for training corpora).
+
+    Each ``(pattern, replacement)`` is applied in order with vectorized
+    RE2 kernels (``pc.replace_substring_regex``); ``n_redactions`` counts
+    total matches before replacement. Patterns restricted to RE2 syntax
+    so the same strings run in DuckDB's regexp functions — oracle parity.
+    Default patterns: :data:`PII_PATTERNS`.
+    """
+
+    def __init__(self, patterns: list[tuple[str, str]] | None = None):
+        self.patterns = list(patterns or PII_PATTERNS)
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = pc.cast(table.column(c), pa.string())
+            hits = np.zeros(len(table), dtype=np.int64)
+            for pat, repl in self.patterns:
+                hits += pc.count_substring_regex(col, pattern=pat).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+            out[f"{c}_redacted"] = col
+            out[f"{c}_n_redactions"] = pa.array(hits)
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [x for c in cols for x in (f"{c}_redacted", f"{c}_n_redactions")]
+
+
 class QualityScore(Transform):
     """Cheap document-quality heuristics: word count, mean word length,
     alpha ratio, and a composite score. Formulas kept SQL-expressible:

@@ -1,0 +1,58 @@
+"""HashSplit stability + fraction accuracy; RegexRedactor vs python-re."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ballet_ray.stages.core import HashSplit
+from ballet_ray.stages.text import PII_PATTERNS, RegexRedactor
+
+
+def test_hash_split_fractions_and_stability():
+    t = pa.table({"doc_id": list(range(20000))})
+    hs = HashSplit({"train": 0.8, "val": 0.1, "test": 0.1})
+    out = hs.transform_table(t, ["doc_id"])
+    splits = np.asarray(out.column("split").to_pylist())
+    fr = {s: (splits == s).mean() for s in ("train", "val", "test")}
+    assert abs(fr["train"] - 0.8) < 0.01 and abs(fr["val"] - 0.1) < 0.005 and abs(fr["test"] - 0.1) < 0.005
+    # row-content determined: any batch slicing gives identical assignment
+    for lo, hi in [(0, 7), (7, 20000)]:
+        part = hs.transform_table(t.slice(lo, hi - lo), ["doc_id"])
+        assert part.column("split").to_pylist() == splits[lo:hi].tolist()
+
+
+def test_hash_split_dataset_repartition_invariant():
+    t = pa.table({"doc_id": [f"d{i}" for i in range(500)]})
+    hs = HashSplit()
+    a = hs.transform_table(t, ["doc_id"]).column("split").to_pylist()
+    ds = rd.from_arrow(t).repartition(7)
+    b = (
+        ds.map_batches(lambda x: x.append_column("split", hs.transform_table(x, ["doc_id"]).column("split")), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    exp = dict(zip(t.column("doc_id").to_pylist(), a))
+    assert all(exp[d] == s for d, s in zip(b.doc_id, b.split))
+
+
+def test_regex_redactor_matches_python_re():
+    texts = [
+        "mail me at bob.smith+x@example.co.uk or http://a.b/c?d=1 now",
+        "ip 10.0.0.1 and card 4111111111111111 ok",
+        "nothing to see",
+        "",
+        "two mails a@b.io c@d.org and 12345678",
+    ]
+    t = pa.table({"text": texts})
+    out = RegexRedactor().transform_table(t, ["text"])
+    got = out.column("text_redacted").to_pylist()
+    hits = out.column("text_n_redactions").to_pylist()
+    for i, s in enumerate(texts):
+        n = 0
+        for pat, repl in PII_PATTERNS:
+            n += len(re.findall(pat, s))
+            s = re.sub(pat, repl, s)
+        assert got[i] == s and hits[i] == n
+    assert hits[0] == 2 and "<EMAIL>" in got[0] and "<URL>" in got[0]
