@@ -1894,6 +1894,31 @@ FROM s1
 """
 
 
+def q_semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup (k-means cells + within-cell cosine pruning, min-id
+    keeper) over the embeddings unioned with exact-duplicate clones
+    (vec_id + 100000). Identical vectors always land in the same k-means
+    cell and have cosine 1, so exactly the clones are dropped — recall 1,
+    SQL-oracle-able (same planting pattern as embedding_near_dups)."""
+    from ballet_ray.stages.similarity import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = pc.add(t.column("vec_id"), pa.scalar(100000))
+        return pa.table({"vec_id": ids, "embedding": t.column("embedding")})
+
+    both = emb.union(emb.map_batches(clone, batch_format="pyarrow"))
+    return semantic_dedup(
+        both, embedding_col="embedding", id_col="vec_id", dim=64, threshold=0.99, n_centroids=32
+    )
+
+
+SQL_SEMANTIC_DEDUP_EMBEDDINGS = """
+SELECT vec_id + 100000 AS vec_id FROM embeddings
+"""
+
+
 def q_vocab_top_docs(sf_dir: str):
     """Corpus vocabulary build: global word frequencies, top 50.
     Scale shape: per-batch partial counts (one split + value_counts per
@@ -1999,6 +2024,7 @@ QUERIES = {
     "hash_split_docs": q_hash_split_docs,
     "redact_docs": q_redact_docs,
     "vocab_top_docs": q_vocab_top_docs,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
 }
 
 ORACLE_SQL = {
@@ -2069,4 +2095,5 @@ ORACLE_SQL = {
     "hash_split_docs": SQL_HASH_SPLIT_DOCS,
     "redact_docs": SQL_REDACT_DOCS,
     "vocab_top_docs": SQL_VOCAB_TOP_DOCS,
+    "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
 }

@@ -160,7 +160,15 @@ def embedding_near_dup_pairs(
     GEMM at max_bucket² while keeping nearby vectors co-windowed
     (documented recall cap for adversarial buckets)."""
     bucketed = lsh_bucketize(ds.select_columns([id_col, embedding_col]), embedding_col=embedding_col, dim=dim, num_bits=num_bits)
-    rng = np.random.RandomState(1754)
+    pairs = _cell_pair_finder(embedding_col, id_col, threshold, max_bucket, dim)
+    return bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+
+
+def _cell_pair_finder(embedding_col: str, id_col: str, threshold: float, max_bucket: int, dim: int, seed: int = 1754):
+    """Per-group near-pair kernel shared by the LSH-bucket and k-means-cell
+    paths: exact all-pairs below ``max_bucket`` rows, projection-sorted
+    sliding windows above (every GEMM bounded at max_bucket²)."""
+    rng = np.random.RandomState(seed)
     direction = rng.randn(dim).astype(np.float32)
     direction /= np.linalg.norm(direction)
 
@@ -199,7 +207,57 @@ def embedding_near_dup_pairs(
             {"id_a": [k[0] for k in ks], "id_b": [k[1] for k in ks], "cosine": [seen[k] for k in ks]}
         )
 
-    return bucketed.groupby("lsh_bucket").map_groups(pairs, batch_format="pandas")
+    return pairs
+
+
+def semantic_dedup(
+    ds, *, embedding_col: str, id_col: str, dim: int, threshold: float = 0.95,
+    n_centroids: int = 64, max_bucket: int = 4096, kmeans_iters: int = 3,
+    seed: int = 1754,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, search near-duplicate
+    pairs only WITHIN each cluster, connect pairs into components, keep
+    the minimum id per component (deterministic representative — the
+    paper's choice of keeper is arbitrary; min-id makes the result
+    oracle-able).
+
+    Returns the ids to DROP, i.e. every component member except its
+    representative. Scale shape: centroid fit is `ivf_fit_centroids`
+    (per-round partial sums, driver sees K rows); cluster assignment is
+    one GEMM argmax per batch; the pair search shuffles only
+    (cell, id, vector) with per-cell GEMMs bounded by ``max_bucket``;
+    components resolve via the distributed min-label propagation in
+    dedup.py. The corpus payload never fans out all-pairs.
+    """
+    from ballet_ray.stages.dedup import assign_clusters
+
+    slim = ds.select_columns([id_col, embedding_col])
+    cents = ivf_fit_centroids(
+        slim, embedding_col=embedding_col, n_centroids=n_centroids,
+        iters=kmeans_iters, seed=seed,
+    )
+    cref = ray.put(cents)
+
+    def cellify(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)).astype(np.float32)
+        cell = np.argmax(m @ c.T, axis=1) if len(m) else np.empty(0, np.int64)
+        return t.append_column("cell", pa.array(cell.astype(np.int32)))
+
+    pairs_fn = _cell_pair_finder(embedding_col, id_col, threshold, max_bucket, dim, seed)
+    pairs = slim.map_batches(cellify, batch_format="pyarrow").groupby("cell").map_groups(
+        pairs_fn, batch_format="pandas"
+    )
+    comps = assign_clusters(pairs, id_col=id_col)  # (id, cluster_rep)
+
+    def losers(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t.column(id_col), t.column("cluster_rep"))
+        return t.filter(pc.invert(keep)).select([id_col])
+
+    return comps.map_batches(losers, batch_format="pyarrow")
 
 
 def ivf_fit_centroids(
