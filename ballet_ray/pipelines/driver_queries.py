@@ -1919,6 +1919,44 @@ SELECT vec_id + 100000 AS vec_id FROM embeddings
 """
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (one tree-reduced moments pass, driver-side d×d
+    eigh) projecting the embedding column onto 4 components. Not
+    SQL-expressible (eigendecomposition) — rows-only here; exact numpy
+    parity is pytest-enforced in test_decomposition.py."""
+    from ballet_ray.stages.decomposition import pca_fit_embeddings, pca_transform_embeddings
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = pca_fit_embeddings(emb, n_components=4)
+    out = pca_transform_embeddings(emb, model)
+    return _round_cols(out, {f"pc{i}": 6 for i in range(4)})
+
+
+def q_logreg_quality_docs(sf_dir: str):
+    """Model-based quality filter: distributed-Newton logistic regression
+    predicting lang=='en' from the QualityScore features, scored per doc.
+    Not SQL-expressible (iterative solver) — rows-only; exact parity of
+    the distributed fit vs in-memory Newton is pytest-enforced in
+    test_classifier.py."""
+    from ballet_ray.stages.classifier import DistributedLogReg
+    from ballet_ray.stages.text import QualityScore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def label(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(t.column("lang"), "en"), pa.float64())
+        return t.append_column("is_en", y)
+
+    pipe = FeatureEngineeringPipeline(
+        [
+            Feature("text", QualityScore()),
+            Feature(["words", "mean_wlen", "alpha_frac"], DistributedLogReg("is_en", n_iter=6)),
+        ]
+    )
+    out = pipe.fit_transform(ds.map_batches(label, batch_format="pyarrow"))
+    return _round_cols(out.select_columns(["doc_id", "prob"]), {"prob": 6})
+
+
 def q_vocab_top_docs(sf_dir: str):
     """Corpus vocabulary build: global word frequencies, top 50.
     Scale shape: per-batch partial counts (one split + value_counts per
@@ -2025,6 +2063,8 @@ QUERIES = {
     "redact_docs": q_redact_docs,
     "vocab_top_docs": q_vocab_top_docs,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "pca_embeddings": q_pca_embeddings,
+    "logreg_quality_docs": q_logreg_quality_docs,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,160 @@
+"""Distributed PCA (sklearn.decomposition.PCA semantics, exact).
+
+The reference re-exports sklearn estimators as transformer steps
+(reference ballet/eng/external/sklearn.py); random projections live in
+encoders_ext.py — PCA is the data-dependent sibling. The fit is ONE
+streaming pass: each batch emits (count, feature sums, X^T X gram) as a
+single float64 blob; blobs tree-reduce worker-side (per-block combine,
+then one tiny grouped merge — the same shape as the KMV/KLL sketches in
+sketches.py), so the driver receives exactly one (2 + d + d²)-value
+vector regardless of corpus size. Eigendecomposition of the d×d
+covariance happens on the driver (d is feature-count, not row-count);
+transforms are a dense GEMM per batch.
+
+Determinism: eigenvectors are sign-normalized so the largest-|entry|
+coordinate is positive (sklearn's svd_flip analog), making results
+reproducible across runs, partitionings and merge orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ballet_ray.stages.encoders import FittedTransform, _col_f64
+from ballet_ray.stages.similarity import _emb_matrix
+
+
+def _moments_blob(m: np.ndarray) -> bytes:
+    """(n, d) matrix → [n, sum_d, gram_d²] float64 blob (NaN rows dropped)."""
+    ok = ~np.isnan(m).any(axis=1)
+    m = m[ok]
+    d = m.shape[1]
+    out = np.empty(1 + d + d * d, np.float64)
+    out[0] = len(m)
+    out[1 : 1 + d] = m.sum(axis=0)
+    out[1 + d :] = (m.T @ m).ravel()
+    return out.tobytes()
+
+
+def vector_sum_reduce(ds, batch_to_vector) -> np.ndarray:
+    """Σ over batches of ``batch_to_vector(table) -> float64 vector``,
+    tree-reduced worker-side (per-block combine, one tiny final group) —
+    the driver receives exactly one vector. The generic partial-reduce
+    every moment/gram/gradient fit in this package shares."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(batch_to_vector(t), np.float64)
+        return pa.table({"g": pa.array([0], pa.int8()), "blob": pa.array([v.tobytes()])})
+
+    def merge_blobs(blobs) -> bytes:
+        tot = None
+        for b in blobs:
+            v = np.frombuffer(b, np.float64)
+            tot = v.copy() if tot is None else tot + v
+        return tot.tobytes()
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], pa.int8()), "blob": pa.array([merge_blobs(t.column("blob").to_pylist())])})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"blob": [merge_blobs(g["blob"])]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(combine, batch_format="pyarrow")
+    out = parts.groupby("g").map_groups(final, batch_format="pandas").take(1)
+    return np.frombuffer(out[0]["blob"], np.float64).copy()
+
+
+def moments_reduce(ds, batch_to_matrix) -> tuple[float, np.ndarray, np.ndarray]:
+    """Tree-reduced (n, sum, gram) over ``batch_to_matrix(table) -> (n,d)``."""
+    v = vector_sum_reduce(ds, lambda t: np.frombuffer(_moments_blob(batch_to_matrix(t)), np.float64))
+    d = int(round((-1 + np.sqrt(1 + 4 * (len(v) - 1))) / 2))  # 1 + d + d² = len
+    return float(v[0]), v[1 : 1 + d].copy(), v[1 + d :].reshape(d, d).copy()
+
+
+def pca_from_moments(n: float, s: np.ndarray, gram: np.ndarray, n_components: int) -> dict:
+    d = len(s)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][: min(n_components, d)]
+    comps = v[:, order].T  # (k, d)
+    # svd_flip-style deterministic signs
+    flips = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flips[flips == 0] = 1.0
+    comps = comps * flips[:, None]
+    ev = np.maximum(w[order], 0.0)
+    tot = np.maximum(w, 0.0).sum()
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": ev,
+        "explained_variance_ratio": ev / tot if tot > 0 else np.zeros_like(ev),
+        "n_samples": n,
+    }
+
+
+class PCA(FittedTransform):
+    """Feature-frame PCA over scalar columns (column order = input order).
+
+    fit = one moments_reduce pass; transform emits ``pc0..pc{k-1}``.
+    """
+
+    def __init__(self, n_components: int = 2):
+        self.n_components = n_components
+        self.fitted_: dict | None = None
+
+    def agg_requests(self, cols):
+        return []
+
+    def fit(self, ds, cols):
+        def to_m(t: pa.Table) -> np.ndarray:
+            return np.column_stack([_col_f64(t, c) for c in cols])
+
+        n, s, g = moments_reduce(ds.select_columns(list(cols)), to_m)
+        self.fitted_ = pca_from_moments(n, s, g, self.n_components)
+
+    def fit_table(self, table: pa.Table, cols: list[str]) -> None:
+        m = np.column_stack([_col_f64(table, c) for c in cols])
+        v = np.frombuffer(_moments_blob(m), np.float64)
+        d = len(cols)
+        self.fitted_ = pca_from_moments(v[0], v[1 : 1 + d], v[1 + d :].reshape(d, d), self.n_components)
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        self._check_fitted()
+        m = np.column_stack([_col_f64(table, c) for c in cols])
+        proj = (m - self.fitted_["mean"]) @ self.fitted_["components"].T
+        return pa.table({f"pc{i}": pa.array(proj[:, i]) for i in range(proj.shape[1])})
+
+    def output_names(self, cols):
+        k = min(self.n_components, len(cols))
+        return [f"pc{i}" for i in range(k)]
+
+
+def pca_fit_embeddings(ds, *, embedding_col: str = "embedding", n_components: int = 8) -> dict:
+    """PCA model over a list<float> column (one streaming moments pass)."""
+
+    def to_m(t: pa.Table) -> np.ndarray:
+        return _emb_matrix(t, embedding_col, dtype=np.float64)
+
+    n, s, g = moments_reduce(ds.select_columns([embedding_col]), to_m)
+    return pca_from_moments(n, s, g, n_components)
+
+
+def pca_transform_embeddings(ds, model: dict, *, embedding_col: str = "embedding", id_col: str = "vec_id"):
+    """Project the list column onto the fitted components → pc0..pc{k-1}."""
+    mean, comps = model["mean"], model["components"]
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, embedding_col, dtype=np.float64)
+        proj = (m - mean) @ comps.T
+        cols = {id_col: t.column(id_col)}
+        for i in range(proj.shape[1]):
+            cols[f"pc{i}"] = pa.array(proj[:, i])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
