@@ -1919,6 +1919,72 @@ SELECT vec_id + 100000 AS vec_id FROM embeddings
 """
 
 
+def q_stratified_sample_docs(sf_dir: str):
+    """Deterministic per-language subsample: the 20 smallest md5-priority
+    docs per lang. Hash-priority (not random()) makes the sample
+    reproducible under any partitioning and SQL-auditable."""
+    from ballet_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", key_col="doc_id", n=20)
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
+
+def q_mixture_sample_docs(sf_dir: str):
+    """Corpus mixture weighting: per-source Bernoulli keep-rates applied
+    by hash threshold (pure streaming filter, reproducible, resumable)."""
+    from ballet_ray.stages.sampling import hash_rate_filter
+
+    rates = {f"src{i}": (1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else 0.2)) for i in range(20)}
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="source", salt="mix:")
+
+
+SQL_MIXTURE_SAMPLE_DOCS = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               / 4294967296.0 AS u,
+           CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 1.0
+                WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 0.5
+                ELSE 0.2 END AS thr
+    FROM documents
+) WHERE u < thr
+"""
+
+
+def q_percent_rank_orders(sf_dir: str):
+    """RANK/PERCENT_RANK of order price within priority via the
+    distinct-value route (rank = 1 + Σ counts of smaller values; the
+    per-group scan touches distinct values, not rows)."""
+    from ballet_ray.stages.windows import grouped_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    out = grouped_rank(ds, group_col="o_orderpriority", value_col="o_totalprice")
+    out = out.select_columns(["o_orderkey", "o_orderpriority", "rank", "percent_rank"])
+    return _round_cols(out, {"percent_rank": 6})
+
+
+SQL_PERCENT_RANK_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rank,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS percent_rank
+FROM orders
+"""
+
+
 def q_pca_embeddings(sf_dir: str):
     """Distributed PCA (one tree-reduced moments pass, driver-side d×d
     eigh) projecting the embedding column onto 4 components. Not
@@ -2065,6 +2131,9 @@ QUERIES = {
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "pca_embeddings": q_pca_embeddings,
     "logreg_quality_docs": q_logreg_quality_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "percent_rank_orders": q_percent_rank_orders,
 }
 
 ORACLE_SQL = {
@@ -2136,4 +2205,7 @@ ORACLE_SQL = {
     "redact_docs": SQL_REDACT_DOCS,
     "vocab_top_docs": SQL_VOCAB_TOP_DOCS,
     "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
+    "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
 }

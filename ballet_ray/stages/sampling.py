@@ -1,0 +1,97 @@
+"""Deterministic corpus sampling — hash-priority, not RNG.
+
+Corpus pipelines need samples that are (a) reproducible across runs,
+partitionings and cluster sizes, (b) resumable (a re-run keeps the same
+rows), and (c) SQL-auditable. All three follow from ordering/thresholding
+on a content hash instead of a random() draw:
+
+- :func:`stratified_sample` — exactly ``n`` rows per group, the rows with
+  the smallest ``md5(salt || key)`` priority (a deterministic per-group
+  uniform sample). Per-batch local top-n (so the shuffle carries at most
+  n×groups rows per block), then a tiny per-group merge.
+- :func:`hash_rate_filter` — Bernoulli(rate) by hash threshold, with
+  per-group rates (corpus mixture weighting: sample source A at 10%,
+  source B at 100%). Pure row-wise filter, zero shuffle.
+
+DuckDB parity: priority = ``md5(salt || CAST(key AS VARCHAR))`` ordered
+as a hex string (fixed-width hex ⇒ lexicographic = numeric), threshold =
+first-8-hex-digits / 2^32 (same construction as core.HashSplit).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_hex(keys: list, salt: str) -> np.ndarray:
+    md5 = hashlib.md5
+    pre = salt.encode()
+    return np.asarray([md5(pre + str(k).encode()).hexdigest() for k in keys], dtype=object)
+
+
+def stratified_sample(ds, *, group_col: str, key_col: str, n: int, salt: str = ""):
+    """The ``n`` smallest-priority rows of every group (ties broken by key).
+
+    Returns (group_col, key_col) rows. Exact and deterministic: equivalent
+    to ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(salt||key), key)
+    <= n``.
+    """
+
+    def local_top(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        prio = _md5_hex(k.tolist(), salt)
+        order = np.lexsort((k, prio, g))
+        gs = g[order]
+        # position within group run (groups are contiguous after lexsort)
+        new = np.concatenate([[True], gs[1:] != gs[:-1]])
+        run_start = np.maximum.accumulate(np.where(new, np.arange(len(gs)), 0))
+        pos = np.arange(len(gs)) - run_start
+        sel = order[pos < n]
+        return pa.table(
+            {
+                group_col: t.column(group_col).take(pa.array(sel)),
+                key_col: t.column(key_col).take(pa.array(sel)),
+                "__prio": pa.array(prio[sel]),
+            }
+        )
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        out = grp.sort_values(["__prio", key_col]).head(n)
+        return out[[group_col, key_col]]
+
+    parts = ds.select_columns([group_col, key_col]).map_batches(local_top, batch_format="pyarrow")
+    return parts.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+def hash_rate_filter(
+    ds, *, key_col: str, rate: float | None = None, rates: dict | None = None,
+    group_col: str | None = None, salt: str = "",
+):
+    """Keep rows where ``u = int(md5(salt||key)[:8], 16)/2^32 < rate``;
+    with ``rates`` + ``group_col`` the threshold is per group (mixture
+    weighting). Stateless row filter — streams, never shuffles, and the
+    kept set is independent of partitioning (resume-safe)."""
+    if (rate is None) == (rates is None):
+        raise ValueError("pass exactly one of rate / rates")
+    if rates is not None and group_col is None:
+        raise ValueError("rates requires group_col")
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        hexes = _md5_hex(k.tolist(), salt)
+        u = np.asarray([int(h[:8], 16) for h in hexes], dtype=np.float64) / 2.0**32
+        if rates is None:
+            mask = u < rate
+        else:
+            g = t.column(group_col).to_numpy(zero_copy_only=False)
+            thr = np.asarray([rates.get(x, 0.0) for x in g])
+            mask = u < thr
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")

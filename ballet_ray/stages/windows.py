@@ -711,3 +711,43 @@ def apply_keyed(
 
     b = ds.map_batches(add_bucket, batch_format="pyarrow")
     return b.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | None = None):
+    """RANK() / PERCENT_RANK() of ``value_col`` within ``group_col``,
+    fully distributed via the distinct-value route:
+
+    1. ``groupby(group, value).count()`` — the only pass that touches
+       every row, reduced to one row per DISTINCT (group, value);
+    2. a per-group ordered scan over the distinct table (rank of a value
+       = 1 + Σ counts of strictly smaller values) — group size is the
+       group's distinct-value count, not its row count, so a hot group
+       with few distinct values stays bounded;
+    3. hash-join the (group, value) → (rank, percent_rank) table back.
+
+    Exact SQL window semantics: RANK ties share the rank, PERCENT_RANK =
+    (rank-1)/(n-1), 0 for single-row groups. Appends ``rank`` (int64) and
+    ``percent_rank`` (float64).
+    """
+    import pandas as pd
+
+    from ballet_ray.stages.joins import hash_join
+
+    cnt = ds.groupby([group_col, value_col]).count()
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col).reset_index(drop=True)
+        c = g["count()"].to_numpy(dtype=np.int64)
+        prior = np.concatenate([[0], np.cumsum(c)[:-1]])
+        n = int(c.sum())
+        return pd.DataFrame(
+            {
+                group_col: g[group_col],
+                value_col: g[value_col],
+                "rank": prior + 1,
+                "percent_rank": prior / (n - 1) if n > 1 else np.zeros(len(g)),
+            }
+        )
+
+    ranked = cnt.groupby(group_col).map_groups(ranks, batch_format="pandas")
+    return hash_join(ds, ranked, on=(group_col, value_col), num_partitions=num_partitions or 16)

@@ -1,0 +1,63 @@
+"""stratified_sample / hash_rate_filter / grouped_rank vs pandas refs."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ballet_ray.stages.sampling import hash_rate_filter, stratified_sample
+from ballet_ray.stages.windows import grouped_rank
+
+
+def _docs(n=1000, seed=0):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "g": rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1]),
+            "v": rng.integers(0, 50, size=n).astype(np.float64),
+        }
+    )
+
+
+def test_stratified_sample_matches_reference():
+    df = _docs()
+    ds = rd.from_pandas(df).repartition(6)
+    got = stratified_sample(ds, group_col="g", key_col="doc_id", n=15).to_pandas()
+    df = df.assign(prio=[hashlib.md5(str(k).encode()).hexdigest() for k in df.doc_id])
+    exp = (
+        df.sort_values(["prio", "doc_id"]).groupby("g").head(15)[["g", "doc_id"]]
+    )
+    assert sorted(map(tuple, got[["g", "doc_id"]].to_numpy())) == sorted(map(tuple, exp.to_numpy()))
+    # partitioning-invariant
+    got2 = stratified_sample(rd.from_pandas(df), group_col="g", key_col="doc_id", n=15).to_pandas()
+    assert sorted(got2.doc_id) == sorted(got.doc_id)
+
+
+def test_hash_rate_filter_reference_and_rates():
+    df = _docs(2000, seed=1)
+    ds = rd.from_pandas(df).repartition(4)
+    rates = {"a": 0.3, "b": 1.0, "c": 0.0}
+    got = hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="g", salt="s:").to_pandas()
+    u = np.array([int(hashlib.md5(b"s:" + str(k).encode()).hexdigest()[:8], 16) / 2**32 for k in df.doc_id])
+    exp = df[u < df.g.map(rates).to_numpy()]
+    assert sorted(got.doc_id) == sorted(exp.doc_id)
+    assert not (got.g == "c").any()
+    # global rate mode
+    g2 = hash_rate_filter(ds, key_col="doc_id", rate=0.5).to_pandas()
+    u2 = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / 2**32 for k in df.doc_id])
+    assert sorted(g2.doc_id) == sorted(df.doc_id[u2 < 0.5])
+
+
+def test_grouped_rank_matches_pandas_window():
+    df = _docs(1500, seed=2)  # v has heavy ties (50 distinct values)
+    ds = rd.from_pandas(df).repartition(5)
+    got = grouped_rank(ds, group_col="g", value_col="v").to_pandas().sort_values("doc_id")
+    exp_rank = df.groupby("g")["v"].rank(method="min").astype(np.int64)
+    n = df.groupby("g")["v"].transform("size")
+    exp_pr = np.where(n > 1, (exp_rank - 1) / (n - 1), 0.0)
+    df_sorted = df.sort_values("doc_id")
+    np.testing.assert_array_equal(got["rank"].to_numpy(), exp_rank[df_sorted.index].to_numpy())
+    np.testing.assert_allclose(got["percent_rank"].to_numpy(), exp_pr[df_sorted.index], atol=1e-12)
