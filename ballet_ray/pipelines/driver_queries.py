@@ -2023,6 +2023,33 @@ def q_logreg_quality_docs(sf_dir: str):
     return _round_cols(out.select_columns(["doc_id", "prob"]), {"prob": 6})
 
 
+def q_corr_matrix_lineitem(sf_dir: str):
+    """Pairwise Pearson correlation matrix from ONE tree-reduced moments
+    pass (shared with the PCA fit) — the feature-selection screen over a
+    wide numeric frame."""
+    from ballet_ray.stages.decomposition import correlation_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    # away-from-zero rounding via _round_cols (SQL ROUND parity)
+    return _round_cols(correlation_matrix(ds, cols), {"corr": 6})
+
+
+SQL_CORR_MATRIX_LINEITEM = """
+SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b, ROUND(corr(l_quantity, l_quantity), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_extendedprice', ROUND(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_extendedprice', ROUND(corr(l_extendedprice, l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_discount', ROUND(corr(l_discount, l_discount), 6) FROM lineitem
+"""
+
+
 def q_vocab_top_docs(sf_dir: str):
     """Corpus vocabulary build: global word frequencies, top 50.
     Scale shape: per-batch partial counts (one split + value_counts per
@@ -2134,6 +2161,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "percent_rank_orders": q_percent_rank_orders,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
 }
 
 ORACLE_SQL = {
@@ -2208,4 +2236,5 @@ ORACLE_SQL = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
+    "corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM,
 }

@@ -158,3 +158,35 @@ def pca_transform_embeddings(ds, model: dict, *, embedding_col: str = "embedding
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def correlation_matrix(ds, cols: list[str], *, round_to: int | None = None):
+    """Pairwise Pearson correlations of scalar columns from the SAME single
+    moments pass PCA uses (one tree-reduced (n, sums, gram) vector — the
+    driver never sees rows). Returns one row per unordered pair (col_a <=
+    col_b alphabetical order of the input list), DuckDB ``corr()``
+    (sample, ddof=1) semantics. Rows with NaN in any column are dropped
+    (listwise deletion)."""
+
+    def to_m(t: pa.Table) -> np.ndarray:
+        return np.column_stack([_col_f64(t, c) for c in cols])
+
+    n, s, gram = moments_reduce(ds.select_columns(list(cols)), to_m)
+    mean = s / n
+    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    sd = np.sqrt(np.diag(cov))
+    denom = np.outer(sd, sd)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.where(denom > 0, cov / denom, np.nan)
+    rows_a, rows_b, vals = [], [], []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            rows_a.append(cols[i])
+            rows_b.append(cols[j])
+            v = corr[i, j]
+            vals.append(round(v, round_to) if round_to is not None and np.isfinite(v) else v)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"col_a": rows_a, "col_b": rows_b, "corr": pa.array(vals, pa.float64())})
+    )

@@ -93,3 +93,19 @@ def test_pca_from_moments_sign_determinism():
     m2 = pca_from_moments(n, X.sum(0), X.T @ X, 3)
     np.testing.assert_array_equal(m1["components"], m2["components"])
     assert all(c[np.abs(c).argmax()] > 0 for c in m1["components"])
+
+
+def test_correlation_matrix_matches_numpy():
+    from ballet_ray.stages.decomposition import correlation_matrix
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(1000, 3))
+    X[:, 1] = 0.7 * X[:, 0] + 0.3 * X[:, 1]
+    cols = ["a", "b", "c"]
+    ds = rd.from_arrow(pa.table({c: X[:, i] for i, c in enumerate(cols)})).repartition(4)
+    got = correlation_matrix(ds, cols).to_pandas()
+    ref = np.corrcoef(X, rowvar=False)
+    for _, r in got.iterrows():
+        i, j = cols.index(r.col_a), cols.index(r.col_b)
+        np.testing.assert_allclose(r["corr"], ref[i, j], atol=1e-9)
+    assert len(got) == 6
