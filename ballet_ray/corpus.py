@@ -1,0 +1,117 @@
+"""ballet_ray.corpus — the training-data-pipeline surface in one namespace.
+
+The operators a 100 TB pretraining-corpus pipeline composes, all Ray-Data
+streaming stages over the canonical table
+``(doc_id, tokens: list<int32>, n_tok, source)`` (plus text/embedding
+side tables). Import from here when building corpus jobs:
+
+    from ballet_ray import corpus
+    ds = corpus.chunk_sequences(ds, max_len=2048, stride=1536)
+    ds = corpus.pack_sequences(ds, max_len=4096)
+
+Grouped by stage of a typical pipeline:
+
+- ingest/split:   HashSplit, stratified_sample, hash_rate_filter
+- quality:        QualityScore, WordRepetition, NgramRepetition, LangId,
+                  unigram_logprob_scores, tfidf_top_terms, RegexTokenCount,
+                  TokenStats, DistributedLogReg (model-based filter)
+- scrub:          RegexRedactor (PII_PATTERNS)
+- dedup:          exact_dedup, minhash_lsh_pairs, token_minhash_lsh_pairs,
+                  simhash_pairs, ngram_jaccard_pairs, dedup_by_minhash,
+                  assign_clusters, embedding_near_dup_pairs, semantic_dedup
+- similarity:     knn_brute, lsh_knn, ivf_fit_centroids, ivf_knn
+- embeddings:     pca_fit_embeddings, pca_transform_embeddings,
+                  correlation_matrix
+- shape:          chunk_sequences, pack_sequences, hash_tokenize
+- sketch/count:   approx_distinct, approx_distinct_per_group,
+                  approx_quantiles, grouped_rank
+"""
+
+from ballet_ray.stages.classifier import DistributedLogReg
+from ballet_ray.stages.core import HashSplit, TokenCount, TokenStats
+from ballet_ray.stages.decomposition import (
+    PCA,
+    correlation_matrix,
+    pca_fit_embeddings,
+    pca_transform_embeddings,
+)
+from ballet_ray.stages.dedup import (
+    assign_clusters,
+    dedup_by_minhash,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    token_minhash_lsh_pairs,
+)
+from ballet_ray.stages.sampling import hash_rate_filter, stratified_sample
+from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
+from ballet_ray.stages.similarity import (
+    embedding_near_dup_pairs,
+    ivf_fit_centroids,
+    ivf_knn,
+    knn_brute,
+    lsh_knn,
+    semantic_dedup,
+)
+from ballet_ray.stages.sketches import (
+    approx_distinct,
+    approx_distinct_per_group,
+    approx_quantiles,
+)
+from ballet_ray.stages.text import (
+    PII_PATTERNS,
+    Fingerprint,
+    LangId,
+    NgramRepetition,
+    QualityScore,
+    RegexRedactor,
+    RegexTokenCount,
+    WordRepetition,
+    hash_tokenize,
+    tfidf_top_terms,
+    unigram_logprob_scores,
+)
+from ballet_ray.stages.windows import grouped_rank
+
+__all__ = [
+    "PCA",
+    "PII_PATTERNS",
+    "DistributedLogReg",
+    "Fingerprint",
+    "HashSplit",
+    "LangId",
+    "NgramRepetition",
+    "QualityScore",
+    "RegexRedactor",
+    "RegexTokenCount",
+    "TokenCount",
+    "TokenStats",
+    "WordRepetition",
+    "approx_distinct",
+    "approx_distinct_per_group",
+    "approx_quantiles",
+    "assign_clusters",
+    "chunk_sequences",
+    "correlation_matrix",
+    "dedup_by_minhash",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "grouped_rank",
+    "hash_rate_filter",
+    "hash_tokenize",
+    "ivf_fit_centroids",
+    "ivf_knn",
+    "knn_brute",
+    "lsh_knn",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pca_fit_embeddings",
+    "pca_transform_embeddings",
+    "semantic_dedup",
+    "simhash_pairs",
+    "stratified_sample",
+    "token_minhash_lsh_pairs",
+    "unigram_logprob_scores",
+]

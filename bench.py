@@ -195,6 +195,26 @@ def run_bench() -> dict:
         token_minhash_lsh_pairs(seqs, id_col="seq_id", est_threshold=0.9).count()
         qtimes["token_minhash_100k_seqs"] = round(time.time() - tq, 3)
 
+        # sequence shaping on the full canonical corpus: context-window
+        # chunking (stride < max_len → ~1.3x token expansion) piped into
+        # partition-local FFD packing — the tokens → training-examples
+        # path, zero shuffle end to end
+        from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
+
+        tq = time.time()
+        corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"])
+        chunked = chunk_sequences(corpus, max_len=512, stride=384)
+        packed = pack_sequences(chunked, max_len=2048)
+        from ray.data.aggregate import Count, Sum
+
+        agg = packed.aggregate(Count(alias_name="packs"), Sum("n_tok", alias_name="toks"))
+        qtimes["chunk_pack_4m_rows"] = round(time.time() - tq, 3)
+        print(
+            f"# chunk+pack: {agg['packs']} packs, {agg['toks']} tokens, "
+            f"{round(agg['toks']/qtimes['chunk_pack_4m_rows']/1e6,1)} Mtok/s",
+            file=sys.stderr,
+        )
+
     ray.shutdown()
     return {
         "metric": "feature_materialization_sec",

@@ -115,3 +115,10 @@ def test_pack_sequences_dataset_streaming():
     assert (out.n_tok <= 32).all()
     # pack_id unique (first member id)
     assert out.pack_id.is_unique
+
+
+def test_corpus_namespace_complete():
+    import ballet_ray.corpus as c
+
+    assert all(hasattr(c, n) for n in c.__all__)
+    assert callable(c.chunk_sequences) and callable(c.semantic_dedup)
