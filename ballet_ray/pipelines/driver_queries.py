@@ -2023,6 +2023,29 @@ def q_logreg_quality_docs(sf_dir: str):
     return _round_cols(out.select_columns(["doc_id", "prob"]), {"prob": 6})
 
 
+def q_duplicate_passages_docs(sf_dir: str):
+    """Corpus-wide duplicate passage detection (substring-level dedup
+    building block): every overlapping 5-word window keyed and counted in
+    one groupby; windows seen twice+ are the duplicated passages.
+    key='text' ships the passage string (oracle-able); key='hash' is the
+    scale mode (uint64 per window)."""
+    from ballet_ray.stages.dedup import duplicate_passages
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicate_passages(ds, n=5, min_count=2, key="text")
+
+
+SQL_DUPLICATE_PASSAGES_DOCS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+    SELECT UNNEST([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]) AS passage_key
+    FROM ws
+)
+SELECT passage_key, COUNT(*) AS dup_count
+FROM wins GROUP BY passage_key HAVING COUNT(*) >= 2
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2162,6 +2185,7 @@ QUERIES = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "percent_rank_orders": q_percent_rank_orders,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "duplicate_passages_docs": q_duplicate_passages_docs,
 }
 
 ORACLE_SQL = {
@@ -2237,4 +2261,5 @@ ORACLE_SQL = {
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
     "corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM,
+    "duplicate_passages_docs": SQL_DUPLICATE_PASSAGES_DOCS,
 }

@@ -1064,3 +1064,81 @@ def token_minhash_lsh_pairs(
         batch_size=4096,  # chunked kernel bounds the temporary regardless
     ).select_columns([id_col, "minhash"])
     return _lsh_pairs_from_signed(signed, id_col=id_col, num_perm=num_perm, **lsh_kwargs)
+
+
+def duplicate_passages(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", n: int = 8,
+    min_count: int = 2, key: str = "hash", return_docs: bool = False,
+):
+    """Corpus-wide duplicate passage detection — the building block of
+    substring-level exact dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499: duplicated
+    spans, not whole documents, dominate web corpora).
+
+    Every overlapping ``n``-word window of every document becomes a keyed
+    row; one groupby counts window occurrences corpus-wide; windows seen
+    ``>= min_count`` times are the duplicated passages. Per batch the
+    window materialization is vectorized (one Arrow split + one
+    ``binary_join`` over reused int32 gather indices — no per-row
+    Python); with ``key='hash'`` (the scale mode) only a uint64 siphash
+    per window is shuffled, never the window text; ``key='text'`` ships
+    the passage strings themselves (SQL-oracle-able, and what you want
+    for small-corpus auditing anyway).
+
+    Returns (passage_key, dup_count) rows, or with ``return_docs`` the
+    (passage_key, id) pairs of every document containing a duplicated
+    passage (dedup'd per doc×passage).
+    """
+    import pyarrow.compute as pc
+
+    from ballet_ray.functions.partition import stable_hash_array
+
+    def windows(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(
+            pc.fill_null(pc.cast(t.column(text_col), pa.string()), ""), " "
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_win = np.maximum(lens - n + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            empty = pa.table({"k": pa.array([], pa.string() if key == "text" else pa.uint64())})
+            return empty.append_column(id_col, t.column(id_col).slice(0, 0)) if return_docs else empty
+        row_idx = np.repeat(np.arange(len(lens)), n_win)
+        excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        win_start = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win)
+                     + row_starts[row_idx])
+        # one (total*n) int32 gather builds all windows as a list array
+        idx = (np.repeat(win_start, n).astype(np.int32)
+               + np.tile(np.arange(n, dtype=np.int32), total))
+        flat = pc.list_flatten(words).take(pa.array(idx))
+        offsets = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32))
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+        if key == "hash":
+            ks = pa.array(stable_hash_array(joined.to_numpy(zero_copy_only=False)))
+        else:
+            ks = joined
+        out = pa.table({"k": ks})
+        if return_docs:
+            out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
+        return out
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("count()"), min_count))
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(windows, batch_format="pyarrow")
+    if not return_docs:
+        counts = wins.groupby("k").count()
+        dup = counts.map_batches(keep_dups, batch_format="pyarrow")
+        return _rename(dup, ["passage_key", "dup_count"])
+    # docs mode: count distinct docs per window, keep windows above the
+    # bar, then emit (passage, doc) pairs — both sides stay Datasets
+    per_doc = wins.groupby(["k", id_col]).count().drop_columns(["count()"])
+    counts = per_doc.groupby("k").count()
+    dup_keys = counts.map_batches(keep_dups, batch_format="pyarrow").drop_columns(["count()"])
+    from ballet_ray.stages.joins import default_join_partitions, hash_join
+
+    out = hash_join(per_doc, dup_keys, on=("k",), num_partitions=default_join_partitions(None))
+    return _rename(out, ["passage_key", id_col])

@@ -376,3 +376,43 @@ def test_ngram_repetition_matches_brute_reference():
             ):
                 ed, et = ref(txt, n)
                 assert abs(d - ed) < 1e-12 and abs(tp - et) < 1e-12
+
+
+def test_duplicate_passages_brute_and_docs_mode():
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ballet_ray.stages.dedup import duplicate_passages
+
+    texts = [
+        "a b c d e f g",
+        "x y a b c d e q",          # shares 'a b c d e' with doc 0
+        "u v w",                     # too short for n=5 -> no windows
+        "a b c d e f g",            # exact clone of doc 0
+        "m n o p q r",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t).repartition(3)
+
+    # brute reference (counts mode, text keys)
+    ref = Counter()
+    for s in texts:
+        w = s.split(" ")
+        for i in range(len(w) - 4):
+            ref[" ".join(w[i : i + 5])] += 1
+    exp = {k: c for k, c in ref.items() if c >= 2}
+    got = duplicate_passages(ds, n=5, min_count=2, key="text").to_pandas()
+    assert dict(zip(got.passage_key, got.dup_count)) == exp
+
+    # hash mode: same number of duplicated windows
+    goth = duplicate_passages(ds, n=5, min_count=2, key="hash").to_pandas()
+    assert sorted(goth.dup_count) == sorted(got.dup_count)
+
+    # docs mode: min_count counts DISTINCT docs; 'a b c d e' appears in
+    # docs {0, 1, 3}, the doc-0/3 clone windows in {0, 3}
+    docs = duplicate_passages(ds, n=5, min_count=2, key="text", return_docs=True).to_pandas()
+    m = docs.groupby("passage_key")["doc_id"].apply(lambda s: sorted(s)).to_dict()
+    assert m["a b c d e"] == [0, 1, 3]
+    assert m["b c d e f"] == [0, 3]
+    assert "m n o p q" not in m
