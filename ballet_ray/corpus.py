@@ -38,10 +38,12 @@ from ballet_ray.stages.decomposition import (
 from ballet_ray.stages.dedup import (
     assign_clusters,
     dedup_by_minhash,
+    duplicate_passages,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    token_duplicate_passages,
     token_minhash_lsh_pairs,
 )
 from ballet_ray.stages.sampling import hash_rate_filter, stratified_sample
@@ -95,6 +97,7 @@ __all__ = [
     "chunk_sequences",
     "correlation_matrix",
     "dedup_by_minhash",
+    "duplicate_passages",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "grouped_rank",
@@ -112,6 +115,7 @@ __all__ = [
     "semantic_dedup",
     "simhash_pairs",
     "stratified_sample",
+    "token_duplicate_passages",
     "token_minhash_lsh_pairs",
     "unigram_logprob_scores",
 ]

@@ -2046,6 +2046,21 @@ FROM wins GROUP BY passage_key HAVING COUNT(*) >= 2
 """
 
 
+def q_token_duplicate_passages_docs(sf_dir: str):
+    """Duplicate token-window detection over the canonical tokens shape
+    (documents hash-tokenized in-flight): Horner-hashed 8-token windows,
+    one keyed count, no token payload in the shuffle. Keys are siphash-
+    derived — not SQL-reproducible, so rows-only; exact brute parity is
+    pytest-enforced (test_text_dedup_similarity)."""
+    from ballet_ray.stages.dedup import token_duplicate_passages
+    from ballet_ray.stages.text import hash_tokenize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    toks = ds.map_batches(hash_tokenize, batch_format="pyarrow").select_columns(["doc_id", "tokens"])
+    out = token_duplicate_passages(toks, n=8, min_count=2)
+    return out.select_columns(["passage_key", "dup_count"])
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2186,6 +2201,7 @@ QUERIES = {
     "percent_rank_orders": q_percent_rank_orders,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "duplicate_passages_docs": q_duplicate_passages_docs,
+    "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
 }
 
 ORACLE_SQL = {

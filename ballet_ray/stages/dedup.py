@@ -1104,7 +1104,7 @@ def duplicate_passages(
         n_win = np.maximum(lens - n + 1, 0)
         total = int(n_win.sum())
         if total == 0:
-            empty = pa.table({"k": pa.array([], pa.string() if key == "text" else pa.uint64())})
+            empty = pa.table({"k": pa.array([], pa.string() if key == "text" else pa.int64())})
             return empty.append_column(id_col, t.column(id_col).slice(0, 0)) if return_docs else empty
         row_idx = np.repeat(np.arange(len(lens)), n_win)
         excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
@@ -1117,7 +1117,8 @@ def duplicate_passages(
         offsets = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32))
         joined = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
         if key == "hash":
-            ks = pa.array(stable_hash_array(joined.to_numpy(zero_copy_only=False)))
+            # int64 view — Ray's aggregate sort path rejects uint64 keys
+            ks = pa.array(stable_hash_array(joined.to_numpy(zero_copy_only=False)).view(np.int64))
         else:
             ks = joined
         out = pa.table({"k": ks})
@@ -1125,10 +1126,20 @@ def duplicate_passages(
             out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
         return out
 
+    wins = ds.select_columns([id_col, text_col]).map_batches(windows, batch_format="pyarrow")
+    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+
+
+def _count_dup_keys(wins, *, id_col: str, min_count: int, return_docs: bool):
+    """Shared tail of the duplicate-passage operators: count window keys
+    corpus-wide (docs mode: distinct docs per key) and keep keys seen
+    ``>= min_count`` times; docs mode joins the kept keys back fully
+    distributed."""
+    import pyarrow.compute as pc
+
     def keep_dups(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("count()"), min_count))
 
-    wins = ds.select_columns([id_col, text_col]).map_batches(windows, batch_format="pyarrow")
     if not return_docs:
         counts = wins.groupby("k").count()
         dup = counts.map_batches(keep_dups, batch_format="pyarrow")
@@ -1142,3 +1153,59 @@ def duplicate_passages(
 
     out = hash_join(per_doc, dup_keys, on=("k",), num_partitions=default_join_partitions(None))
     return _rename(out, ["passage_key", id_col])
+
+
+def token_duplicate_passages(
+    ds, *, tokens_col: str = "tokens", id_col: str = "doc_id", n: int = 16,
+    min_count: int = 2, return_docs: bool = False, window_chunk: int = 1 << 20,
+):
+    """:func:`duplicate_passages` over the canonical ``tokens:list<int32>``
+    column — no text, no regex, no string materialization anywhere: each
+    overlapping ``n``-token window is reduced to a uint64 key by a
+    vectorized Horner polynomial over the flat token buffer (processed in
+    ``window_chunk``-window chunks so the working set stays ~8·n bytes per
+    window in flight), finished with the splitmix64 mixer. Only (key[,
+    id]) rows ever shuffle — the token payload stays in the map stage.
+    """
+    from ballet_ray.functions.hashing import splitmix64
+
+    P = np.uint64(0x100000001B3)  # FNV prime, odd => full-period mod 2^64
+
+    def windows(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col)
+        lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_win = np.maximum(lens - n + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            out = pa.table({"k": pa.array([], pa.int64())})
+            return out.append_column(id_col, t.column(id_col).slice(0, 0)) if return_docs else out
+        row_idx = np.repeat(np.arange(len(lens)), n_win)
+        excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        win_start = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win)
+                     + row_starts[row_idx])
+        keys = np.empty(total, np.uint64)
+        with np.errstate(over="ignore"):
+            for lo in range(0, total, window_chunk):
+                hi = min(total, lo + window_chunk)
+                ws = win_start[lo:hi]
+                h = flat[ws].copy()
+                for j in range(1, n):
+                    h *= P
+                    h += flat[ws + j]
+                keys[lo:hi] = h
+        # int64 view: Ray's aggregate sort path rejects uint64 keys
+        # (falls back to pickled-object arrays); the bit pattern is what
+        # matters, not the sign
+        keys = splitmix64(keys).view(np.int64)
+        out = pa.table({"k": pa.array(keys)})
+        if return_docs:
+            out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
+        return out
+
+    wins = ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
+    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)

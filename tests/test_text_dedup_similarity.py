@@ -416,3 +416,38 @@ def test_duplicate_passages_brute_and_docs_mode():
     assert m["a b c d e"] == [0, 1, 3]
     assert m["b c d e f"] == [0, 3]
     assert "m n o p q" not in m
+
+
+def test_token_duplicate_passages_brute():
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from ballet_ray.stages.dedup import token_duplicate_passages
+
+    rng = np.random.default_rng(4)
+    rows = [rng.integers(0, 50, size=int(rng.integers(0, 30))).astype(np.int32).tolist() for _ in range(200)]
+    rows[10] = rows[3][:]          # clone -> every window duplicated
+    rows[11] = rows[3][:12]        # shared prefix
+    t = pa.table({"doc_id": list(range(200)), "tokens": pa.array(rows, pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(4)
+
+    n = 6
+    ref = Counter()
+    for r in rows:
+        for i in range(len(r) - n + 1):
+            ref[tuple(r[i : i + n])] += 1
+    exp = sorted(c for c in ref.values() if c >= 2)
+    got = token_duplicate_passages(ds, n=n, min_count=2, window_chunk=512).to_pandas()
+    assert sorted(got.dup_count) == exp
+
+    docs = token_duplicate_passages(ds, n=n, min_count=2, return_docs=True).to_pandas()
+    # every doc named in docs mode really holds a duplicated window
+    dup_docs = set(docs.doc_id)
+    expected_docs = set()
+    for di, r in enumerate(rows):
+        for i in range(len(r) - n + 1):
+            if ref[tuple(r[i : i + n])] >= 2:
+                expected_docs.add(di)
+    assert dup_docs == expected_docs
