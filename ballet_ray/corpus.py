@@ -42,6 +42,7 @@ from ballet_ray.stages.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     simhash_pairs,
     token_duplicate_passages,
     token_minhash_lsh_pairs,
@@ -112,6 +113,7 @@ __all__ = [
     "pack_sequences",
     "pca_fit_embeddings",
     "pca_transform_embeddings",
+    "remove_duplicate_spans",
     "semantic_dedup",
     "simhash_pairs",
     "stratified_sample",

@@ -2061,6 +2061,66 @@ def q_token_duplicate_passages_docs(sf_dir: str):
     return out.select_columns(["passage_key", "dup_count"])
 
 
+def q_remove_spans_docs(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. 2022 shape): every
+    duplicated 5-word span loses all but its global first occurrence
+    (min doc_id, then offset); docs come back with losing spans cut out.
+    Fully distributed: window-keyed loser selection, per-doc offset
+    aggregation, one id-keyed join carrying the payload."""
+    from ballet_ray.stages.dedup import remove_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def words(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "w": pc.split_pattern(t.column("text"), " ")})
+
+    out = remove_duplicate_spans(
+        ds.map_batches(words, batch_format="pyarrow"), tokens_col="w", n=5
+    )
+
+    def join_words(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "remaining": pc.binary_join(t.column("w"), " "),
+                "n_removed": pc.cast(t.column("n_removed"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(join_words, batch_format="pyarrow")
+
+
+SQL_REMOVE_SPANS_DOCS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+    SELECT doc_id, UNNEST([{'off': i, 'p': array_to_string(w[i:i+4], ' ')} FOR i IN range(1, len(w) - 3)], recursive := true)
+    FROM ws
+),
+losers AS (
+    SELECT doc_id, "off" FROM wins
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY p ORDER BY doc_id, "off") > 1
+),
+cov AS (
+    SELECT DISTINCT doc_id, UNNEST(range("off", "off" + 5)) AS pos FROM losers
+),
+wpos AS (
+    SELECT doc_id, UNNEST(w) AS word, generate_subscripts(w, 1) AS i FROM ws
+),
+kept AS (
+    SELECT p.doc_id,
+           string_agg(p.word, ' ' ORDER BY p.i) AS remaining,
+           COUNT(*) AS n_tok
+    FROM wpos p LEFT JOIN cov ON p.doc_id = cov.doc_id AND p.i = cov.pos
+    WHERE cov.pos IS NULL
+    GROUP BY p.doc_id
+)
+SELECT ws.doc_id,
+       COALESCE(kept.remaining, '') AS remaining,
+       len(ws.w) - COALESCE(kept.n_tok, 0) AS n_removed
+FROM ws LEFT JOIN kept ON ws.doc_id = kept.doc_id
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2202,6 +2262,7 @@ QUERIES = {
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
     "duplicate_passages_docs": q_duplicate_passages_docs,
     "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
+    "remove_spans_docs": q_remove_spans_docs,
 }
 
 ORACLE_SQL = {
@@ -2278,4 +2339,5 @@ ORACLE_SQL = {
     "percent_rank_orders": SQL_PERCENT_RANK_ORDERS,
     "corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM,
     "duplicate_passages_docs": SQL_DUPLICATE_PASSAGES_DOCS,
+    "remove_spans_docs": SQL_REMOVE_SPANS_DOCS,
 }

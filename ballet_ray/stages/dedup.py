@@ -1209,3 +1209,161 @@ def token_duplicate_passages(
 
     wins = ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
     return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+
+
+def remove_duplicate_spans(
+    ds, *, tokens_col: str = "tokens", id_col: str = "doc_id", n: int = 16,
+    num_partitions: int | None = None, window_chunk: int = 1 << 20,
+):
+    """Exact substring-level dedup over the canonical tokens column (Lee
+    et al. 2022, arXiv:2107.06499 §3: remove every duplicated ``n``-token
+    span, keeping its first occurrence): rows come back with the
+    duplicated spans cut out.
+
+    Plan (all stages bounded; the token payload shuffles exactly once,
+    in the final id-keyed join):
+
+    1. window pass — every overlapping ``n``-token window → (key, id,
+       off) rows, Horner-hashed like :func:`token_duplicate_passages`;
+    2. loser selection — coarse hash-partition on key, ONE vectorized
+       sort + ``duplicated(key)`` pass per partition (no per-key
+       map_groups): every occurrence except the global lexicographic
+       first (min id, then min offset) is a loser;
+    3. per-doc aggregation — loser offsets coarse-partitioned by id and
+       list-aggregated, so the doc join is one row per affected doc;
+    4. left join + rewrite — losers join the token table (left outer,
+       list payload auto-packed); affected rows clear the union of
+       [off, off+n) ranges via one cumulative-sum mask and gather.
+
+    Winner spans survive verbatim; overlapping loser windows merge into
+    single removed spans (the mask union). Docs without duplicated spans
+    pass through untouched. Output: (id, tokens, n_tok, n_removed).
+    """
+    from ballet_ray.functions.hashing import splitmix64
+    from ballet_ray.stages.joins import default_join_partitions, hash_join
+
+    num_partitions = default_join_partitions(num_partitions)
+    P = np.uint64(0x100000001B3)
+
+    def windows(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        fvals = pc.list_flatten(col)
+        if pa.types.is_string(fvals.type) or pa.types.is_large_string(fvals.type):
+            # string lists (word sequences): one vectorized siphash pass
+            flat = stable_hash_array(fvals.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        else:
+            flat = fvals.to_numpy(zero_copy_only=False).astype(np.uint64)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_win = np.maximum(lens - n + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             id_col: t.column(id_col).slice(0, 0),
+                             "off": pa.array([], pa.int32())})
+        row_idx = np.repeat(np.arange(len(lens)), n_win)
+        excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        off = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win))
+        win_start = off + row_starts[row_idx]
+        keys = np.empty(total, np.uint64)
+        with np.errstate(over="ignore"):
+            for lo in range(0, total, window_chunk):
+                hi = min(total, lo + window_chunk)
+                ws = win_start[lo:hi]
+                h = flat[ws].copy()
+                for j in range(1, n):
+                    h *= P
+                    h += flat[ws + j]
+                keys[lo:hi] = h
+        return pa.table({"k": pa.array(splitmix64(keys).view(np.int64)),
+                         id_col: t.column(id_col).take(pa.array(row_idx)),
+                         "off": pa.array(off.astype(np.int32))})
+
+    wins = ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
+
+    kparts = max(8, num_partitions)
+
+    def part_by_k(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column("__part", pa.array((k % np.uint64(kparts)).astype(np.int64)))
+
+    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", id_col, "off"], kind="mergesort")
+        dup = df["k"].duplicated(keep="first")
+        return df.loc[dup.to_numpy(), [id_col, "off"]]
+
+    losers = (
+        wins.map_batches(part_by_k, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pandas")
+    )
+
+    def part_by_id(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = stable_hash_array(ids.astype(object) if ids.dtype == object else ids)
+        return t.append_column("__part", pa.array((h % np.uint64(kparts)).astype(np.int64)))
+
+    def agg_offs(t: pa.Table) -> pa.Table:
+        # Arrow-native list aggregation (an object column of numpy arrays
+        # would round-trip through Ray as a pickled extension type, which
+        # the join layer cannot pack)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        off = t.column("off").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.lexsort((off, ids))
+        ids_s, off_s = ids[order], off[order]
+        new_grp = np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+        starts = np.flatnonzero(new_grp)
+        offsets = np.concatenate([starts, [len(off_s)]]).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids_s[starts]),
+            "__offs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(off_s)),
+        })
+
+    per_doc = (
+        losers.map_batches(part_by_id, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_offs, batch_format="pyarrow")
+    )
+
+    joined = hash_join(
+        ds.select_columns([id_col, tokens_col]), per_doc, on=(id_col,),
+        how="left_outer", num_partitions=num_partitions,
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        offs_col = t.column("__offs").to_pylist()
+        total = int(lens.sum())
+        keep = np.ones(total, dtype=np.int8)
+        for i, offs in enumerate(offs_col):
+            if offs is None or len(offs) == 0:
+                continue
+            base = row_starts[i]
+            # union of [off, off+n) via a difference array
+            diff = np.zeros(int(lens[i]) + 1, np.int32)
+            o = np.asarray(offs, dtype=np.int64)
+            np.add.at(diff, o, 1)
+            np.add.at(diff, np.minimum(o + n, lens[i]), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            keep[base : base + lens[i]] = ~covered
+        sel = np.flatnonzero(keep)
+        new_flat = flat.take(pa.array(sel.astype(np.int64)))
+        cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        row_ends = row_starts + lens
+        kept_per_row = cs[row_ends] - cs[row_starts]
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)])
+        return pa.table({
+            id_col: t.column(id_col),
+            tokens_col: pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), new_flat),
+            "n_tok": pa.array(kept_per_row.astype(np.int32)),
+            "n_removed": pa.array((lens - kept_per_row).astype(np.int32)),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")

@@ -142,40 +142,105 @@ def semi_join_filter(ds, keys, *, key: str, invert: bool = False):
 # ---------------------------------------------------------------------------
 
 _PACK_PREFIX = "__packed__"
+_PACK_STR_PREFIX = "__packedstr__"
+_PACK_STR_LENS_PREFIX = "__packedstrlens__"
+
+
+def _pack_fixed_list(arr: pa.Array, vt) -> pa.Array:
+    """list<fixed-width> → large_binary by buffer relabel (no row loop)."""
+    width = vt.bit_width // 8
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    byte_off = np.asarray(arr.offsets).astype(np.int64) * width
+    byte_off -= byte_off[0]  # sliced arrays carry non-zero base offsets
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(arr),
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
 
 
 def pack_list_columns(t: pa.Table) -> pa.Table:
-    """Encode list<fixed-width> columns as binary so they survive an Acero
-    join as non-key payload: the list's flat value buffer becomes the
-    binary data buffer and offsets scale by the item width — two buffer
-    re-labels, no per-row Python. Column is renamed __packed__<w>__<name>
-    so :func:`unpack_list_columns` can restore the exact type."""
+    """Encode list columns as binary so they survive an Acero join as
+    non-key payload (Acero rejects list non-key fields).
+
+    - list<fixed-width>: the flat value buffer becomes the binary data
+      buffer, offsets scale by item width — two buffer re-labels, no
+      per-row Python. Renamed ``__packed__<type>__<name>``.
+    - list<string>: two columns — the row's concatenated utf8 bytes
+      (``__packedstr__<type>__<name>``, a buffer relabel of the values
+      data) and the per-value byte lengths as a packed list<int32>
+      (``__packedstrlens__<name>``) — both pure offset arithmetic.
+
+    :func:`unpack_list_columns` restores the exact original types."""
     for name in list(t.column_names):
         col = t.column(name)
         typ = col.type
         if not (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
             continue
         vt = typ.value_type
-        if not (pa.types.is_integer(vt) or pa.types.is_floating(vt)):
-            continue
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        width = vt.bit_width // 8
-        flat = arr.flatten().to_numpy(zero_copy_only=False)
-        byte_off = np.asarray(arr.offsets).astype(np.int64) * width
-        byte_off -= byte_off[0]  # sliced arrays carry non-zero base offsets
-        packed = pa.Array.from_buffers(
-            pa.large_binary(),
-            len(arr),
-            [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(flat.tobytes())],
-        )
         i = t.column_names.index(name)
-        t = t.set_column(i, f"{_PACK_PREFIX}{vt}__{name}", packed)
+        if pa.types.is_integer(vt) or pa.types.is_floating(vt):
+            t = t.set_column(i, f"{_PACK_PREFIX}{vt}__{name}", _pack_fixed_list(arr, vt))
+        elif pa.types.is_string(vt) or pa.types.is_large_string(vt):
+            ls_off = np.asarray(arr.offsets).astype(np.int64)
+            ls_off -= ls_off[0]
+            vals = arr.flatten()  # StringArray of exactly the in-range values
+            odt = np.int64 if pa.types.is_large_string(vals.type) else np.int32
+            v_off = np.frombuffer(vals.buffers()[1], dtype=odt)[
+                vals.offset : vals.offset + len(vals) + 1
+            ].astype(np.int64)
+            v_data = np.frombuffer(vals.buffers()[2], dtype=np.uint8)[v_off[0] : v_off[-1]]
+            v_off = v_off - v_off[0]
+            row_byte_off = v_off[ls_off]
+            data_col = pa.Array.from_buffers(
+                pa.large_binary(),
+                len(arr),
+                [None, pa.py_buffer(row_byte_off.tobytes()), pa.py_buffer(v_data.tobytes())],
+            )
+            lens_list = pa.ListArray.from_arrays(
+                pa.array(ls_off.astype(np.int32)),
+                pa.array(np.diff(v_off).astype(np.int32)),
+            )
+            t = t.set_column(i, f"{_PACK_STR_PREFIX}{vt}__{name}", data_col)
+            t = t.append_column(
+                f"{_PACK_STR_LENS_PREFIX}{name}", _pack_fixed_list(lens_list, pa.int32())
+            )
     return t
 
 
 def unpack_list_columns(t: pa.Table) -> pa.Table:
     """Inverse of :func:`pack_list_columns`."""
     for name in list(t.column_names):
+        if name.startswith(_PACK_STR_PREFIX):
+            typestr, orig = name[len(_PACK_STR_PREFIX):].split("__", 1)
+            lens_name = f"{_PACK_STR_LENS_PREFIX}{orig}"
+            data = t.column(name)
+            data = data.combine_chunks() if isinstance(data, pa.ChunkedArray) else data
+            lens_packed = t.column(lens_name)
+            lens_packed = (
+                lens_packed.combine_chunks() if isinstance(lens_packed, pa.ChunkedArray) else lens_packed
+            )
+            blobs = data.to_pylist()
+            lens_rows = [
+                np.frombuffer(b, dtype=np.int32) if b is not None else np.empty(0, np.int32)
+                for b in lens_packed.to_pylist()
+            ]
+            counts = np.array([len(r) for r in lens_rows], dtype=np.int64)
+            ls_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            all_lens = np.concatenate(lens_rows) if len(lens_rows) else np.empty(0, np.int32)
+            v_off = np.concatenate([[0], np.cumsum(all_lens.astype(np.int64))])
+            v_data = b"".join(b or b"" for b in blobs)
+            values = pa.Array.from_buffers(
+                pa.utf8(),
+                len(all_lens),
+                [None, pa.py_buffer(v_off.astype(np.int32).tobytes()), pa.py_buffer(v_data)],
+            )
+            rebuilt = pa.ListArray.from_arrays(pa.array(ls_off.astype(np.int32)), values)
+            i = t.column_names.index(name)
+            t = t.set_column(i, orig, rebuilt)
+            t = t.drop_columns([lens_name])
+            continue
         if not name.startswith(_PACK_PREFIX):
             continue
         typestr, orig = name[len(_PACK_PREFIX):].split("__", 1)

@@ -451,3 +451,47 @@ def test_token_duplicate_passages_brute():
             if ref[tuple(r[i : i + n])] >= 2:
                 expected_docs.add(di)
     assert dup_docs == expected_docs
+
+
+def test_remove_duplicate_spans_brute():
+    import numpy as np
+    import ray.data as rd
+
+    from ballet_ray.stages.dedup import remove_duplicate_spans
+
+    rng = np.random.default_rng(8)
+    n = 4
+    rows = [rng.integers(0, 40, size=int(rng.integers(0, 25))).astype(np.int32).tolist() for _ in range(120)]
+    rows[20] = rows[5][:]                      # whole-doc clone
+    rows[21] = list(rows[7][:10]) + [99] * 5   # shared prefix
+    rows[22] = rows[22][:3] + rows[22][:3] + rows[22]  # in-doc repeat
+    t = pa.table({"doc_id": list(range(len(rows))), "tokens": pa.array(rows, pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(5)
+
+    # brute reference: global first occurrence (min doc_id, then offset)
+    # of each n-window wins; every other occurrence's span is masked out
+    from collections import defaultdict
+
+    first = {}
+    for di, r in enumerate(rows):
+        for off in range(len(r) - n + 1):
+            k = tuple(r[off : off + n])
+            if k not in first:
+                first[k] = (di, off)
+    masked = defaultdict(set)
+    for di, r in enumerate(rows):
+        for off in range(len(r) - n + 1):
+            k = tuple(r[off : off + n])
+            if first[k] != (di, off):
+                masked[di].update(range(off, off + n))
+    exp_tokens = {
+        di: [x for i, x in enumerate(r) if i not in masked[di]] for di, r in enumerate(rows)
+    }
+
+    got = remove_duplicate_spans(ds, n=n, window_chunk=256).to_pandas().sort_values("doc_id")
+    assert list(got.doc_id) == list(range(len(rows)))
+    for di, toks, nrem in zip(got.doc_id, got.tokens, got.n_removed):
+        assert list(toks) == exp_tokens[di], di
+        assert nrem == len(rows[di]) - len(exp_tokens[di])
+    # something was actually removed
+    assert got.n_removed.sum() > 0
