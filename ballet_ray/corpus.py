@@ -65,6 +65,7 @@ from ballet_ray.stages.sketches import (
 from ballet_ray.stages.text import (
     PII_PATTERNS,
     Fingerprint,
+    bm25_top_terms,
     LangId,
     NgramRepetition,
     QualityScore,
@@ -95,6 +96,7 @@ __all__ = [
     "approx_distinct_per_group",
     "approx_quantiles",
     "assign_clusters",
+    "bm25_top_terms",
     "chunk_sequences",
     "correlation_matrix",
     "dedup_by_minhash",

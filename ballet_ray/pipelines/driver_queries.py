@@ -588,6 +588,39 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_bm25_top_terms_docs(sf_dir: str):
+    """Top BM25 term per doc (Okapi k1=1.2 b=0.75, Lucene idf) — same
+    vocab-keyed-DF + in-batch-argmax shape as TF-IDF."""
+    from ballet_ray.stages.text import bm25_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_top_terms(ds, text_col="text", id_col="doc_id", round_to=6)
+
+
+SQL_BM25_TOP_TERMS_DOCS = """
+WITH counts AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    GROUP BY doc_id, w
+), dl AS (
+    SELECT doc_id, SUM(c) AS dl FROM counts GROUP BY doc_id
+), df AS (
+    SELECT w, COUNT(*) AS df FROM counts GROUP BY w
+), n AS (SELECT COUNT(*) AS n FROM documents),
+a AS (SELECT SUM(c) * 1.0 / (SELECT n FROM n) AS avgdl FROM counts)
+SELECT doc_id, w AS top_term,
+       ROUND(ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * c * 2.2 / (c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl)), 6) AS score
+FROM counts
+JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN a
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY ln(1 + (n.n - df.df + 0.5) / (df.df + 0.5))
+             * c * 2.2 / (c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl)) DESC, w
+) = 1
+"""
+
+
 def q_ngram_repetition_docs(sf_dir: str):
     """Duplicate/top bigram fractions (the n>1 half of the Gopher
     repetition family) — exact counts over base-V integer n-gram keys."""
@@ -2263,6 +2296,7 @@ QUERIES = {
     "duplicate_passages_docs": q_duplicate_passages_docs,
     "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
     "remove_spans_docs": q_remove_spans_docs,
+    "bm25_top_terms_docs": q_bm25_top_terms_docs,
 }
 
 ORACLE_SQL = {
@@ -2340,4 +2374,5 @@ ORACLE_SQL = {
     "corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM,
     "duplicate_passages_docs": SQL_DUPLICATE_PASSAGES_DOCS,
     "remove_spans_docs": SQL_REMOVE_SPANS_DOCS,
+    "bm25_top_terms_docs": SQL_BM25_TOP_TERMS_DOCS,
 }

@@ -341,10 +341,54 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
        and the per-doc argmax emitted directly — complete without any
        shuffle because a doc's terms never span batches.
     """
+    def build(n_docs, avgdl):
+        def score(tf, dfs, dl):
+            idf = np.log((1.0 + n_docs) / (1.0 + dfs)) + 1.0
+            return tf * idf
+
+        return score
+
+    return _top_term_scored(ds, text_col=text_col, id_col=id_col,
+                            score_builder=build, round_to=round_to)
+
+
+def bm25_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   k1: float = 1.2, b: float = 0.75, round_to: int | None = 6):
+    """Top BM25 term per document (Robertson/Spärck Jones Okapi weighting,
+    Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` with length
+    normalization by ``dl/avgdl``). Same two-pass, no-doc-keyed-shuffle
+    shape as :func:`tfidf_top_terms`; ``avgdl`` comes for free from the
+    DF pass (Σtf / N)."""
+
+    def build(n_docs, avgdl):
+        def score(tf, dfs, dl):
+            idf = np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
+            return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        return score
+
+    return _top_term_scored(ds, text_col=text_col, id_col=id_col,
+                            score_builder=build, round_to=round_to)
+
+
+def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
+                     round_to: int | None):
+    """Shared top-term kernel: one vocab-keyed DF groupby (broadcast), then
+    a per-batch scoring pass emitting each doc's argmax term — no doc-keyed
+    shuffle anywhere (a doc's terms never span batches).
+    ``score_builder(n_docs, avgdl)`` returns a vectorized ``score(tf, dfs,
+    dl)`` over the batch's (doc, term) groups; avgdl (Σtf / N) comes free
+    from the DF pass."""
+    import ray.data.aggregate as _agg
+
     dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-    df_tbl = dt.groupby("term").count().to_pandas()
-    df_map = dict(zip(df_tbl["term"], df_tbl["count()"].astype(np.int64)))
+    df_pdf = dt.groupby("term").aggregate(
+        _agg.Count(alias_name="df"), _agg.Sum("tf", alias_name="ctf")
+    ).to_pandas()
+    df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64)))
     n_docs = int(ds.count())
+    avgdl = float(df_pdf["ctf"].sum()) / max(n_docs, 1)
+    score_fn = score_builder(n_docs, avgdl)
     import ray as _ray
 
     dref = _ray.put(df_map)
@@ -377,10 +421,11 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         doc_of_group = rs[starts]
         dict_terms = np.asarray(flat.dictionary.to_pandas(), dtype=object)
         terms = dict_terms[cs[starts]]
-        # idf per dictionary code (vectorized over the batch's vocab)
+        # df + doc length per (doc, term) group (vectorized over the
+        # batch's dictionary codes / rows)
         dfs = np.array([dfm.get(w, 0) for w in dict_terms], np.float64)[cs[starts]]
-        idf = np.log((1.0 + n_docs) / (1.0 + dfs)) + 1.0
-        score = glens * idf
+        dl = lens.astype(np.float64)[doc_of_group]
+        score = score_fn(glens, dfs, dl)
         # per-doc argmax with lexicographic tie-break: sort groups by
         # (doc, -score, term) and take each doc's first group
         sel = np.lexsort((terms, -score, doc_of_group))

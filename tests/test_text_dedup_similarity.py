@@ -495,3 +495,42 @@ def test_remove_duplicate_spans_brute():
         assert nrem == len(rows[di]) - len(exp_tokens[di])
     # something was actually removed
     assert got.n_removed.sum() > 0
+
+
+def test_bm25_top_terms_reference():
+    import math
+
+    import ray.data as rd
+
+    from ballet_ray.stages.text import bm25_top_terms
+
+    texts = ["cat dog cat", "dog bird", "fish fish fish cat"]
+    t = pa.table({"doc_id": [0, 1, 2], "text": texts})
+    got = (
+        bm25_top_terms(rd.from_arrow(t).repartition(2), round_to=None)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+
+    # brute reference
+    docs = [s.split(" ") for s in texts]
+    N = len(docs)
+    avgdl = sum(len(d) for d in docs) / N
+    df = {}
+    for d in docs:
+        for w in set(d):
+            df[w] = df.get(w, 0) + 1
+    k1, b = 1.2, 0.75
+    exp = []
+    for d in docs:
+        best = None
+        for w in sorted(set(d)):
+            tf = d.count(w)
+            idf = math.log(1 + (N - df[w] + 0.5) / (df[w] + 0.5))
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+            if best is None or s > best[1] + 1e-12:
+                best = (w, s)
+        exp.append(best)
+    for (w, s), (_, row) in zip(exp, got.iterrows()):
+        assert row.top_term == w
+        assert abs(row.score - s) < 1e-9
