@@ -40,6 +40,7 @@ from ballet_ray.stages.dedup import (
     dedup_by_minhash,
     duplicate_passages,
     exact_dedup,
+    find_contaminated,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_spans,
@@ -47,7 +48,7 @@ from ballet_ray.stages.dedup import (
     token_duplicate_passages,
     token_minhash_lsh_pairs,
 )
-from ballet_ray.stages.sampling import hash_rate_filter, stratified_sample
+from ballet_ray.stages.sampling import global_shuffle_index, hash_rate_filter, stratified_sample
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
     embedding_near_dup_pairs,
@@ -103,6 +104,8 @@ __all__ = [
     "duplicate_passages",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "find_contaminated",
+    "global_shuffle_index",
     "grouped_rank",
     "hash_rate_filter",
     "hash_tokenize",

@@ -2154,6 +2154,56 @@ FROM ws LEFT JOIN kept ON ws.doc_id = kept.doc_id
 """
 
 
+def q_contamination_docs(sf_dir: str):
+    """Benchmark decontamination: docs 0-49 play the eval set; corpus docs
+    (id >= 50) are flagged with the count of their 8-word windows that
+    appear anywhere in the eval set. Eval window keys broadcast once; the
+    corpus side is one shuffle-free streaming pass."""
+    from ballet_ray.stages.dedup import find_contaminated
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 50)), batch_format="pyarrow"
+    )
+    eval_ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 50)), batch_format="pyarrow"
+    )
+    return find_contaminated(corpus, eval_ds, n=8, key="text")
+
+
+SQL_CONTAMINATION_DOCS = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+cw AS (
+    SELECT doc_id, UNNEST([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS p
+    FROM ws WHERE doc_id >= 50
+),
+ew AS (
+    SELECT DISTINCT UNNEST([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS p
+    FROM ws WHERE doc_id < 50
+)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM cw JOIN ew USING (p)
+GROUP BY doc_id
+"""
+
+
+def q_shuffle_index_docs(sf_dir: str):
+    """Deterministic epoch-order assignment: dense 0..N-1 rank under
+    ORDER BY md5(doc_id), doc_id — a reproducible global permutation
+    (counts-only bin pre-pass + one payload shuffle)."""
+    from ballet_ray.stages.sampling import global_shuffle_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return global_shuffle_index(ds, key_col="doc_id").select_columns(["doc_id", "shuffle_idx"])
+
+
+SQL_SHUFFLE_INDEX_DOCS = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS shuffle_idx
+FROM documents
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2297,6 +2347,8 @@ QUERIES = {
     "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
     "remove_spans_docs": q_remove_spans_docs,
     "bm25_top_terms_docs": q_bm25_top_terms_docs,
+    "contamination_docs": q_contamination_docs,
+    "shuffle_index_docs": q_shuffle_index_docs,
 }
 
 ORACLE_SQL = {
@@ -2375,4 +2427,6 @@ ORACLE_SQL = {
     "duplicate_passages_docs": SQL_DUPLICATE_PASSAGES_DOCS,
     "remove_spans_docs": SQL_REMOVE_SPANS_DOCS,
     "bm25_top_terms_docs": SQL_BM25_TOP_TERMS_DOCS,
+    "contamination_docs": SQL_CONTAMINATION_DOCS,
+    "shuffle_index_docs": SQL_SHUFFLE_INDEX_DOCS,
 }

@@ -1367,3 +1367,76 @@ def remove_duplicate_spans(
         })
 
     return joined.map_batches(rewrite, batch_format="pyarrow")
+
+
+def find_contaminated(
+    corpus, eval_ds, *, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 8, key: str = "hash",
+):
+    """Benchmark decontamination (the GPT-3/PaLM appendix procedure): count,
+    per corpus document, how many of its ``n``-word windows appear anywhere
+    in the evaluation set.
+
+    Scale shape: the eval side is small by definition — its distinct
+    window keys are collected once and broadcast via ``ray.put``; the
+    corpus side streams through one ``map_batches`` doing a sorted-array
+    membership test (``np.searchsorted``) and per-doc segment sums. No
+    shuffle at all on the corpus side. ``key='hash'`` broadcasts uint64
+    siphashes (the scale mode); ``key='text'`` broadcasts the window
+    strings themselves (exact, SQL-oracle-able).
+
+    Returns (id, n_hits) for corpus docs with ``n_hits > 0``.
+    """
+    import ray as _ray
+
+    def batch_windows(t: pa.Table):
+        words = pc.split_pattern(
+            pc.fill_null(pc.cast(t.column(text_col), pa.string()), ""), " "
+        )
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        n_win = np.maximum(lens - n + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return None, n_win
+        row_idx = np.repeat(np.arange(len(lens)), n_win)
+        excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        win_start = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win)
+                     + row_starts[row_idx])
+        idx = (np.repeat(win_start, n).astype(np.int32)
+               + np.tile(np.arange(n, dtype=np.int32), total))
+        flat = pc.list_flatten(words).take(pa.array(idx))
+        offsets = pa.array(np.arange(0, (total + 1) * n, n, dtype=np.int32))
+        joined = pc.binary_join(pa.ListArray.from_arrays(offsets, flat), " ")
+        if key == "hash":
+            return stable_hash_array(joined.to_numpy(zero_copy_only=False)), n_win
+        return joined.to_numpy(zero_copy_only=False), n_win
+
+    def eval_keys(t: pa.Table) -> pa.Table:
+        ks, _ = batch_windows(t)
+        if ks is None:
+            ks = np.empty(0, np.uint64 if key == "hash" else object)
+        return pa.table({"k": pa.array(np.unique(ks))})
+
+    ev = eval_ds.select_columns([id_col, text_col]).map_batches(eval_keys, batch_format="pyarrow").to_pandas()
+    eval_set = np.sort(np.unique(ev["k"].to_numpy()))
+    sref = _ray.put(eval_set)
+
+    def hits(t: pa.Table) -> pa.Table:
+        es = _ray.get(sref)
+        ks, n_win = batch_windows(t)
+        nh = np.zeros(len(t), np.int64)
+        if ks is not None and len(es):
+            pos = np.searchsorted(es, ks)
+            pos[pos >= len(es)] = len(es) - 1
+            member = (es[pos] == ks).astype(np.int64)
+            nz = n_win > 0
+            starts = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+            cs = np.concatenate([[0], np.cumsum(member)])
+            nh[nz] = cs[(starts + n_win)[nz]] - cs[starts[nz]]
+        out = pa.table({id_col: t.column(id_col), "n_hits": pa.array(nh)})
+        return out.filter(pc.greater(out.column("n_hits"), 0))
+
+    return corpus.select_columns([id_col, text_col]).map_batches(hits, batch_format="pyarrow")

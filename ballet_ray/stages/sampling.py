@@ -95,3 +95,56 @@ def hash_rate_filter(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def global_shuffle_index(ds, *, key_col: str, salt: str = ""):
+    """Deterministic global shuffle order for training epochs: every row
+    gets a dense 0..N-1 ``shuffle_idx`` equal to its rank under
+    ``ORDER BY md5(salt||key), key`` — a reproducible random permutation
+    that is independent of partitioning and cluster size (re-runs and
+    resumes see the identical epoch order, unlike ``random_shuffle``).
+
+    Two passes: (1) a counts-only pre-pass over 4096 hex-prefix bins
+    (the bin id is the priority's first 3 hex digits, so bin order ==
+    priority order) gives the driver one 4096-int offset table; (2) one
+    bin-keyed shuffle sorts each bin locally by (priority, key) and adds
+    its offset. The payload moves through exactly one all-to-all, which
+    is the lower bound for materializing a global permutation.
+    """
+    import ray as _ray
+
+    NB = 4096
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        prio = _md5_hex(k.tolist(), salt)
+        bins = np.asarray([int(p[:3], 16) for p in prio], dtype=np.int64)
+        return t.append_column("__prio", pa.array(prio)).append_column("__bin", pa.array(bins))
+
+    binned = ds.map_batches(add_bin, batch_format="pyarrow")
+
+    # counts pre-pass on a keys-only projection — the payload does not
+    # move until the single indexing shuffle
+    counts = (
+        ds.select_columns([key_col])
+        .map_batches(add_bin, batch_format="pyarrow")
+        .groupby("__bin")
+        .count()
+        .to_pandas()
+    )
+    offs = np.zeros(NB + 1, np.int64)
+    offs[counts["__bin"].to_numpy() + 1] = counts["count()"].to_numpy()
+    offs = np.cumsum(offs)
+    oref = _ray.put(offs)
+
+    def index_bin(t: pa.Table) -> pa.Table:
+        off = _ray.get(oref)
+        prio = np.asarray(t.column("__prio").to_pylist(), dtype=object)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        b = int(t.column("__bin")[0].as_py())
+        order = np.lexsort((keys, prio))
+        idx = np.empty(len(order), np.int64)
+        idx[order] = off[b] + np.arange(len(order))
+        return t.drop_columns(["__prio", "__bin"]).append_column("shuffle_idx", pa.array(idx))
+
+    return binned.groupby("__bin").map_groups(index_bin, batch_format="pyarrow")

@@ -61,3 +61,40 @@ def test_grouped_rank_matches_pandas_window():
     df_sorted = df.sort_values("doc_id")
     np.testing.assert_array_equal(got["rank"].to_numpy(), exp_rank[df_sorted.index].to_numpy())
     np.testing.assert_allclose(got["percent_rank"].to_numpy(), exp_pr[df_sorted.index], atol=1e-12)
+
+
+def test_global_shuffle_index_permutation_and_stability():
+    import hashlib
+
+    from ballet_ray.stages.sampling import global_shuffle_index
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(777)], "payload": np.arange(777)})
+    a = global_shuffle_index(rd.from_pandas(df).repartition(6), key_col="doc_id").to_pandas()
+    # dense permutation
+    assert sorted(a.shuffle_idx) == list(range(777))
+    # matches the md5-order reference
+    ref = df.assign(p=[hashlib.md5(k.encode()).hexdigest() for k in df.doc_id]).sort_values(["p", "doc_id"])
+    exp = {k: i for i, k in enumerate(ref.doc_id)}
+    assert all(exp[k] == i for k, i in zip(a.doc_id, a.shuffle_idx))
+    # payload carried through intact
+    assert dict(zip(a.doc_id, a.payload)) == dict(zip(df.doc_id, df.payload))
+    # partitioning-invariant
+    b = global_shuffle_index(rd.from_pandas(df), key_col="doc_id").to_pandas()
+    assert dict(zip(b.doc_id, b.shuffle_idx)) == exp
+
+
+def test_find_contaminated_reference():
+    from ballet_ray.stages.dedup import find_contaminated
+
+    eval_texts = ["q w e r t y u i o p", "a b c d e f g h"]
+    corpus_texts = [
+        "x x q w e r t y u i o p y y",   # contains 3 eval 8-windows
+        "a b c d e f g h",               # equals eval doc -> 1 window
+        "nothing here at all to see",    # clean (short, 0 windows anyway)
+        "z z z z z z z z z z",           # clean
+    ]
+    ev = rd.from_arrow(pa.table({"doc_id": [100, 101], "text": eval_texts}))
+    cp = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": corpus_texts})).repartition(2)
+    for key in ("hash", "text"):
+        got = find_contaminated(cp, ev, n=8, key=key).to_pandas().sort_values("doc_id")
+        assert dict(zip(got.doc_id, got.n_hits)) == {0: 3, 1: 1}
