@@ -2204,6 +2204,58 @@ FROM documents
 """
 
 
+def q_gopher_filter_docs(sf_dir: str):
+    """Gopher/C4-style composite quality filter as ONE fused pass: word
+    count + repetition signals computed batch-locally, conjunctive
+    thresholds applied as a streaming filter (words >= 20,
+    dup_word_frac <= 0.6, top_word_frac <= 0.13 — each bites on this
+    corpus). The whole preset is a single map_batches chain: no shuffle,
+    nothing materialized."""
+    from ballet_ray.stages.text import QualityScore, WordRepetition
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pipe = FeatureEngineeringPipeline(
+        [Feature("text", QualityScore()), Feature("text", WordRepetition())]
+    )
+    out = pipe.fit_transform(ds).select_columns(
+        ["doc_id", "words", "dup_word_frac", "top_word_frac"]
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("words"), 20),
+                pc.less_equal(t.column("dup_word_frac"), 0.6),
+            ),
+            pc.less_equal(t.column("top_word_frac"), 0.13),
+        )
+        return t.filter(m)
+
+    return _round_cols(out.map_batches(keep, batch_format="pyarrow"),
+                       {"dup_word_frac": 6, "top_word_frac": 6})
+
+
+SQL_GOPHER_FILTER_DOCS = """
+WITH counts AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    GROUP BY doc_id, w
+), rep AS (
+    SELECT doc_id,
+           1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_word_frac,
+           MAX(c) * 1.0 / SUM(c) AS top_word_frac
+    FROM counts GROUP BY doc_id
+), q AS (
+    SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS words FROM documents
+)
+SELECT doc_id, words,
+       ROUND(dup_word_frac, 6) AS dup_word_frac,
+       ROUND(top_word_frac, 6) AS top_word_frac
+FROM q JOIN rep USING (doc_id)
+WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2349,6 +2401,7 @@ QUERIES = {
     "bm25_top_terms_docs": q_bm25_top_terms_docs,
     "contamination_docs": q_contamination_docs,
     "shuffle_index_docs": q_shuffle_index_docs,
+    "gopher_filter_docs": q_gopher_filter_docs,
 }
 
 ORACLE_SQL = {
@@ -2429,4 +2482,5 @@ ORACLE_SQL = {
     "bm25_top_terms_docs": SQL_BM25_TOP_TERMS_DOCS,
     "contamination_docs": SQL_CONTAMINATION_DOCS,
     "shuffle_index_docs": SQL_SHUFFLE_INDEX_DOCS,
+    "gopher_filter_docs": SQL_GOPHER_FILTER_DOCS,
 }
