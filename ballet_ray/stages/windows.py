@@ -749,5 +749,10 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
             }
         )
 
+    from ballet_ray.stages.joins import default_join_partitions
+
     ranked = cnt.groupby(group_col).map_groups(ranks, batch_format="pandas")
-    return hash_join(ds, ranked, on=(group_col, value_col), num_partitions=num_partitions or 16)
+    return hash_join(
+        ds, ranked, on=(group_col, value_col),
+        num_partitions=default_join_partitions(num_partitions),
+    )
