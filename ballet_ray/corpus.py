@@ -62,6 +62,7 @@ from ballet_ray.stages.sketches import (
     approx_distinct,
     approx_distinct_per_group,
     approx_quantiles,
+    approx_top_k,
 )
 from ballet_ray.stages.text import (
     PII_PATTERNS,
@@ -96,6 +97,7 @@ __all__ = [
     "approx_distinct",
     "approx_distinct_per_group",
     "approx_quantiles",
+    "approx_top_k",
     "assign_clusters",
     "bm25_top_terms",
     "chunk_sequences",

@@ -2256,6 +2256,23 @@ WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
 """
 
 
+def q_approx_top_events(sf_dir: str):
+    """Heavy hitters via mergeable Misra-Gries summaries (<= capacity rows
+    shuffled per block); exact below capacity, so the event-type counts
+    oracle exactly."""
+    from ballet_ray.stages.sketches import approx_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return approx_top_k(ds, "event_type", k=5, capacity=64)
+
+
+SQL_APPROX_TOP_EVENTS = """
+SELECT event_type, COUNT(*) AS cnt
+FROM events GROUP BY event_type
+ORDER BY cnt DESC, event_type LIMIT 5
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2402,6 +2419,7 @@ QUERIES = {
     "contamination_docs": q_contamination_docs,
     "shuffle_index_docs": q_shuffle_index_docs,
     "gopher_filter_docs": q_gopher_filter_docs,
+    "approx_top_events": q_approx_top_events,
 }
 
 ORACLE_SQL = {
@@ -2483,4 +2501,5 @@ ORACLE_SQL = {
     "contamination_docs": SQL_CONTAMINATION_DOCS,
     "shuffle_index_docs": SQL_SHUFFLE_INDEX_DOCS,
     "gopher_filter_docs": SQL_GOPHER_FILTER_DOCS,
+    "approx_top_events": SQL_APPROX_TOP_EVENTS,
 }

@@ -259,3 +259,64 @@ def approx_quantiles_per_group(ds, col: str, by: str, qs, *, k: int = 2048):
         .groupby(by)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. 2013):
+# per-batch MG summaries of <= capacity counters are EXACT sums minus at
+# most n_batch/(capacity+1) per value; summing summaries (a plain keyed
+# Sum) preserves the bound additively, so the global estimate of every
+# value lies in [true - n/(capacity+1), true]. With distinct values <=
+# capacity no decrement ever fires and the result is exact — the same
+# "exact at test scale, approximate at corpus scale" contract as KMV/KLL.
+# ---------------------------------------------------------------------------
+
+
+def _mg_summary(values: np.ndarray, capacity: int):
+    """Misra-Gries over one batch → (values, counts) arrays, len<=capacity."""
+    vals, cnts = np.unique(values, return_counts=True)
+    if len(vals) <= capacity:
+        return vals, cnts
+    # decrement: subtract the (capacity+1)-th largest count, drop <= 0
+    kth = np.partition(cnts, -capacity - 1)[-capacity - 1]
+    keep = cnts > kth
+    # may still exceed capacity on ties: keep the largest `capacity` with
+    # a deterministic value tie-break
+    if keep.sum() > capacity:
+        order = np.lexsort((vals, -cnts))[:capacity]
+        keep = np.zeros(len(vals), bool)
+        keep[order] = True
+    return vals[keep], cnts[keep] - kth
+
+
+def approx_top_k(ds, col: str, *, k: int = 10, capacity: int = 256):
+    """Approximate top-k values by count with one streaming pass.
+
+    The shuffle carries at most ``capacity`` (value, partial-count) rows
+    per block — independent of row count and cardinality — then one small
+    keyed Sum and a sort. Every estimate is a LOWER bound within
+    ``n/(capacity+1)`` of the true count; with ``distinct <= capacity``
+    the result is exact (DuckDB-oracle-able). Ties break by value
+    ascending. Returns a Dataset (col, cnt) of ``k`` rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        vals, cnts = _mg_summary(v, capacity)
+        return pa.table({col: pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))})
+
+    summed = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(col)
+        .sum("cnt")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([col, "cnt"])
+
+    return (
+        summed.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", col], descending=[True, False])
+        .limit(k)
+    )

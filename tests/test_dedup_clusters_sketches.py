@@ -263,3 +263,38 @@ def test_approx_quantiles_distributed_matches_exact(sf_dir):
     vals = np.sort(ds.to_pandas()["o_totalprice"].to_numpy())
     for q, g in zip([0.5, 0.9], got):
         assert g == vals[int(np.ceil(q * len(vals))) - 1]
+
+
+def test_misra_gries_summary_and_topk():
+    import numpy as np
+    import ray.data as rd
+
+    from ballet_ray.stages.sketches import _mg_summary, approx_top_k
+
+    rng = np.random.default_rng(12)
+    # zipf-ish: value i has weight ~ 1/(i+1)
+    vals = rng.choice(200, p=(1 / np.arange(1, 201)) / (1 / np.arange(1, 201)).sum(), size=50_000)
+
+    # per-batch MG bound: est <= true, true - est <= n/(cap+1)
+    cap = 16
+    sv, sc = _mg_summary(vals, cap)
+    assert len(sv) <= cap
+    true = {v: int((vals == v).sum()) for v in sv}
+    for v, c in zip(sv, sc):
+        assert c <= true[v] and true[v] - c <= len(vals) / (cap + 1)
+
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    # capacity >= distinct -> exact top-k equals a full groupby
+    got = approx_top_k(ds, "v", k=10, capacity=512).to_pandas()
+    u, c = np.unique(vals, return_counts=True)
+    order = np.lexsort((u, -c))[:10]
+    assert list(got.v) == list(u[order]) and list(got.cnt) == list(c[order])
+
+    # tight capacity: top-1 still found, estimates are valid lower bounds
+    approx = approx_top_k(ds, "v", k=5, capacity=32).to_pandas()
+    truth = dict(zip(u, c))
+    assert approx.v.iloc[0] == u[order][0]
+    for v, est in zip(approx.v, approx.cnt):
+        assert est <= truth[v] and truth[v] - est <= len(vals) / 33 * 8  # per-block bound x blocks
