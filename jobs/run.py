@@ -9,6 +9,8 @@ for the north rule's two-cluster-size runs: identical invocations on N and
 Usage:
   python jobs/run.py --input /path/corpus --out /path/out \
       [--partitions 256] [--skew-threshold 1000000]
+  python jobs/run.py --mode pack --input /path/corpus --out /path/out \
+      [--max-len 512] [--pack-len 2048]   # tokens -> packed examples
 
 Resume is implicit: re-running the same command skips every partition
 whose lineage manifest already exists (the summary reports
@@ -57,6 +59,11 @@ def main() -> None:
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--mode", choices=["backfill", "pack"], default="backfill")
+    ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--stride", type=int, default=None)
+    ap.add_argument("--pack-len", type=int, default=2048)
+    ap.add_argument("--files-per-part", type=int, default=2)
     args = ap.parse_args()
 
     import ray
@@ -69,6 +76,22 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    if args.mode == "pack":
+        from ballet_ray.state.checkpoint import CheckpointedPack
+
+        t0 = time.time()
+        summary = CheckpointedPack(
+            args.out, max_len=args.max_len, stride=args.stride,
+            pack_len=args.pack_len, files_per_part=args.files_per_part,
+        ).run(args.input)
+        dt = time.time() - t0
+        summary["wall_s_total"] = round(dt, 3)
+        if summary.get("tokens_out"):
+            summary["tokens_per_sec"] = round(summary["tokens_out"] / dt)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return
 
     from ballet_ray.state.checkpoint import CheckpointedBackfill
 

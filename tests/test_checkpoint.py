@@ -138,3 +138,47 @@ def test_two_clean_runs_identical_checksums(tmp_path, corpus_dir):
             sums[j["part"]] = j["checksum"]
         outs.append(sums)
     assert outs[0] == outs[1]
+
+
+def test_checkpointed_pack_resume(tmp_path):
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ballet_ray.state.checkpoint import CheckpointedPack
+
+    # 6 shard files of token rows
+    src = tmp_path / "corpus"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    total_tokens = 0
+    for s in range(6):
+        rows = [rng.integers(0, 100, size=int(rng.integers(1, 900))).astype(np.int32).tolist() for _ in range(40)]
+        total_tokens += sum(len(r) for r in rows)
+        pq.write_table(
+            pa.table({"doc_id": [f"{s}:{i}" for i in range(40)], "tokens": pa.array(rows, pa.list_(pa.int32()))}),
+            src / f"shard-{s:02d}.parquet",
+        )
+
+    out = tmp_path / "packed"
+    job = CheckpointedPack(str(out), max_len=128, pack_len=512, files_per_part=2)
+    s1 = job.run(str(src))
+    assert s1["partitions_total"] == 3 and s1["partitions_processed"] == 3
+    # stride=max_len chunking preserves token mass through packing
+    assert s1["tokens_out"] == total_tokens
+
+    # resume: delete one manifest -> exactly one partition reruns
+    mans = sorted(os.listdir(out / "manifest"))
+    (out / "manifest" / mans[1]).unlink()
+    s2 = CheckpointedPack(str(out), max_len=128, pack_len=512, files_per_part=2).run(str(src))
+    assert s2["partitions_resumed"] == 2 and s2["partitions_processed"] == 1
+
+    # manifests carry lineage + fill; output parquet readable and capped
+    man = json.load(open(out / "manifest" / mans[0]))
+    assert man["input_files"] == ["shard-00.parquet", "shard-01.parquet"]
+    assert 0 < man["fill"] <= 1
+    t = pq.read_table(out / "examples" / "part=0" / "data.parquet")
+    assert max(t.column("n_tok").to_pylist()) <= 512
