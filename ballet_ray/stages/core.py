@@ -225,9 +225,12 @@ class HashSplit(Transform):
     UBIGINT)``.
     """
 
-    def __init__(self, fracs: dict[str, float] | None = None):
+    def __init__(self, fracs: dict[str, float] | None = None, method: str = "md5"):
         import hashlib
 
+        if method not in ("md5", "siphash"):
+            raise ValueError("method must be 'md5' or 'siphash'")
+        self.method = method
         self.fracs = dict(fracs or {"train": 0.8, "val": 0.1, "test": 0.1})
         if abs(sum(self.fracs.values()) - 1.0) > 1e-9:
             raise ValueError("split fractions must sum to 1")
@@ -243,12 +246,20 @@ class HashSplit(Transform):
 
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
         c = cols[0]
-        keys = pc.cast(table.column(c), pa.string()).to_pylist()
-        u = np.fromiter(
-            (int(self._md5(k.encode()).hexdigest()[:8], 16) for k in keys),
-            dtype=np.uint64,
-            count=len(keys),
-        ) / 2.0**32
+        if self.method == "siphash":
+            # vectorized one-pass hashing — the corpus-scale mode (the
+            # md5 path hashes row-by-row in Python for SQL auditability)
+            from ballet_ray.functions.partition import stable_hash_array
+
+            keys = table.column(c).to_numpy(zero_copy_only=False)
+            u = stable_hash_array(keys.astype(object) if keys.dtype != object else keys) / 2.0**64
+        else:
+            keys = pc.cast(table.column(c), pa.string()).to_pylist()
+            u = np.fromiter(
+                (int(self._md5(k.encode()).hexdigest()[:8], 16) for k in keys),
+                dtype=np.uint64,
+                count=len(keys),
+            ) / 2.0**32
         idx = np.searchsorted(self._bounds, u, side="right")
         return pa.table({"split": pa.array(self._names[idx])})
 

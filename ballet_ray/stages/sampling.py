@@ -34,6 +34,22 @@ def _md5_hex(keys: list, salt: str) -> np.ndarray:
     return np.asarray([md5(pre + str(k).encode()).hexdigest() for k in keys], dtype=object)
 
 
+def _priority_u(keys: np.ndarray, salt: str, method: str) -> np.ndarray:
+    """Uniform-[0,1) priority per key. method='md5' is row-wise Python but
+    SQL-auditable (``int(md5(salt||key)[:8],16)/2^32``); method='siphash'
+    is one vectorized pass — the corpus-scale mode when the oracle
+    doesn't need to reproduce the draw in SQL."""
+    if method == "siphash":
+        from ballet_ray.functions.partition import stable_hash_array
+
+        salted = np.asarray([salt + str(k) for k in keys], dtype=object) if salt else (
+            keys if keys.dtype == object else keys.astype(object)
+        )
+        return stable_hash_array(salted) / 2.0**64
+    hexes = _md5_hex(list(keys), salt)
+    return np.asarray([int(h[:8], 16) for h in hexes], dtype=np.float64) / 2.0**32
+
+
 def stratified_sample(ds, *, group_col: str, key_col: str, n: int, salt: str = ""):
     """The ``n`` smallest-priority rows of every group (ties broken by key).
 
@@ -71,7 +87,7 @@ def stratified_sample(ds, *, group_col: str, key_col: str, n: int, salt: str = "
 
 def hash_rate_filter(
     ds, *, key_col: str, rate: float | None = None, rates: dict | None = None,
-    group_col: str | None = None, salt: str = "",
+    group_col: str | None = None, salt: str = "", method: str = "md5",
 ):
     """Keep rows where ``u = int(md5(salt||key)[:8], 16)/2^32 < rate``;
     with ``rates`` + ``group_col`` the threshold is per group (mixture
@@ -84,8 +100,7 @@ def hash_rate_filter(
 
     def f(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
-        hexes = _md5_hex(k.tolist(), salt)
-        u = np.asarray([int(h[:8], 16) for h in hexes], dtype=np.float64) / 2.0**32
+        u = _priority_u(k, salt, method)
         if rates is None:
             mask = u < rate
         else:

@@ -56,3 +56,26 @@ def test_regex_redactor_matches_python_re():
             s = re.sub(pat, repl, s)
         assert got[i] == s and hits[i] == n
     assert hits[0] == 2 and "<EMAIL>" in got[0] and "<URL>" in got[0]
+
+
+def test_fast_siphash_modes():
+    import pyarrow as pa
+
+    from ballet_ray.stages.core import HashSplit
+    from ballet_ray.stages.sampling import hash_rate_filter
+
+    t = pa.table({"doc_id": list(range(30000))})
+    hs = HashSplit({"train": 0.8, "val": 0.1, "test": 0.1}, method="siphash")
+    out = hs.transform_table(t, ["doc_id"])
+    splits = np.asarray(out.column("split").to_pylist())
+    fr = {s: (splits == s).mean() for s in ("train", "val", "test")}
+    assert abs(fr["train"] - 0.8) < 0.01 and abs(fr["val"] - 0.1) < 0.006
+    # slicing-invariant like the md5 mode
+    part = hs.transform_table(t.slice(11, 500), ["doc_id"])
+    assert part.column("split").to_pylist() == splits[11:511].tolist()
+
+    ds = rd.from_arrow(t).repartition(4)
+    kept = hash_rate_filter(ds, key_col="doc_id", rate=0.25, method="siphash").to_pandas()
+    assert abs(len(kept) / 30000 - 0.25) < 0.01
+    kept2 = hash_rate_filter(rd.from_arrow(t), key_col="doc_id", rate=0.25, method="siphash").to_pandas()
+    assert sorted(kept2.doc_id) == sorted(kept.doc_id)
