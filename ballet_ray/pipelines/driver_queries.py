@@ -2273,6 +2273,39 @@ ORDER BY cnt DESC, event_type LIMIT 5
 """
 
 
+def q_curriculum_index_docs(sf_dir: str):
+    """Curriculum epoch ordering: three length tiers (short → long),
+    hash-shuffled within each tier, materialized as a dense global index
+    by the same counts-bin + one-shuffle machinery as shuffle_index."""
+    from ballet_ray.stages.sampling import global_shuffle_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def tier(t: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(t.column("text"), pattern="[A-Za-z0-9]+")
+        w = words.to_numpy(zero_copy_only=False)
+        b = np.where(w < 30, 0, np.where(w < 60, 1, 2)).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"), "tier": pa.array(b)})
+
+    tiered = ds.map_batches(tier, batch_format="pyarrow")
+    out = global_shuffle_index(tiered, key_col="doc_id", bucket_col="tier", n_buckets=3)
+    return out.select_columns(["doc_id", "tier", "shuffle_idx"])
+
+
+SQL_CURRICULUM_INDEX_DOCS = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) < 30 THEN 0
+                WHEN len(regexp_extract_all(text, '[A-Za-z0-9]+')) < 60 THEN 1
+                ELSE 2 END AS tier
+    FROM documents
+)
+SELECT doc_id, tier,
+       ROW_NUMBER() OVER (ORDER BY tier, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS shuffle_idx
+FROM t
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2420,6 +2453,7 @@ QUERIES = {
     "shuffle_index_docs": q_shuffle_index_docs,
     "gopher_filter_docs": q_gopher_filter_docs,
     "approx_top_events": q_approx_top_events,
+    "curriculum_index_docs": q_curriculum_index_docs,
 }
 
 ORACLE_SQL = {
@@ -2502,4 +2536,5 @@ ORACLE_SQL = {
     "shuffle_index_docs": SQL_SHUFFLE_INDEX_DOCS,
     "gopher_filter_docs": SQL_GOPHER_FILTER_DOCS,
     "approx_top_events": SQL_APPROX_TOP_EVENTS,
+    "curriculum_index_docs": SQL_CURRICULUM_INDEX_DOCS,
 }

@@ -112,36 +112,49 @@ def hash_rate_filter(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def global_shuffle_index(ds, *, key_col: str, salt: str = ""):
+def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | None = None,
+                         n_buckets: int | None = None):
     """Deterministic global shuffle order for training epochs: every row
     gets a dense 0..N-1 ``shuffle_idx`` equal to its rank under
     ``ORDER BY md5(salt||key), key`` — a reproducible random permutation
     that is independent of partitioning and cluster size (re-runs and
     resumes see the identical epoch order, unlike ``random_shuffle``).
 
-    Two passes: (1) a counts-only pre-pass over 4096 hex-prefix bins
-    (the bin id is the priority's first 3 hex digits, so bin order ==
-    priority order) gives the driver one 4096-int offset table; (2) one
-    bin-keyed shuffle sorts each bin locally by (priority, key) and adds
-    its offset. The payload moves through exactly one all-to-all, which
-    is the lower bound for materializing a global permutation.
+    With ``bucket_col`` (an int column in [0, n_buckets), e.g. a
+    difficulty tier) the order becomes CURRICULUM order:
+    ``ORDER BY bucket, md5(salt||key), key`` — buckets in sequence,
+    hash-shuffled within each bucket.
+
+    Two passes: (1) a counts-only pre-pass over (bucket ×) 4096
+    hex-prefix bins (the bin id is the priority's first 3 hex digits, so
+    bin order == priority order) gives the driver one offset table; (2)
+    one bin-keyed shuffle sorts each bin locally by (priority, key) and
+    adds its offset. The payload moves through exactly one all-to-all,
+    which is the lower bound for materializing a global permutation.
     """
     import ray as _ray
 
-    NB = 4096
+    HB = 4096
+    NB = HB * (n_buckets if bucket_col else 1)
+    if bucket_col and not n_buckets:
+        raise ValueError("bucket_col requires n_buckets")
 
     def add_bin(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         prio = _md5_hex(k.tolist(), salt)
         bins = np.asarray([int(p[:3], 16) for p in prio], dtype=np.int64)
+        if bucket_col:
+            b = t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            bins = b * HB + bins
         return t.append_column("__prio", pa.array(prio)).append_column("__bin", pa.array(bins))
 
     binned = ds.map_batches(add_bin, batch_format="pyarrow")
 
     # counts pre-pass on a keys-only projection — the payload does not
     # move until the single indexing shuffle
+    narrow_cols = [key_col] + ([bucket_col] if bucket_col else [])
     counts = (
-        ds.select_columns([key_col])
+        ds.select_columns(narrow_cols)
         .map_batches(add_bin, batch_format="pyarrow")
         .groupby("__bin")
         .count()

@@ -98,3 +98,16 @@ def test_find_contaminated_reference():
     for key in ("hash", "text"):
         got = find_contaminated(cp, ev, n=8, key=key).to_pandas().sort_values("doc_id")
         assert dict(zip(got.doc_id, got.n_hits)) == {0: 3, 1: 1}
+
+
+def test_curriculum_index_buckets_in_order():
+    from ballet_ray.stages.sampling import global_shuffle_index
+
+    df = pd.DataFrame({"doc_id": list(range(600)), "tier": [i % 3 for i in range(600)]})
+    out = global_shuffle_index(
+        rd.from_pandas(df).repartition(4), key_col="doc_id", bucket_col="tier", n_buckets=3
+    ).to_pandas()
+    # dense permutation; every tier occupies a contiguous index range in tier order
+    assert sorted(out.shuffle_idx) == list(range(600))
+    by_tier = out.groupby("tier")["shuffle_idx"]
+    assert by_tier.max()[0] < by_tier.min()[1] < by_tier.max()[1] < by_tier.min()[2]
