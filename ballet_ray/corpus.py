@@ -51,6 +51,7 @@ from ballet_ray.stages.dedup import (
 from ballet_ray.stages.sampling import global_shuffle_index, hash_rate_filter, stratified_sample
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
+    diversity_sample,
     embedding_near_dup_pairs,
     ivf_fit_centroids,
     ivf_knn,
@@ -103,6 +104,7 @@ __all__ = [
     "chunk_sequences",
     "correlation_matrix",
     "dedup_by_minhash",
+    "diversity_sample",
     "duplicate_passages",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -2306,6 +2306,20 @@ FROM t
 """
 
 
+def q_diversity_sample_embeddings(sf_dir: str):
+    """Coreset selection: greedy k-center within k-means cells (~100
+    exemplars spread over embedding space). Iterative farthest-point
+    traversal is not SQL-expressible — rows-only; k-center coverage and
+    partitioning-determinism are pytest-enforced (test_semantic_dedup)."""
+    from ballet_ray.stages.similarity import diversity_sample
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return diversity_sample(
+        emb, embedding_col="embedding", id_col="vec_id", dim=64, k=100,
+        n_centroids=16, kmeans_iters=2,
+    )
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2454,6 +2468,7 @@ QUERIES = {
     "gopher_filter_docs": q_gopher_filter_docs,
     "approx_top_events": q_approx_top_events,
     "curriculum_index_docs": q_curriculum_index_docs,
+    "diversity_sample_embeddings": q_diversity_sample_embeddings,
 }
 
 ORACLE_SQL = {

@@ -380,3 +380,71 @@ def ivf_knn(
         ds.map_batches(keep, batch_format="pyarrow"), q,
         embedding_col=embedding_col, id_col=id_col, k=k,
     )
+
+
+def diversity_sample(
+    ds, *, embedding_col: str, id_col: str, dim: int, k: int,
+    n_centroids: int = 64, kmeans_iters: int = 3, max_bucket: int = 65536,
+    seed: int = 1754,
+):
+    """Coreset / diversity selection: pick ~``k`` exemplars spread over
+    embedding space (greedy k-center a.k.a. farthest-point traversal —
+    2-approximation to the optimal covering radius, Gonzalez 1985).
+
+    Scale shape: exact farthest-point traversal is O(k·n) GEMM over the
+    whole corpus, so the traversal runs WITHIN k-means cells (same
+    ivf_fit_centroids machinery as IVF/SemDeDup — driver sees K rows per
+    Lloyd round): each cell greedily selects its proportional share
+    ``ceil(k · |cell| / n)``, seeded at the point nearest the centroid
+    (ties by min id ⇒ fully deterministic under any partitioning). Per-
+    cell work is O(share · |cell| · d) with |cell| bounded by cell count
+    choice; cells above ``max_bucket`` rows are subsampled by hashed
+    priority before traversal (documented approximation).
+
+    Returns (id, cell, pick_order) — pick_order is the traversal rank
+    within the cell (0 = cell medoid), so callers can take stricter
+    subsets without re-running.
+    """
+    import pandas as pd
+
+    from ballet_ray.functions.partition import stable_hash_array
+
+    slim = ds.select_columns([id_col, embedding_col])
+    cents = ivf_fit_centroids(
+        slim, embedding_col=embedding_col, n_centroids=n_centroids,
+        iters=kmeans_iters, seed=seed,
+    )
+    n_total = slim.count()
+    cref = ray.put(cents)
+
+    def cellify(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)).astype(np.float32)
+        cell = np.argmax(m @ c.T, axis=1) if len(m) else np.empty(0, np.int64)
+        return t.append_column("cell", pa.array(cell.astype(np.int32)))
+
+    def kcenter(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["cell"].iloc[0])
+        share = int(np.ceil(k * len(g) / max(n_total, 1)))
+        g = g.sort_values(id_col).reset_index(drop=True)
+        if len(g) > max_bucket:
+            prio = stable_hash_array(g[id_col].to_numpy().astype(object))
+            g = g.iloc[np.argsort(prio)[:max_bucket]].sort_values(id_col).reset_index(drop=True)
+        m = _normalize(np.stack(g[embedding_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        c = _normalize(np.asarray(ray.get(cref), np.float64))[cell]
+        share = min(share, len(g))
+        # seed: nearest to centroid (max cosine), tie -> min id (sorted)
+        first = int(np.argmax(m @ c))
+        picked = [first]
+        dmin = 1.0 - m @ m[first]  # cosine distance to the picked set
+        for _ in range(share - 1):
+            nxt = int(np.argmax(dmin))  # argmax returns FIRST max -> min id tie-break
+            picked.append(nxt)
+            np.minimum(dmin, 1.0 - m @ m[nxt], out=dmin)
+        return pd.DataFrame(
+            {id_col: ids[picked], "cell": cell, "pick_order": np.arange(len(picked))}
+        )
+
+    cells = slim.map_batches(cellify, batch_format="pyarrow")
+    return cells.groupby("cell").map_groups(kcenter, batch_format="pandas")

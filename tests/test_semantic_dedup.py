@@ -36,3 +36,33 @@ def test_semantic_dedup_transitive_component():
         threshold=0.999, n_centroids=4, kmeans_iters=2,
     ).to_pandas()
     assert sorted(dropped.vec_id) == [100, 200, 300]
+
+
+def test_diversity_sample_kcenter():
+    from ballet_ray.stages.similarity import diversity_sample
+
+    rng = np.random.default_rng(21)
+    # 5 tight, well-separated gaussian clusters of 60 points each
+    centers = rng.normal(size=(5, 12)) * 10
+    vecs, labels = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(scale=0.05, size=(60, 12))
+        vecs += list(pts.astype(np.float32))
+        labels += [ci] * 60
+    ids = list(range(len(vecs)))
+    ds = _ds(vecs, ids)
+
+    picked = diversity_sample(
+        ds, embedding_col="embedding", id_col="vec_id", dim=12, k=15,
+        n_centroids=4, kmeans_iters=2,
+    ).to_pandas()
+    assert len(picked) >= 15
+    # k-center property: the picks cover every planted cluster
+    covered = {labels[i] for i in picked.vec_id}
+    assert covered == {0, 1, 2, 3, 4}
+    # deterministic under repartitioning
+    again = diversity_sample(
+        _ds(vecs, ids), embedding_col="embedding", id_col="vec_id", dim=12, k=15,
+        n_centroids=4, kmeans_iters=2,
+    ).to_pandas()
+    assert sorted(zip(picked.vec_id, picked.pick_order)) == sorted(zip(again.vec_id, again.pick_order))
