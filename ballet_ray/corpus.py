@@ -69,6 +69,7 @@ from ballet_ray.stages.text import (
     PII_PATTERNS,
     Fingerprint,
     bm25_top_terms,
+    corpus_divergence,
     LangId,
     NgramRepetition,
     QualityScore,
@@ -102,6 +103,7 @@ __all__ = [
     "assign_clusters",
     "bm25_top_terms",
     "chunk_sequences",
+    "corpus_divergence",
     "correlation_matrix",
     "dedup_by_minhash",
     "diversity_sample",

@@ -2320,6 +2320,49 @@ def q_diversity_sample_embeddings(sf_dir: str):
     )
 
 
+def q_corpus_divergence_docs(sf_dir: str):
+    """Distribution-shift alarm between two corpus halves (even vs odd
+    sources): KL both ways + Jensen-Shannon over smoothed unigram
+    distributions. One vocab-keyed groupby per side; divergences computed
+    on the vocab-sized joined table."""
+    from ballet_ray.stages.text import corpus_divergence
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def side(t: pa.Table, parity: int) -> pa.Table:
+        num = pc.cast(pc.utf8_slice_codeunits(t.column("source"), 3, 99), pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(num, 1), parity))
+
+    a = ds.map_batches(lambda t: side(t, 0), batch_format="pyarrow")
+    b = ds.map_batches(lambda t: side(t, 1), batch_format="pyarrow")
+    out = corpus_divergence(a, b, alpha=0.5)
+    return _round_cols(rd.from_arrow(out), {"kl_ab": 6, "kl_ba": 6, "js": 6})
+
+
+SQL_CORPUS_DIVERGENCE_DOCS = """
+WITH words AS (
+    SELECT CAST(substr(source, 4) AS INT) % 2 AS side, w
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+), cnt AS (
+    SELECT side, w, COUNT(*) AS c FROM words GROUP BY side, w
+), vocab AS (SELECT DISTINCT w FROM cnt),
+sm AS (
+    SELECT v.w,
+           COALESCE(a.c, 0) + 0.5 AS xa,
+           COALESCE(b.c, 0) + 0.5 AS xb
+    FROM vocab v
+    LEFT JOIN (SELECT w, c FROM cnt WHERE side = 0) a USING (w)
+    LEFT JOIN (SELECT w, c FROM cnt WHERE side = 1) b USING (w)
+), p AS (
+    SELECT w, xa / SUM(xa) OVER () AS pa, xb / SUM(xb) OVER () AS pb FROM sm
+)
+SELECT ROUND(SUM(pa * ln(pa / pb)), 6) AS kl_ab,
+       ROUND(SUM(pb * ln(pb / pa)), 6) AS kl_ba,
+       ROUND(0.5 * SUM(pa * ln(pa / ((pa + pb) / 2))) + 0.5 * SUM(pb * ln(pb / ((pa + pb) / 2))), 6) AS js
+FROM p
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2469,6 +2512,7 @@ QUERIES = {
     "approx_top_events": q_approx_top_events,
     "curriculum_index_docs": q_curriculum_index_docs,
     "diversity_sample_embeddings": q_diversity_sample_embeddings,
+    "corpus_divergence_docs": q_corpus_divergence_docs,
 }
 
 ORACLE_SQL = {
@@ -2552,4 +2596,5 @@ ORACLE_SQL = {
     "gopher_filter_docs": SQL_GOPHER_FILTER_DOCS,
     "approx_top_events": SQL_APPROX_TOP_EVENTS,
     "curriculum_index_docs": SQL_CURRICULUM_INDEX_DOCS,
+    "corpus_divergence_docs": SQL_CORPUS_DIVERGENCE_DOCS,
 }

@@ -575,3 +575,39 @@ class NgramRepetition(Transform):
 
     def output_names(self, cols: list[str]) -> list[str]:
         return [f"dup_{self.n}gram_frac", f"top_{self.n}gram_frac"]
+
+
+def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_id",
+                      alpha: float = 0.5):
+    """Distribution-shift monitor between two corpus snapshots: KL(A‖B),
+    KL(B‖A) and Jensen-Shannon divergence of their Laplace-smoothed
+    unigram distributions (the standard drift alarm between crawl
+    snapshots / before-after a filter change).
+
+    Scale shape: one vocab-keyed groupby per side (the only shuffles —
+    small rows), then the divergence sums are computed over the joined
+    vocab table on the driver (vocab-sized, not corpus-sized). Smoothing
+    puts mass ``alpha`` on every word of the UNION vocab, so both
+    distributions are absolutely continuous and the KLs are finite.
+
+    Returns a single-row pyarrow Table (kl_ab, kl_ba, js).
+    """
+
+    def side_counts(ds):
+        dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
+        pdf = dt.groupby("term").sum("tf").to_pandas()
+        return dict(zip(pdf["term"], pdf["sum(tf)"].astype(np.int64)))
+
+    ca, cb = side_counts(ds_a), side_counts(ds_b)
+    vocab = sorted(set(ca) | set(cb))
+    a = np.asarray([ca.get(w, 0) for w in vocab], np.float64) + alpha
+    b = np.asarray([cb.get(w, 0) for w in vocab], np.float64) + alpha
+    pa_ = a / a.sum()
+    pb_ = b / b.sum()
+    m = (pa_ + pb_) / 2.0
+    kl_ab = float(np.sum(pa_ * np.log(pa_ / pb_)))
+    kl_ba = float(np.sum(pb_ * np.log(pb_ / pa_)))
+    js = float(0.5 * np.sum(pa_ * np.log(pa_ / m)) + 0.5 * np.sum(pb_ * np.log(pb_ / m)))
+    import pyarrow as _pa
+
+    return _pa.table({"kl_ab": [kl_ab], "kl_ba": [kl_ba], "js": [js]})

@@ -534,3 +534,36 @@ def test_bm25_top_terms_reference():
     for (w, s), (_, row) in zip(exp, got.iterrows()):
         assert row.top_term == w
         assert abs(row.score - s) < 1e-9
+
+
+def test_corpus_divergence_reference():
+    import math
+
+    import ray.data as rd
+
+    from ballet_ray.stages.text import corpus_divergence
+
+    a_texts = ["x x y", "x z"]
+    b_texts = ["y y z z", "z"]
+    A = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": a_texts}))
+    B = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": b_texts}))
+    out = corpus_divergence(A, B, alpha=0.5).to_pandas().iloc[0]
+
+    from collections import Counter
+
+    ca = Counter(w for s in a_texts for w in s.split(" "))
+    cb = Counter(w for s in b_texts for w in s.split(" "))
+    vocab = sorted(set(ca) | set(cb))
+    import numpy as np
+
+    pa_ = np.array([ca.get(w, 0) + 0.5 for w in vocab]); pa_ /= pa_.sum()
+    pb_ = np.array([cb.get(w, 0) + 0.5 for w in vocab]); pb_ /= pb_.sum()
+    m = (pa_ + pb_) / 2
+    assert abs(out.kl_ab - np.sum(pa_ * np.log(pa_ / pb_))) < 1e-12
+    assert abs(out.kl_ba - np.sum(pb_ * np.log(pb_ / pa_))) < 1e-12
+    assert abs(out.js - (0.5 * np.sum(pa_ * np.log(pa_ / m)) + 0.5 * np.sum(pb_ * np.log(pb_ / m)))) < 1e-12
+    # JS is symmetric and bounded by ln 2
+    assert 0 <= out.js <= math.log(2)
+    # identical corpora -> zero divergence
+    z = corpus_divergence(A, A).to_pandas().iloc[0]
+    assert abs(z.kl_ab) < 1e-12 and abs(z.js) < 1e-12
