@@ -128,3 +128,62 @@ def cum_count(codes: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     idx = np.arange(n, dtype=np.int64)
     return idx - group_starts(codes)
+
+
+def ewm_mean(values: np.ndarray, codes: np.ndarray, alpha: float) -> np.ndarray:
+    """Per-group exponentially weighted mean, pandas ``ewm(alpha=a,
+    adjust=False).mean()`` semantics: y_0 = x_0, y_i = (1-a)·y_{i-1} + a·x_i.
+
+    The recursion is evaluated in closed form over renormalization blocks:
+    within a block, y_i = r^{d_i+1}·carry + (segment cumsum of x_j·r^{-j})
+    · a·r^{i}, where segments reset at group starts. Block length is
+    capped so r^{-B} stays far from float64 overflow, making the whole
+    scan O(n) vectorized with ceil(n/B) python iterations. Input is
+    assumed null-free (mask or ffill upstream).
+    """
+    n = len(values)
+    out = np.empty(n, np.float64)
+    if n == 0:
+        return out
+    r = 1.0 - alpha
+    if r <= 0.0:  # alpha == 1 -> y = x
+        return values.astype(np.float64)
+    B = max(8, min(512, int(600.0 / max(1e-12, -np.log(r)))))
+    x = values.astype(np.float64)
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = codes[1:] != codes[:-1]
+    carry = 0.0
+    carry_valid = False
+    for lo in range(0, n, B):
+        hi = min(n, lo + B)
+        xs = x[lo:hi]
+        ng = new_grp[lo:hi].copy()
+        m = hi - lo
+        j = np.arange(m, dtype=np.float64)
+        rj = r**j          # r^{j}
+        rij = r ** (-j)    # r^{-j}
+        t = xs * rij
+        cs = np.cumsum(t)
+        # segment base: cumsum just before the segment start
+        seg_start = np.maximum.accumulate(np.where(ng, np.arange(m), 0))
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0.0)
+        seg_sum = (cs - base) * rj  # Σ x_j r^{i-j} over the segment
+        d = np.arange(m) - seg_start                      # offset within segment
+        y = alpha * seg_sum
+        # pandas adjust=False: the FIRST element of each group is x itself
+        # (weight 1, not alpha); fold that in by correcting segments that
+        # START a group: replace the alpha-weighted first term with full x
+        first_idx = seg_start
+        first_is_group_head = ng[first_idx]
+        head_x = xs[first_idx]
+        corr = np.where(first_is_group_head, (1.0 - alpha) * head_x * (r**d), 0.0)
+        y = y + corr
+        # carry-in for the one segment continuing from the previous block
+        if carry_valid and not ng[0]:
+            cont = seg_start == 0
+            y = np.where(cont, y + carry * (r ** (d + 1)), y)
+        out[lo:hi] = y
+        carry = out[hi - 1]
+        carry_valid = True  # y is always defined at hi-1
+    return out

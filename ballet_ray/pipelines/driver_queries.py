@@ -2363,6 +2363,34 @@ FROM p
 """
 
 
+def q_ewm_events(sf_dir: str):
+    """Per-user exponentially weighted mean of event values (alpha=0.1,
+    pandas adjust=False semantics) — renormalized closed-form scan, one
+    keyed co-partition pass."""
+    from ballet_ray.stages.windows import EwmMean
+
+    ds = _events(sf_dir)
+    pipe = FeatureEngineeringPipeline(
+        [Feature("value", EwmMean(0.1, key="user_id", order_by=("ts", "event_id")))]
+    )
+    out = pipe.fit_transform(ds).select_columns(["event_id", "user_id", "value_ewm"])
+    return _round_cols(out, {"value_ewm": 6})
+
+
+SQL_EWM_EVENTS = """
+WITH e AS (
+    SELECT event_id, user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT a.event_id, a.user_id,
+       ROUND(SUM(CASE WHEN b.rn = 1 THEN pow(0.9, a.rn - 1)
+                      ELSE 0.1 * pow(0.9, a.rn - b.rn) END * b.value), 6) AS value_ewm
+FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+GROUP BY a.event_id, a.user_id
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2513,6 +2541,7 @@ QUERIES = {
     "curriculum_index_docs": q_curriculum_index_docs,
     "diversity_sample_embeddings": q_diversity_sample_embeddings,
     "corpus_divergence_docs": q_corpus_divergence_docs,
+    "ewm_events": q_ewm_events,
 }
 
 ORACLE_SQL = {
@@ -2597,4 +2626,5 @@ ORACLE_SQL = {
     "approx_top_events": SQL_APPROX_TOP_EVENTS,
     "curriculum_index_docs": SQL_CURRICULUM_INDEX_DOCS,
     "corpus_divergence_docs": SQL_CORPUS_DIVERGENCE_DOCS,
+    "ewm_events": SQL_EWM_EVENTS,
 }

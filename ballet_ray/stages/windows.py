@@ -219,6 +219,34 @@ class CumCount(KeyedTransform):
         return ["cum_count"]
 
 
+class EwmMean(KeyedTransform):
+    """Per-entity exponentially weighted mean (pandas ``ewm(alpha,
+    adjust=False).mean()`` — the classic decayed-memory ts feature the
+    skits family lacks). Evaluated by a renormalized closed-form scan
+    (``wnp.ewm_mean``): O(n) vectorized, no per-group Python. Input is
+    assumed null-free (mask/ffill upstream).
+
+    ``sliceable = False``: the recursion's slice carry is an affine map
+    (y_out = r^len·y_in + local term) and therefore prefix-composable,
+    but that composition isn't wired into the generic carry summaries
+    yet — a hot entity computes whole (documented opt-out, same class
+    as GroupedFunctionTransform)."""
+
+    sliceable = False
+
+    def __init__(self, alpha: float, key: str, order_by=None):
+        super().__init__(key, order_by)
+        self.alpha = float(alpha)
+
+    def transform_sorted(self, table, codes, starts, cols):
+        return {
+            f"{c}_ewm": wnp.ewm_mean(_vals(table, c), codes, self.alpha) for c in cols
+        }
+
+    def output_names(self, cols):
+        return [f"{c}_ewm" for c in cols]
+
+
 class CumSum(KeyedTransform):
     """Per-entity running sum (skits IntegratedTransformer parity —
     reference re-export ballet/eng/external/skits.py). NaN contributes 0.

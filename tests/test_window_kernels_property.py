@@ -227,3 +227,16 @@ def test_word_repetition_property_matches_counter(texts):
         L = max(len(ws), 1)
         assert abs(d - (1 - len(cnt) / L)) < 1e-12
         assert abs(tp - max(cnt.values()) / L) < 1e-12
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(grouped_series(), st.floats(0.01, 1.0))
+def test_ewm_matches_pandas(data, alpha):
+    keys, vals = data
+    vals = np.nan_to_num(vals, nan=0.0)  # kernel contract: null-free input
+    codes = wnp.group_codes(keys)
+    got = wnp.ewm_mean(vals, codes, alpha)
+    exp = (
+        pd.Series(vals).groupby(keys).transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean()).to_numpy()
+    )
+    assert np.allclose(got, exp, atol=1e-8)
