@@ -2391,6 +2391,54 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+def q_hopping_window_events(sf_dir: str):
+    """Hopping (sliding) window aggregate: 2-hour windows every 30
+    minutes. Each event explodes into its ceil(size/step)=4 windows
+    inside map_batches (pure arithmetic, no per-row Python), then ONE
+    window-keyed groupby — the streaming-window shape tumbling can't
+    express."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir)
+    SIZE = 7_200_000_000  # 2h in µs
+    STEP = 1_800_000_000  # 30min
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        nwin = SIZE // STEP
+        base = (ts // STEP) * STEP
+        starts = base[:, None] - np.arange(nwin, dtype=np.int64)[None, :] * STEP
+        keep = ts[:, None] < starts + SIZE  # always true here, kept for generality
+        idx, k = np.nonzero(keep)
+        return pa.table(
+            {
+                "w_start": pa.array(starts[idx, k]),
+                "value": pa.array(v[idx]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("w_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    out = _cast_cols(agg, {"w_start": pa.timestamp("us")})
+    return _round_cols(out, {"sum_value": 4})
+
+
+SQL_HOPPING_WINDOW_EVENTS = """
+SELECT make_timestamp(s) AS w_start, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM (
+    SELECT value,
+           UNNEST([(epoch_us(ts) // 1800000000) * 1800000000 - k * 1800000000
+                   FOR k IN range(0, 4)]) AS s
+    FROM events
+)
+GROUP BY s
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2542,6 +2590,7 @@ QUERIES = {
     "diversity_sample_embeddings": q_diversity_sample_embeddings,
     "corpus_divergence_docs": q_corpus_divergence_docs,
     "ewm_events": q_ewm_events,
+    "hopping_window_events": q_hopping_window_events,
 }
 
 ORACLE_SQL = {
@@ -2627,4 +2676,5 @@ ORACLE_SQL = {
     "curriculum_index_docs": SQL_CURRICULUM_INDEX_DOCS,
     "corpus_divergence_docs": SQL_CORPUS_DIVERGENCE_DOCS,
     "ewm_events": SQL_EWM_EVENTS,
+    "hopping_window_events": SQL_HOPPING_WINDOW_EVENTS,
 }
