@@ -156,6 +156,7 @@ def pack_table(
     list_col: str,
     id_col: str,
     max_len: int,
+    sep_token: int | None = None,
 ) -> pa.Table:
     """Batch kernel for :func:`pack_sequences`.
 
@@ -172,13 +173,15 @@ def pack_table(
     from bisect import bisect_left, insort
 
     values, lens, row_starts = _list_parts(table.column(list_col))
-    if len(lens) and lens.max() > max_len:
+    eff_max = max_len if sep_token is None else max_len  # rows alone must fit
+    if len(lens) and lens.max() > eff_max:
         # pre-chunk long rows so every candidate fits a bin (skipped when
         # nothing exceeds max_len — the common case after an upstream
         # chunk_sequences — saving a full values gather per batch)
-        table = chunk_table(table, list_col=list_col, id_col=id_col, max_len=max_len)
+        table = chunk_table(table, list_col=list_col, id_col=id_col, max_len=eff_max)
         values, lens, row_starts = _list_parts(table.column(list_col))
     n = len(lens)
+    sep = 0 if sep_token is None else 1  # extra slot a non-first member costs
     order = np.lexsort((np.arange(n), -lens))  # len desc, stable by position
     bin_rows: list[list[int]] = []
     open_caps: list[tuple[int, int]] = []  # sorted (remaining, bin_idx)
@@ -186,11 +189,11 @@ def pack_table(
         length = int(lens[r])
         if length <= 0:
             continue
-        i = bisect_left(open_caps, (length, -1))
+        i = bisect_left(open_caps, (length + sep, -1))
         if i < len(open_caps):
             rem, b = open_caps.pop(i)
             bin_rows[b].append(r)
-            rem -= length
+            rem -= length + sep
             if rem > 0:
                 insort(open_caps, (rem, b))
         else:
@@ -206,12 +209,32 @@ def pack_table(
     packed_rows = np.array([r for rows in bin_rows for r in rows], dtype=np.int64)
     docs_per_bin = np.array([len(rows) for rows in bin_rows], dtype=np.int64)
     seg_lens = lens[packed_rows]
-    n_out = int(seg_lens.sum())
-    if len(packed_rows):
-        seg = np.repeat(row_starts[packed_rows] - _exclusive_cumsum(seg_lens), seg_lens)
-        gathered = values.take(pa.array(seg + np.arange(n_out, dtype=np.int64)))
+    if sep_token is not None and len(packed_rows):
+        # every non-first member is prefixed by one separator: bake it
+        # into the span by gathering (sep + row tokens) per member
+        first_of_bin = np.zeros(len(packed_rows), bool)
+        first_of_bin[_exclusive_cumsum(docs_per_bin)[docs_per_bin > 0]] = True
+        seg_lens = seg_lens + (~first_of_bin)
+        n_out = int(seg_lens.sum())
+        out_np = np.empty(n_out, dtype=np.int64)
+        # positions: for each member, [sep?] + tokens
+        dst = _exclusive_cumsum(seg_lens)
+        sep_pos = dst[~first_of_bin]
+        tok_dst_start = dst + (~first_of_bin)
+        tok_lens = lens[packed_rows]
+        seg = np.repeat(tok_dst_start - _exclusive_cumsum(tok_lens), tok_lens) + np.arange(int(tok_lens.sum()), dtype=np.int64)
+        src_idx = np.repeat(row_starts[packed_rows] - _exclusive_cumsum(tok_lens), tok_lens) + np.arange(int(tok_lens.sum()), dtype=np.int64)
+        vals_np = values.to_numpy(zero_copy_only=False)
+        out_np[seg] = vals_np[src_idx]
+        out_np[sep_pos] = sep_token
+        gathered = pa.array(out_np.astype(vals_np.dtype))
     else:
-        gathered = values.slice(0, 0)
+        n_out = int(seg_lens.sum())
+        if len(packed_rows):
+            seg = np.repeat(row_starts[packed_rows] - _exclusive_cumsum(seg_lens), seg_lens)
+            gathered = values.take(pa.array(seg + np.arange(n_out, dtype=np.int64)))
+        else:
+            gathered = values.slice(0, 0)
 
     tok_per_bin = np.add.reduceat(seg_lens, _exclusive_cumsum(docs_per_bin)) if len(bin_rows) else np.zeros(0, np.int64)
     bin_tok_offsets = np.concatenate([[0], np.cumsum(tok_per_bin)])
@@ -244,6 +267,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     max_len: int,
     batch_size: int | None = None,
+    sep_token: int | None = None,
 ):
     """Pack rows into ≤``max_len`` training examples, partition-locally.
 
@@ -258,10 +282,15 @@ def pack_sequences(
     batch size makes Ray re-slice/concatenate the list payload to exact
     row counts, which costs more than the packing itself (measured ~2×
     the stage time at 8192-row batches on 256-token rows).
+
+    ``sep_token`` (e.g. an EOS id) is inserted between consecutive
+    documents inside a pack — GPT-style boundary marking; separator mass
+    counts toward ``max_len`` (placement reserves one slot per added
+    row) and appears in ``n_tok``/``span_lens``.
     """
 
     def f(t: pa.Table) -> pa.Table:
-        return pack_table(t, list_col=list_col, id_col=id_col, max_len=max_len)
+        return pack_table(t, list_col=list_col, id_col=id_col, max_len=max_len, sep_token=sep_token)
 
     mb: dict = {"batch_format": "pyarrow"}
     if batch_size is not None:

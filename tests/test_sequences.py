@@ -122,3 +122,32 @@ def test_corpus_namespace_complete():
 
     assert all(hasattr(c, n) for n in c.__all__)
     assert callable(c.chunk_sequences) and callable(c.semantic_dedup)
+
+
+def test_pack_with_separator_token():
+    rng = np.random.default_rng(13)
+    rows = [rng.integers(0, 100, size=int(rng.integers(1, 20))).astype(np.int32).tolist() for _ in range(150)]
+    t = pa.table({"doc_id": list(range(150)), "tokens": pa.array(rows, pa.list_(pa.int32()))})
+    out = pack_table(t, list_col="tokens", id_col="doc_id", max_len=64, sep_token=-1)
+
+    n_tok = np.asarray(out.column("n_tok").to_pylist())
+    assert (n_tok <= 64).all()
+    total_seps = 0
+    for toks, members, spans in zip(
+        out.column("tokens").to_pylist(), out.column("doc_ids").to_pylist(), out.column("span_lens").to_pylist()
+    ):
+        assert sum(spans) == len(toks)
+        pos = 0
+        for mi, (m, ln) in enumerate(zip(members, spans)):
+            span = toks[pos : pos + ln]
+            if mi == 0:
+                assert span == rows[m]
+            else:
+                assert span[0] == -1 and span[1:] == rows[m]  # EOS prefix
+                total_seps += 1
+            pos += ln
+    # token mass = original + one separator per non-first member
+    assert n_tok.sum() == sum(len(r) for r in rows) + total_seps
+    # every doc present exactly once
+    member = sorted(x for m in out.column("doc_ids").to_pylist() for x in m)
+    assert member == list(range(150))
