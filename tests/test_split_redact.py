@@ -79,3 +79,29 @@ def test_fast_siphash_modes():
     assert abs(len(kept) / 30000 - 0.25) < 0.01
     kept2 = hash_rate_filter(rd.from_arrow(t), key_col="doc_id", rate=0.25, method="siphash").to_pandas()
     assert sorted(kept2.doc_id) == sorted(kept.doc_id)
+
+
+def test_error_paths():
+    import pyarrow as pa
+    import pytest as _pt
+
+    from ballet_ray.stages.core import HashSplit
+    from ballet_ray.stages.sampling import hash_rate_filter
+    from ballet_ray.stages.sequences import chunk_table
+
+    with _pt.raises(ValueError):
+        HashSplit({"train": 0.5, "val": 0.2})  # doesn't sum to 1
+    with _pt.raises(ValueError):
+        HashSplit(method="sha1")
+    t = pa.table({"doc_id": [1], "tokens": pa.array([[1, 2]], pa.list_(pa.int32()))})
+    with _pt.raises(ValueError):
+        chunk_table(t, list_col="tokens", id_col="doc_id", max_len=0)
+    with _pt.raises(ValueError):
+        chunk_table(t, list_col="tokens", id_col="doc_id", max_len=4, stride=-1)
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "g": ["a", "b"]}))
+    with _pt.raises(ValueError):
+        hash_rate_filter(ds, key_col="doc_id")  # neither rate nor rates
+    with _pt.raises(ValueError):
+        hash_rate_filter(ds, key_col="doc_id", rate=0.5, rates={"a": 1.0}, group_col="g")
+    with _pt.raises(ValueError):
+        hash_rate_filter(ds, key_col="doc_id", rates={"a": 1.0})  # rates without group
