@@ -130,7 +130,7 @@ def cum_count(codes: np.ndarray) -> np.ndarray:
     return idx - group_starts(codes)
 
 
-def ewm_mean(values: np.ndarray, codes: np.ndarray, alpha: float) -> np.ndarray:
+def ewm_mean(values: np.ndarray, codes: np.ndarray, alpha: float, carry_in: float | None = None) -> np.ndarray:
     """Per-group exponentially weighted mean, pandas ``ewm(alpha=a,
     adjust=False).mean()`` semantics: y_0 = x_0, y_i = (1-a)·y_{i-1} + a·x_i.
 
@@ -140,6 +140,10 @@ def ewm_mean(values: np.ndarray, codes: np.ndarray, alpha: float) -> np.ndarray:
     capped so r^{-B} stays far from float64 overflow, making the whole
     scan O(n) vectorized with ceil(n/B) python iterations. Input is
     assumed null-free (mask or ffill upstream).
+
+    ``carry_in``: the entity's EWM value just before row 0 — row 0 is then
+    treated as a continuation (y_0 = r·carry_in + a·x_0), which is how the
+    hot-slice path stitches a time-sliced entity back together exactly.
     """
     n = len(values)
     out = np.empty(n, np.float64)
@@ -155,6 +159,10 @@ def ewm_mean(values: np.ndarray, codes: np.ndarray, alpha: float) -> np.ndarray:
     new_grp[1:] = codes[1:] != codes[:-1]
     carry = 0.0
     carry_valid = False
+    if carry_in is not None:
+        new_grp[0] = False
+        carry = float(carry_in)
+        carry_valid = True
     for lo in range(0, n, B):
         hi = min(n, lo + B)
         xs = x[lo:hi]

@@ -226,13 +226,10 @@ class EwmMean(KeyedTransform):
     (``wnp.ewm_mean``): O(n) vectorized, no per-group Python. Input is
     assumed null-free (mask/ffill upstream).
 
-    ``sliceable = False``: the recursion's slice carry is an affine map
-    (y_out = r^len·y_in + local term) and therefore prefix-composable,
-    but that composition isn't wired into the generic carry summaries
-    yet — a hot entity computes whole (documented opt-out, same class
-    as GroupedFunctionTransform)."""
-
-    sliceable = False
+    Hot-entity time slices are exact: the recursion's slice carry is an
+    affine map (y_out = r^n·y_in + local partial), so the slice summary
+    pre-pass composes per-slice (n, partial, head_ewm) prefixes and the
+    sliced kernel runs ``wnp.ewm_mean(..., carry_in=prior_ewm)``."""
 
     def __init__(self, alpha: float, key: str, order_by=None):
         super().__init__(key, order_by)
@@ -367,6 +364,15 @@ def compute_carry_extended(
         prior_sums = carry.get("prior_sums", {}) if carry else {}
         outs = t.transform_sorted_carried(narrow_sorted, cols, prior_rows, prior_sums)
         return {k: np.asarray(v) for k, v in outs.items()}
+    if isinstance(t, EwmMean):
+        # affine slice carry: y continues from the entity's EWM value at
+        # the slice boundary (prefix-composed in _summarize_hot_slices)
+        outs = {}
+        zeros = np.zeros(narrow_sorted.num_rows, dtype=np.int64)
+        for c in cols:
+            prior = (carry or {}).get("prior_ewm", {}).get((c, t.alpha))
+            outs[f"{c}_ewm"] = wnp.ewm_mean(_vals(narrow_sorted, c), zeros, t.alpha, carry_in=prior)
+        return outs
     if isinstance(t, RollingMeanTime):
         # time-range windows: extend with the previous ADJACENT slice's
         # rows inside the window range (``ttail``); slice_us >= range_us is
@@ -470,6 +476,7 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
     import pandas as pd
 
     value_cols = sorted({c for _, cols, _ in transforms for c in cols})
+    ewm_specs = sorted({(c, t.alpha) for t, cols, _ in transforms if isinstance(t, EwmMean) for c in cols})
     order_col = order_by[0]
     narrow_cols = [key, *dict.fromkeys([*order_by, *value_cols])]
 
@@ -525,6 +532,18 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
             summary["col_sums"][c] = float(np.where(ok, v, 0.0).sum())
         for g in gaps:
             summary["bounds"][g] = int(((ts[1:] - ts[:-1]) > g).sum()) if n > 1 else 0
+        if ewm_specs:
+            summary["ewm"] = {}
+            zeros = np.zeros(n, dtype=np.int64)
+            for c, alpha in ewm_specs:
+                v = _vals(t, c)
+                y = wnp.ewm_mean(v, zeros, alpha)
+                head_last = float(y[-1])
+                r = 1.0 - alpha
+                # pure-recursion partial (carry-in 0) = head-form last value
+                # minus the extra (1-a)·r^{n-1}·x_0 the head weighting adds
+                partial = head_last - (1.0 - alpha) * (r ** (n - 1)) * float(v[0])
+                summary["ewm"][(c, alpha)] = (n, partial, head_last)
         if range_us:
             t0, slice_us = hot_plan[k]
             local = sid % 1_000_000
@@ -547,6 +566,7 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
         run_last_valid = {c: None for c in value_cols}
         run_rows = 0
         run_sums = {c: 0.0 for c in value_cols}
+        run_ewm: dict = {}
         run_sessions = {g: 0 for g in gaps}
         prev_last_ts = None
         prev_sid = None
@@ -559,8 +579,13 @@ def _summarize_hot_slices(ds, transforms, key, order_by, hot_plan, hot_ids, w_ma
                 "last_valid": dict(run_last_valid),
                 "prior_rows": run_rows,
                 "prior_sums": dict(run_sums),
+                "prior_ewm": dict(run_ewm),
                 "prior_sessions": dict(run_sessions),
             }
+            for spec, (n_s, partial, head_last) in s.get("ewm", {}).items():
+                prev = run_ewm.get(spec)
+                alpha_s = spec[1]
+                run_ewm[spec] = head_last if prev is None else ((1.0 - alpha_s) ** n_s) * prev + partial
             if range_us:
                 # time-window tail: only the ADJACENT previous slice can
                 # fall inside the window (slice_us >= range_us enforced)

@@ -177,3 +177,29 @@ def test_sliced_catboost_matches_oracle():
     sum_before = g["y"].transform(lambda s: s.fillna(0.0).cumsum().shift(1, fill_value=0.0)).to_numpy()
     expect = (sum_before + 1.0 * prior) / (cnt_before + 1.0)
     assert np.allclose(out["y_cb"].to_numpy(), expect)
+
+
+def test_sliced_ewm_matches_whole():
+    """EwmMean's affine slice carry must reproduce the unsliced recursion
+    exactly across hot-entity time-slice boundaries."""
+    from ballet_ray.stages.windows import EwmMean
+
+    df = _skewed_frame()
+    df["w"] = df["v"].fillna(0.0)  # kernel contract: null-free input
+    for alpha in (0.1, 0.6):
+        transforms = [(EwmMean(alpha, key="k", order_by="ts"), ["w"], ["w_ewm"])]
+        sliced = apply_keyed(
+            rd.from_pandas(df).repartition(7), transforms, "k", "ts",
+            num_buckets=8, skew_threshold=500, slice_target=300,
+        ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        exp = (
+            df.sort_values(["k", "ts"])
+            .groupby("k", sort=False)["w"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+            .reset_index(drop=True)
+        )
+        assert np.allclose(sliced["w_ewm"].to_numpy(), exp.to_numpy(), atol=1e-8), alpha
+        whole = apply_keyed(
+            rd.from_pandas(df).repartition(7), transforms, "k", "ts", num_buckets=8
+        ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        assert np.allclose(sliced["w_ewm"].to_numpy(), whole["w_ewm"].to_numpy(), atol=1e-10)
