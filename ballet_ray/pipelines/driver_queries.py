@@ -2439,6 +2439,36 @@ GROUP BY s
 """
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Windowed cardinality: approximate distinct users per 1-day tumbling
+    window via mergeable KMV sketches (exact below capacity → oracled).
+    The composition a streaming dashboard runs: window bucketing in
+    map_batches + per-group sketch merge."""
+    from ballet_ray.stages.sketches import approx_distinct_per_group
+
+    ds = _events(sf_dir)
+    DAY = 86_400_000_000
+
+    def daywin(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"w_day": pa.array((ts // DAY) * DAY), "user_id": t.column("user_id")}
+        )
+
+    out = approx_distinct_per_group(
+        ds.map_batches(daywin, batch_format="pyarrow"), "user_id", "w_day", k=2048
+    )
+    out["w_day"] = pd.to_datetime(out["w_day"], unit="us")
+    return out
+
+
+SQL_WINDOW_DISTINCT_USERS = """
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS w_day,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_nd
+FROM events GROUP BY 1
+"""
+
+
 def q_corr_matrix_lineitem(sf_dir: str):
     """Pairwise Pearson correlation matrix from ONE tree-reduced moments
     pass (shared with the PCA fit) — the feature-selection screen over a
@@ -2591,6 +2621,7 @@ QUERIES = {
     "corpus_divergence_docs": q_corpus_divergence_docs,
     "ewm_events": q_ewm_events,
     "hopping_window_events": q_hopping_window_events,
+    "window_distinct_users": q_window_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -2677,4 +2708,5 @@ ORACLE_SQL = {
     "corpus_divergence_docs": SQL_CORPUS_DIVERGENCE_DOCS,
     "ewm_events": SQL_EWM_EVENTS,
     "hopping_window_events": SQL_HOPPING_WINDOW_EVENTS,
+    "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
 }

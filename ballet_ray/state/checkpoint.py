@@ -382,6 +382,7 @@ class CheckpointedPack:
         self, out_dir: str, *, max_len: int = 512, stride: int | None = None,
         pack_len: int = 2048, files_per_part: int = 2,
         tokens_col: str = "tokens", id_col: str = "doc_id",
+        sep_token: int | None = None,
     ):
         self.out_dir = out_dir
         self.examples_dir = os.path.join(out_dir, "examples")
@@ -392,6 +393,7 @@ class CheckpointedPack:
         self.files_per_part = files_per_part
         self.tokens_col = tokens_col
         self.id_col = id_col
+        self.sep_token = sep_token
 
     def _completed(self) -> set[int]:
         if not os.path.isdir(self.manifest_dir):
@@ -422,7 +424,7 @@ class CheckpointedPack:
         done = self._completed()
         examples_dir, manifest_dir = self.examples_dir, self.manifest_dir
         max_len, stride, pack_len = self.max_len, self.stride, self.pack_len
-        tokens_col, id_col = self.tokens_col, self.id_col
+        tokens_col, id_col, sep_token = self.tokens_col, self.id_col, self.sep_token
 
         @ray.remote
         def process(k: int, group: list) -> dict:
@@ -440,9 +442,12 @@ class CheckpointedPack:
             parts = []
             for lo in range(0, chunked.num_rows, 8192):
                 parts.append(
-                    pack_table(chunked.slice(lo, 8192), list_col=tokens_col, id_col=id_col, max_len=pack_len)
+                    pack_table(chunked.slice(lo, 8192), list_col=tokens_col, id_col=id_col,
+                               max_len=pack_len, sep_token=sep_token)
                 )
-            packed = pa.concat_tables(parts) if parts else pack_table(chunked, list_col=tokens_col, id_col=id_col, max_len=pack_len)
+            packed = pa.concat_tables(parts) if parts else pack_table(
+                chunked, list_col=tokens_col, id_col=id_col, max_len=pack_len, sep_token=sep_token
+            )
             tmp = os.path.join(examples_dir, f".tmp-part={k}")
             final = os.path.join(examples_dir, f"part={k}")
             if os.path.isdir(tmp):

@@ -64,6 +64,7 @@ def main() -> None:
     ap.add_argument("--stride", type=int, default=None)
     ap.add_argument("--pack-len", type=int, default=2048)
     ap.add_argument("--files-per-part", type=int, default=2)
+    ap.add_argument("--sep-token", type=int, default=None)
     args = ap.parse_args()
 
     import ray
@@ -84,6 +85,7 @@ def main() -> None:
         summary = CheckpointedPack(
             args.out, max_len=args.max_len, stride=args.stride,
             pack_len=args.pack_len, files_per_part=args.files_per_part,
+            sep_token=args.sep_token,
         ).run(args.input)
         dt = time.time() - t0
         summary["wall_s_total"] = round(dt, 3)
