@@ -334,6 +334,60 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_window_join_events(sf_dir: str):
+    """Windowed join: each click enriched with COUNT/SUM/AVG/MAX of the
+    same user's purchases in the trailing hour ``[ts-1h, ts)`` — the
+    feature-store staple (strictly-before window: zero temporal leakage)."""
+    from ballet_ray.stages.asof import window_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def split_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return t.select(["event_id", "ts", "user_id"])
+
+    def split_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return t.select(["user_id", "ts", "value"])
+
+    clicks = ev.map_batches(split_left, batch_format="pyarrow")
+    purchases = ev.map_batches(split_right, batch_format="pyarrow")
+    out = window_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        window="1h",
+        aggs={"value": ("sum", "mean", "max")},
+        count_name="purchase_count",
+    ).select_columns(
+        ["event_id", "user_id", "purchase_count", "value_sum", "value_mean", "value_max"]
+    )
+    return _round_cols(out, {"value_sum": 2, "value_mean": 4, "value_max": 4})
+
+
+SQL_WINDOW_JOIN_EVENTS = """
+WITH clicks AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       COUNT(p.user_id) AS purchase_count,
+       ROUND(SUM(p.value), 2) AS value_sum,
+       ROUND(AVG(p.value), 4) AS value_mean,
+       ROUND(MAX(p.value), 4) AS value_max
+FROM clicks c LEFT JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts < c.ts
+GROUP BY c.event_id, c.user_id
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -2622,6 +2676,7 @@ QUERIES = {
     "ewm_events": q_ewm_events,
     "hopping_window_events": q_hopping_window_events,
     "window_distinct_users": q_window_distinct_users,
+    "window_join_events": q_window_join_events,
 }
 
 ORACLE_SQL = {
@@ -2709,4 +2764,5 @@ ORACLE_SQL = {
     "ewm_events": SQL_EWM_EVENTS,
     "hopping_window_events": SQL_HOPPING_WINDOW_EVENTS,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
+    "window_join_events": SQL_WINDOW_JOIN_EVENTS,
 }

@@ -397,3 +397,337 @@ def backfill(
         num_buckets=num_buckets,
         skew_threshold=skew_threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed join — left rows enriched with right-side aggregates over
+# [ts - window, ts) per entity. The feature-store staple the as-of join
+# almost gives (asof = "latest value"; window_join = "aggregate of the
+# trailing window"). Reference seed: SingleLagger/rolling transforms
+# (ballet/eng/ts.py) generalized to a two-table temporal join.
+# ---------------------------------------------------------------------------
+
+_WJ_AGGS = ("sum", "mean", "min", "max", "count_nonnull")
+
+
+def _parse_window_us(window) -> int:
+    """Window length → int64 microseconds. Accepts int (µs), numpy
+    timedelta64, pandas Timedelta, or a pandas-parseable string ('1h')."""
+    if isinstance(window, (int, np.integer)):
+        return int(window)
+    return int(pd.Timedelta(window).value // 1_000)
+
+
+def _range_extreme(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray, fn) -> np.ndarray:
+    """Vectorized range min/max over half-open index ranges [lo, hi) via a
+    sparse table (binary lifting): O(m log m) precompute, O(1) per query.
+    ``vals`` is float64 with NaN for nulls; ``fn`` is np.fmin / np.fmax
+    (NaN-ignoring). Empty ranges yield NaN."""
+    out = np.full(len(lo), np.nan)
+    m = len(vals)
+    if m == 0:
+        return out
+    levels = [vals]
+    j = 1
+    while (1 << j) <= m:
+        step = 1 << (j - 1)
+        prev = levels[-1]
+        levels.append(fn(prev[:-step], prev[step:]))
+        j += 1
+    length = hi - lo
+    nz = np.flatnonzero(length > 0)
+    if len(nz) == 0:
+        return out
+    ln = length[nz]
+    # floor(log2) via bit shifts is exact; np.log2 floats are exact for
+    # powers of two but belt-and-braces here
+    js = (np.floor(np.log2(ln))).astype(np.int64)
+    res = np.empty(len(nz))
+    for jv in np.unique(js):
+        sel = js == jv
+        L = levels[int(jv)]
+        step = 1 << int(jv)
+        res[sel] = fn(L[lo[nz][sel]], L[hi[nz][sel] - step])
+    out[nz] = res
+    return out
+
+
+def _wj_empty_output(table: pa.Table, left_cols, value_cols, aggs, count_name, vtypes) -> pa.Table:
+    cols = {c: table.column(c).slice(0, 0) for c in left_cols}
+    if count_name:
+        cols[count_name] = pa.array([], type=pa.int64())
+    for c in value_cols:
+        src_t = vtypes[c]
+        for a in aggs[c]:
+            out_t = pa.int64() if a == "count_nonnull" else (
+                src_t if a in ("min", "max") else pa.float64())
+            cols[f"{c}_{a}"] = pa.array([], type=out_t)
+    return pa.table(cols)
+
+
+def _window_merge_bucket(
+    table: pa.Table,
+    on: str,
+    by: str,
+    window_us: int,
+    aggs: dict[str, tuple],
+    left_cols: list[str],
+    count_name: str | None,
+    vtypes: dict,
+) -> pa.Table:
+    """Vectorized in-bucket windowed merge.
+
+    One lexsort over (key, ts, rank) of events + 2 query points per left
+    row (at ts and ts-window, both strict-<), then per-key exclusive
+    running count/sums read off at the query positions — O(n log n) sort +
+    O(n) scans, no per-entity Python. Min/max use the global event index
+    bounds the same scan yields, answered by a sparse table."""
+    value_cols = list(aggs.keys())
+    side = table.column(_SIDE).to_numpy(zero_copy_only=False)
+    left_mask = side == 1
+    nL = int(left_mask.sum())
+    if nL == 0:
+        return _wj_empty_output(table, left_cols, value_cols, aggs, count_name, vtypes)
+    key = table.column(by).to_numpy(zero_copy_only=False)
+    ts = _ts_us(table.column(on))
+    evt_mask = ~left_mask
+    nE = int(evt_mask.sum())
+    left_idx = np.flatnonzero(left_mask)
+    lts, lk = ts[left_mask], key[left_mask]
+
+    sk = np.concatenate([key[evt_mask], lk, lk])
+    sts = np.concatenate([ts[evt_mask], lts, lts - window_us])
+    rank = np.concatenate(
+        [np.ones(nE, dtype=np.int8), np.zeros(2 * nL, dtype=np.int8)]
+    )
+    order = np.lexsort((rank, sts, sk))
+    n = len(order)
+    is_e = rank[order] == 1
+    sk_s = sk[order]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = sk_s[1:] != sk_s[:-1]
+    seg_id = np.cumsum(change) - 1
+    seg_first = np.flatnonzero(change)
+
+    def keyed_exclusive(x_sorted: np.ndarray) -> np.ndarray:
+        """Per-key exclusive running sum of x (in sorted order), scattered
+        back to pre-sort positions."""
+        cum = np.cumsum(x_sorted)
+        excl = cum - x_sorted
+        base = excl[seg_first][seg_id]
+        keyed = excl - base
+        out = np.empty(n, dtype=keyed.dtype)
+        out[order] = keyed
+        return out
+
+    ones = is_e.astype(np.int64)
+    cnt_pre = keyed_exclusive(ones)
+    hi_cnt = cnt_pre[nE : nE + nL]
+    lo_cnt = cnt_pre[nE + nL :]
+    w_count = hi_cnt - lo_cnt
+
+    # global exclusive event count → index into the (key, ts)-sorted event
+    # array; ranges stay inside each key's segment because both bounds
+    # include the identical prefix of earlier keys' events
+    gexcl = np.cumsum(ones) - ones
+    gout = np.empty(n, dtype=np.int64)
+    gout[order] = gexcl
+    ghi = gout[nE : nE + nL]
+    glo = gout[nE + nL :]
+
+    evt_scan_pos = order[is_e]  # scan indices (< nE) of events, (key,ts)-sorted
+
+    out = table.select(left_cols).take(pa.array(left_idx))
+    if count_name:
+        out = out.append_column(count_name, pa.array(w_count))
+
+    need_sorted_vals = {}
+    for c in value_cols:
+        wanted = aggs[c]
+        col = table.column(c)
+        fvals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)[evt_mask]
+        nonnull = ~np.isnan(fvals)
+        cnt_nn = None
+        if {"mean", "count_nonnull"} & set(wanted):
+            x = np.zeros(n)
+            x[:nE] = nonnull.astype(np.float64)
+            k = keyed_exclusive(x[order])
+            cnt_nn = (k[nE : nE + nL] - k[nE + nL :]).astype(np.int64)
+        if {"sum", "mean"} & set(wanted):
+            x = np.zeros(n)
+            x[:nE] = np.where(nonnull, fvals, 0.0)
+            k = keyed_exclusive(x[order])
+            sums = k[nE : nE + nL] - k[nE + nL :]
+        if {"min", "max"} & set(wanted):
+            need_sorted_vals[c] = fvals[evt_scan_pos]
+        src_t = vtypes[c]
+        for a in wanted:
+            if a == "count_nonnull":
+                out = out.append_column(f"{c}_{a}", pa.array(cnt_nn))
+                continue
+            if a == "sum":
+                vals, valid = sums, (cnt_nn if cnt_nn is not None else w_count) > 0
+                # SQL SUM over an empty/all-null window is NULL
+                if cnt_nn is None:
+                    x = np.zeros(n)
+                    x[:nE] = nonnull.astype(np.float64)
+                    k = keyed_exclusive(x[order])
+                    valid = (k[nE : nE + nL] - k[nE + nL :]) > 0
+                arr = pa.array(vals, type=pa.float64())
+            elif a == "mean":
+                valid = cnt_nn > 0
+                vals = np.divide(sums, cnt_nn, out=np.zeros(nL), where=valid)
+                arr = pa.array(vals, type=pa.float64())
+            else:  # min / max
+                fn = np.fmin if a == "min" else np.fmax
+                vals = _range_extreme(need_sorted_vals[c], glo, ghi, fn)
+                valid = ~np.isnan(vals)
+                safe = np.where(valid, vals, 0.0)
+                arr = pa.array(safe).cast(src_t)
+            arr = pc.if_else(pa.array(np.asarray(valid, dtype=bool)), arr,
+                             pa.scalar(None, type=arr.type))
+            out = out.append_column(f"{c}_{a}", arr)
+    return out
+
+
+def window_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    window,
+    aggs: dict[str, tuple] | dict[str, list],
+    count_name: str | None = "w_count",
+    num_buckets: int = 64,
+    skew_threshold: int | None = None,
+    slice_target: int = 250_000,
+):
+    """For each left row (entity ``by``, timestamp ``on``), attach
+    aggregates of the right rows of the same entity with timestamp in
+    ``[left.on - window, left.on)`` — half-open, strictly before the left
+    row, so zero temporal leakage by construction.
+
+    ``aggs`` maps right value column → aggregates from
+    {sum, mean, min, max, count_nonnull}; output columns are named
+    ``{col}_{agg}`` (SQL semantics: NULL over an empty/all-null window).
+    ``count_name`` adds a COUNT(*)-of-window column (0 when empty).
+
+    Execution: same ONE-shuffle co-partitioning as :func:`asof_join` —
+    both sides tagged and unioned, bucketed by entity hash,
+    ``groupby(bucket).map_groups`` with the vectorized scan kernel. Hot
+    entities (``skew_threshold``) are time-sliced; each right row is
+    replicated into at most ceil(window/slice)+1 ≤ 2 slices (slice length
+    is clamped to ≥ window), so correctness needs no driver-side carry —
+    the only duplication is the hot keys' right rows, bounded 2×.
+    Partitioning assumption: a single entity's window contents fit one
+    task (guaranteed by the time slicing when ``skew_threshold`` is set).
+    """
+    import ray.data as rd  # noqa: F401
+
+    from ballet_ray.pipeline import dataset_schema
+
+    window_us = _parse_window_us(window)
+    aggs = {c: tuple(a) for c, a in aggs.items()}
+    for c, al in aggs.items():
+        bad = set(al) - set(_WJ_AGGS)
+        if bad:
+            raise ValueError(f"unknown window aggs {bad} for column {c!r}")
+    value_cols = list(aggs.keys())
+
+    left_schema = dataset_schema(left)
+    right_schema = dataset_schema(right)
+    left_cols = list(left_schema.names)
+    # pandas-origin blocks that happen to be all-NaN infer as Arrow `null`
+    # (seen from repartition on from_pandas datasets) — treat as float64
+    vtypes = {
+        c: (pa.float64() if pa.types.is_null(right_schema.field(c).type)
+            else right_schema.field(c).type)
+        for c in value_cols
+    }
+    ts_type = left_schema.field(on).type
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        for c in value_cols:
+            t = t.append_column(c, pa.nulls(nr, type=vtypes[c]))
+        return t.append_column(_SIDE, pa.array(np.ones(nr, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        cols = {}
+        for c in left_cols:
+            if c == by:
+                cols[c] = t.column(by)
+            elif c == on:
+                cols[c] = t.column(on).cast(ts_type)
+            else:
+                cols[c] = pa.nulls(nr, type=left_schema.field(c).type)
+        for c in value_cols:
+            cols[c] = t.column(c).cast(vtypes[c])
+        cols[_SIDE] = pa.array(np.zeros(nr, dtype=np.int8))
+        return pa.table(cols)
+
+    hot_plan = {}
+    if skew_threshold is not None:
+        hot_plan = _hot_key_plan(left, by, on, skew_threshold, slice_target)
+        # clamp slice length to >= window so each right row lands in <= 2
+        # slices (its own and the next)
+        hot_plan = {k: (t0, max(s, window_us)) for k, (t0, s) in hot_plan.items()}
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    hot_ids = {k: i for i, k in enumerate(hot_plan)}
+    hp = hot_plan
+    w_us = window_us
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        h = stable_hash_array(keys)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        if not hp:
+            return t.append_column(BUCKET_COL, pa.array(b))
+        ts_us = _ts_us(t.column(on))
+        side = t.column(_SIDE).to_numpy(zero_copy_only=False)
+        dup_idx: list[np.ndarray] = []
+        dup_buckets: list[np.ndarray] = []
+        for k, (t0, slice_us) in hp.items():
+            m = keys == k
+            if not m.any():
+                continue
+            sl = np.maximum((ts_us[m] - t0) // slice_us, 0)
+            b[m] = num_buckets + hot_ids[k] * 1_000_000 + sl
+            # right rows additionally serve the NEXT slice when a left
+            # window there can reach back to them
+            mr = m & (side != 1)
+            if mr.any():
+                sl_r = np.maximum((ts_us[mr] - t0) // slice_us, 0)
+                sl_fwd = np.maximum((ts_us[mr] + w_us - t0) // slice_us, 0)
+                need = sl_fwd != sl_r
+                if need.any():
+                    idx = np.flatnonzero(mr)[need]
+                    dup_idx.append(idx)
+                    dup_buckets.append(
+                        num_buckets + hot_ids[k] * 1_000_000 + sl_fwd[need]
+                    )
+        out = t.append_column(BUCKET_COL, pa.array(b))
+        if dup_idx:
+            di = np.concatenate(dup_idx)
+            dup = t.take(pa.array(di)).append_column(
+                BUCKET_COL, pa.array(np.concatenate(dup_buckets))
+            )
+            out = pa.concat_tables([out, dup])
+        return out
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([BUCKET_COL])
+        return _window_merge_bucket(
+            t, on, by, window_us, aggs, left_cols, count_name, vtypes
+        )
+
+    return both.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
