@@ -892,7 +892,12 @@ def dfs_aggregate_features(
             col = t.column(c)
             if pa.types.is_null(col.type):
                 col = col.cast(pa.float64())
-            t = t.set_column(i, c, pc.fill_null(col, fill_missing))
+            col = pc.fill_null(col, fill_missing)
+            if pa.types.is_floating(col.type):
+                # derive() emits float NaN for parents whose children are
+                # all-null — NaN is not an Arrow null, so fill it too
+                col = pc.if_else(pc.is_nan(col), pa.scalar(float(fill_missing), type=col.type), col)
+            t = t.set_column(i, c, col)
         return t
 
     return joined.map_batches(fill, batch_format="pyarrow")

@@ -167,8 +167,12 @@ def pack_table(
     first-fit's O(rows·packs) scan (measured 4× on 8k-row batches), with
     equal-or-better fill. The Python loop is over *rows* (bin placement
     is inherently sequential); all token movement is one vectorized
-    gather. ``pack_id`` = id of the pack's first (longest) row — unique
-    because every row opens at most one pack.
+    gather. ``pack_id`` = id of the pack's first (longest) row; when the
+    input carries a ``chunk_id`` column (rows produced by
+    :func:`chunk_table` / :func:`chunk_sequences`, where many rows share
+    one doc id) the pack_id is the composite string ``"{id}#{chunk_id}"``
+    of that first row — unique because every row opens at most one pack
+    and (id, chunk_id) identifies a row.
     """
     from bisect import bisect_left, insort
 
@@ -247,10 +251,20 @@ def pack_table(
     span_lens = pa.ListArray.from_arrays(
         pa.array(bin_doc_offsets, type=pa.int32()), pa.array(seg_lens.astype(np.int32))
     )
-    first_rows = [rows[0] for rows in bin_rows]
+    first_rows = pa.array(np.asarray([rows[0] for rows in bin_rows], dtype=np.int64))
+    pack_id = ids.take(first_rows)
+    if "chunk_id" in table.column_names:
+        # chunked input: many rows share one doc id — disambiguate with the
+        # first row's chunk ordinal (globally unique per (id, chunk_id))
+        ck = table.column("chunk_id")
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        pack_id = pc.binary_join_element_wise(
+            pc.cast(pack_id, pa.string()), pc.cast(ck.take(first_rows), pa.string()), "#"
+        )
     return pa.table(
         {
-            "pack_id": ids.take(pa.array(np.asarray(first_rows, dtype=np.int64))),
+            "pack_id": pack_id,
             list_col: tokens,
             "doc_ids": member_ids,
             "span_lens": span_lens,

@@ -277,15 +277,15 @@ def _mg_summary(values: np.ndarray, capacity: int):
     vals, cnts = np.unique(values, return_counts=True)
     if len(vals) <= capacity:
         return vals, cnts
-    # decrement: subtract the (capacity+1)-th largest count, drop <= 0
+    # decrement: subtract m = the (capacity+1)-th largest count from every
+    # counter and drop the non-positive ones. At most `capacity` counts can
+    # be STRICTLY greater than m (anything tied with m drops to 0), so the
+    # result always fits. Error accounting: kept counters lose exactly m,
+    # dropped ones lose their count <= m, and m <= n/(capacity+1) because
+    # the capacity+1 largest counts are each >= m and sum to <= n — the
+    # documented lower-bound guarantee holds on tie-heavy batches too.
     kth = np.partition(cnts, -capacity - 1)[-capacity - 1]
     keep = cnts > kth
-    # may still exceed capacity on ties: keep the largest `capacity` with
-    # a deterministic value tie-break
-    if keep.sum() > capacity:
-        order = np.lexsort((vals, -cnts))[:capacity]
-        keep = np.zeros(len(vals), bool)
-        keep[order] = True
     return vals[keep], cnts[keep] - kth
 
 

@@ -509,8 +509,12 @@ class NgramRepetition(Transform):
     Exact and vectorized: words are dictionary-encoded once per batch and
     an n-gram is the base-V integer of its n consecutive codes, so counts
     are over int64 keys (bijective with the word n-grams within the batch
-    — no hash collisions). Documents with fewer than n words emit 0 for
-    both fractions."""
+    — no hash collisions). When V**n would overflow int64 (large vocab ×
+    large n), the key is built by iterative pairwise re-encoding — compact
+    the running prefix key to [0, #distinct) with np.unique before each
+    Horner step, so every intermediate fits 2^62 and exactness is
+    preserved (at the cost of n-1 extra sorts). Documents with fewer than
+    n words emit 0 for both fractions."""
 
     def __init__(self, n: int = 2):
         if n < 2:
@@ -546,9 +550,19 @@ class NgramRepetition(Transform):
             valid[offsets[1:] - j] = False
         starts = np.flatnonzero(valid)
         keys = codes[starts].copy()
-        for j in range(1, n_):
-            keys *= V
-            keys += codes[starts + j]
+        import math
+
+        if n_ * math.log2(max(int(V), 2)) < 62:
+            for j in range(1, n_):
+                keys *= V
+                keys += codes[starts + j]
+        else:
+            # V**n overflows int64 — re-encode the running prefix key to a
+            # dense range before each step; both factors stay < 2^31 so the
+            # product is exact (no wraparound, no hashing)
+            for j in range(1, n_):
+                _, keys = np.unique(keys, return_inverse=True)
+                keys = keys.astype(np.int64) * V + codes[starts + j]
         row_of = np.repeat(np.arange(nrows, dtype=np.int64), glens)
         order = np.lexsort((keys, row_of))
         rs, ks = row_of[order], keys[order]

@@ -72,12 +72,19 @@ def _grow_tree(cnt: np.ndarray, s: np.ndarray, ss: np.ndarray, max_depth: int):
     leaves.sort()
     uppers = np.array([u for u, _ in leaves], dtype=np.int64)
     means = np.array([m for _, m in leaves], dtype=np.float64)
-    # empty leaves (no rows) inherit their neighbor's prediction so every
-    # bin maps somewhere deterministic
-    for i in np.flatnonzero(np.isnan(means)):
-        j = i - 1 if i > 0 else i + 1
-        if 0 <= j < len(means):
-            means[i] = means[j]
+    # empty leaves (no rows) inherit the nearest non-NaN neighbor so every
+    # bin maps somewhere deterministic: forward fill then backward fill
+    # (a single left-neighbor pass leaves a LEADING run of empty leaves NaN)
+    nan = np.isnan(means)
+    if nan.any() and not nan.all():
+        idx = np.arange(len(means))
+        fwd = np.maximum.accumulate(np.where(~nan, idx, -1))
+        filled = np.where(fwd >= 0, means[np.clip(fwd, 0, None)], np.nan)
+        still = np.isnan(filled)
+        if still.any():
+            bwd = np.minimum.accumulate(np.where(~nan, idx, len(means))[::-1])[::-1]
+            filled = np.where(still, means[np.clip(bwd, None, len(means) - 1)], filled)
+        means = filled
     return uppers, means
 
 

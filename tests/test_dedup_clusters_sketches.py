@@ -298,3 +298,30 @@ def test_misra_gries_summary_and_topk():
     assert approx.v.iloc[0] == u[order][0]
     for v, est in zip(approx.v, approx.cnt):
         assert est <= truth[v] and truth[v] - est <= len(vals) / 33 * 8  # per-block bound x blocks
+
+
+def test_mg_summary_tie_heavy_bound():
+    """Misra-Gries per-batch error bound n/(capacity+1) must hold on
+    tie-heavy inputs (many counters sharing the k-th largest count)."""
+    import numpy as np
+
+    from ballet_ray.stages.sketches import _mg_summary
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        cap = int(rng.integers(2, 12))
+        # heavy ties: values drawn from a small set of count levels
+        n_vals = int(rng.integers(cap + 1, cap * 4))
+        counts = rng.choice([1, 3, 5, 5, 5, 9], size=n_vals)
+        values = np.repeat(np.arange(n_vals), counts)
+        rng.shuffle(values)
+        n = len(values)
+        vals, cnts = _mg_summary(values, cap)
+        assert len(vals) <= cap
+        bound = n / (cap + 1)
+        true = {v: c for v, c in zip(*np.unique(values, return_counts=True))}
+        est = dict(zip(vals.tolist(), cnts.tolist()))
+        for v, tc in true.items():
+            e = est.get(v, 0)
+            assert e <= tc, "estimate must be a lower bound"
+            assert tc - e <= bound + 1e-9, (trial, v, tc, e, bound)

@@ -215,3 +215,46 @@ def test_hash_join_with_list_payload():
     assert out["k"].tolist() == [2, 3]
     assert [list(x) for x in out["tokens"]] == [[2, 2], [3]]
     assert out["v"].tolist() == ["x", "y"]
+
+
+def test_dfs_fill_missing_covers_all_nan_children():
+    """Parents whose children exist but have only null values must get
+    fill_missing, not NaN (NaN is not an Arrow null — ADVICE r3)."""
+    import pyarrow as pa
+
+    from ballet_ray.stages.aggregates import dfs_aggregate_features
+
+    parent = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    child = rd.from_arrow(
+        pa.table({"k": [1, 1, 2], "v": pa.array([None, None, 5.0], type=pa.float64())})
+    )
+    out = (
+        dfs_aggregate_features(
+            parent, child, parent_key="k", value_cols=["v"],
+            aggs=("count", "sum", "mean", "min", "max", "std"), fill_missing=-1.0,
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # k=1: children exist, all values null -> every value agg filled
+    for c in ["v_sum", "v_mean", "v_min", "v_max", "v_std"]:
+        assert out.loc[1, c] == -1.0, (c, out.loc[1, c])
+        assert not np.isnan(out.loc[3, c])  # no children at all -> filled too
+    assert out.loc[1, "child_count"] == 2.0
+    assert out.loc[2, "v_sum"] == 5.0
+
+
+def test_tree_leading_empty_leaves_backfill():
+    """A leading run of >=2 empty leaves must inherit the nearest non-NaN
+    neighbor (forward+backward fill), not stay NaN (ADVICE r3)."""
+    from ballet_ray.stages.trees import _grow_tree
+
+    means = np.array([np.nan, np.nan, 3.0, np.nan, 7.0, np.nan, np.nan])
+    # exercise the fill logic through a synthetic histogram that produces
+    # empty leading bins: counts 0 for the first bins
+    cnt = np.array([0, 0, 2, 0, 2, 0, 0], dtype=np.int64)
+    s = np.array([0.0, 0.0, 6.0, 0.0, 14.0, 0.0, 0.0])
+    ss = np.array([0.0, 0.0, 20.0, 0.0, 100.0, 0.0, 0.0])
+    uppers, leaf_means = _grow_tree(cnt, s, ss, max_depth=6)
+    assert not np.isnan(leaf_means).any(), leaf_means

@@ -151,3 +151,33 @@ def test_pack_with_separator_token():
     # every doc present exactly once
     member = sorted(x for m in out.column("doc_ids").to_pylist() for x in m)
     assert member == list(range(150))
+
+
+def test_pack_id_unique_over_chunked_input():
+    # one long doc chunked then packed used to yield colliding pack_ids
+    import pyarrow as pa
+
+    from ballet_ray.stages.sequences import chunk_table, pack_table
+
+    t = pa.table({"doc_id": ["docA", "docB"], "tokens": [list(range(5000)), list(range(700))]})
+    chunked = chunk_table(t, list_col="tokens", id_col="doc_id", max_len=512)
+    packed = pack_table(chunked, list_col="tokens", id_col="doc_id", max_len=2048)
+    ids = packed.column("pack_id").to_pylist()
+    assert len(ids) == len(set(ids)), ids
+    assert all("#" in i for i in ids)  # composite id#chunk_id form
+    # token mass preserved
+    n_in = sum(len(x) for x in t.column("tokens").to_pylist())
+    n_out = sum(len(x) for x in packed.column("tokens").to_pylist())
+    assert n_in == n_out
+
+
+def test_pack_id_unique_when_pack_prechunks_internally():
+    import pyarrow as pa
+
+    from ballet_ray.stages.sequences import pack_table
+
+    # a single row longer than max_len forces pack_table's internal chunking
+    t = pa.table({"doc_id": ["only"], "tokens": [list(range(3000))]})
+    packed = pack_table(t, list_col="tokens", id_col="doc_id", max_len=1024)
+    ids = packed.column("pack_id").to_pylist()
+    assert len(ids) == len(set(ids)), ids

@@ -567,3 +567,44 @@ def test_corpus_divergence_reference():
     # identical corpora -> zero divergence
     z = corpus_divergence(A, A).to_pandas().iloc[0]
     assert abs(z.kl_ab) < 1e-12 and abs(z.js) < 1e-12
+
+
+def test_ngram_repetition_overflow_safe_key_matches_brute():
+    """n large enough that V**n overflows int64 must still count exactly
+    (iterative pairwise re-encoding path — ADVICE r3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ballet_ray.stages.text import NgramRepetition
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]  # 8 * log2(300) ≈ 66 > 62
+    docs = []
+    for _ in range(40):
+        words = list(rng.choice(vocab, rng.integers(20, 120)))
+        if rng.random() < 0.5:  # plant a duplicated 8-gram
+            seg = list(rng.choice(vocab, 8))
+            words = seg + words + seg
+        docs.append(" ".join(words))
+    t = pa.table({"text": docs})
+    n = 8
+    out = NgramRepetition(n=n).transform_table(t, ["text"])
+
+    def brute(doc):
+        ws = doc.split(" ")
+        grams = [tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        from collections import Counter
+
+        c = Counter(grams)
+        total = len(grams)
+        dup = total - len(c)  # kernel semantics: 1 - distinct/total
+        top = max(c.values())
+        return dup / total, top / total
+
+    exp = np.array([brute(d) for d in docs])
+    got_dup = out.column(f"dup_{n}gram_frac").to_numpy()
+    got_top = out.column(f"top_{n}gram_frac").to_numpy()
+    assert np.allclose(got_dup, exp[:, 0]), "dup frac mismatch"
+    assert np.allclose(got_top, exp[:, 1]), "top frac mismatch"
