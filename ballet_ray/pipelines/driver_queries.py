@@ -1940,7 +1940,7 @@ def q_hash_split_docs(sf_dir: str):
     from ballet_ray.stages.core import HashSplit
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    pipe = FeatureEngineeringPipeline([Feature("doc_id", HashSplit({"train": 0.8, "val": 0.1, "test": 0.1}))])
+    pipe = FeatureEngineeringPipeline([Feature("doc_id", HashSplit({"train": 0.8, "val": 0.1, "test": 0.1}, method="md5"))])
     return pipe.fit_transform(ds).select_columns(["doc_id", "split"])
 
 
@@ -2013,7 +2013,7 @@ def q_stratified_sample_docs(sf_dir: str):
     from ballet_ray.stages.sampling import stratified_sample
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-    return stratified_sample(ds, group_col="lang", key_col="doc_id", n=20)
+    return stratified_sample(ds, group_col="lang", key_col="doc_id", n=20, method="md5")
 
 
 SQL_STRATIFIED_SAMPLE_DOCS = """
@@ -2034,7 +2034,7 @@ def q_mixture_sample_docs(sf_dir: str):
 
     rates = {f"src{i}": (1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else 0.2)) for i in range(20)}
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
-    return hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="source", salt="mix:")
+    return hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="source", salt="mix:", method="md5")
 
 
 SQL_MIXTURE_SAMPLE_DOCS = """
@@ -2248,7 +2248,7 @@ def q_shuffle_index_docs(sf_dir: str):
     from ballet_ray.stages.sampling import global_shuffle_index
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return global_shuffle_index(ds, key_col="doc_id").select_columns(["doc_id", "shuffle_idx"])
+    return global_shuffle_index(ds, key_col="doc_id", method="md5").select_columns(["doc_id", "shuffle_idx"])
 
 
 SQL_SHUFFLE_INDEX_DOCS = """
@@ -2342,7 +2342,7 @@ def q_curriculum_index_docs(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"), "tier": pa.array(b)})
 
     tiered = ds.map_batches(tier, batch_format="pyarrow")
-    out = global_shuffle_index(tiered, key_col="doc_id", bucket_col="tier", n_buckets=3)
+    out = global_shuffle_index(tiered, key_col="doc_id", bucket_col="tier", n_buckets=3, method="md5")
     return out.select_columns(["doc_id", "tier", "shuffle_idx"])
 
 

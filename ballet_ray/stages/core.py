@@ -220,12 +220,14 @@ class HashSplit(Transform):
     cumulative fraction exceeds ``u``. Rows, not partitions, decide the
     split, so the assignment is reproducible under any repartitioning or
     cluster size — the property a 100 TB corpus split must have (sampling
-    by block or by ``random()`` is neither stable nor resumable). DuckDB
-    parity: ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS
-    UBIGINT)``.
+    by block or by ``random()`` is neither stable nor resumable).
+
+    ``method='siphash'`` (default) hashes in one vectorized pass;
+    ``method='md5'`` is the row-wise SQL-audit mode with DuckDB parity
+    ``CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS UBIGINT)``.
     """
 
-    def __init__(self, fracs: dict[str, float] | None = None, method: str = "md5"):
+    def __init__(self, fracs: dict[str, float] | None = None, method: str = "siphash"):
         import hashlib
 
         if method not in ("md5", "siphash"):

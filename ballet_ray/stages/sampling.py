@@ -2,20 +2,30 @@
 
 Corpus pipelines need samples that are (a) reproducible across runs,
 partitionings and cluster sizes, (b) resumable (a re-run keeps the same
-rows), and (c) SQL-auditable. All three follow from ordering/thresholding
+rows), and (c) auditable. All three follow from ordering/thresholding
 on a content hash instead of a random() draw:
 
 - :func:`stratified_sample` — exactly ``n`` rows per group, the rows with
-  the smallest ``md5(salt || key)`` priority (a deterministic per-group
-  uniform sample). Per-batch local top-n (so the shuffle carries at most
-  n×groups rows per block), then a tiny per-group merge.
+  the smallest hash priority (a deterministic per-group uniform sample).
+  Per-batch local top-n (so the shuffle carries at most n×groups rows per
+  block), then a tiny per-group merge.
 - :func:`hash_rate_filter` — Bernoulli(rate) by hash threshold, with
   per-group rates (corpus mixture weighting: sample source A at 10%,
   source B at 100%). Pure row-wise filter, zero shuffle.
+- :func:`global_shuffle_index` — a dense reproducible permutation
+  (epoch order / curriculum order) with ONE payload all-to-all.
 
-DuckDB parity: priority = ``md5(salt || CAST(key AS VARCHAR))`` ordered
-as a hex string (fixed-width hex ⇒ lexicographic = numeric), threshold =
-first-8-hex-digits / 2^32 (same construction as core.HashSplit).
+Two hash modes everywhere, ``method=``:
+
+- ``"siphash"`` (DEFAULT) — pandas' siphash-based ``hash_array`` +
+  splitmix mixing for the salt: one vectorized pass, no per-row Python.
+  This is the corpus-scale mode: at 10^12 rows a per-row Python md5 is
+  ~µs/row of pure interpreter time and dominates the stage.
+- ``"md5"`` — the SQL-audit mode the DuckDB oracles reproduce
+  (priority = ``md5(salt || CAST(key AS VARCHAR))`` ordered as a hex
+  string — fixed-width hex ⇒ lexicographic = numeric; threshold =
+  first-8-hex-digits / 2^32, same construction as core.HashSplit).
+  Row-wise Python; keep it for audits and small interactive runs.
 """
 
 from __future__ import annotations
@@ -34,34 +44,58 @@ def _md5_hex(keys: list, salt: str) -> np.ndarray:
     return np.asarray([md5(pre + str(k).encode()).hexdigest() for k in keys], dtype=object)
 
 
-def _priority_u(keys: np.ndarray, salt: str, method: str) -> np.ndarray:
-    """Uniform-[0,1) priority per key. method='md5' is row-wise Python but
-    SQL-auditable (``int(md5(salt||key)[:8],16)/2^32``); method='siphash'
-    is one vectorized pass — the corpus-scale mode when the oracle
-    doesn't need to reproduce the draw in SQL."""
-    if method == "siphash":
-        from ballet_ray.functions.partition import stable_hash_array
+def _salt_seed(salt: str) -> np.uint64:
+    """Deterministic uint64 seed from a salt string (one md5, not per row)."""
+    return np.uint64(int(hashlib.md5(salt.encode()).hexdigest()[:16], 16))
 
-        salted = np.asarray([salt + str(k) for k in keys], dtype=object) if salt else (
-            keys if keys.dtype == object else keys.astype(object)
-        )
-        return stable_hash_array(salted) / 2.0**64
+
+def _sip_u64(keys: np.ndarray, salt: str) -> np.ndarray:
+    """Vectorized stable uint64 priority of an array of keys. One
+    ``pd.util.hash_array`` pass (cython) + one splitmix mix for the salt —
+    no per-row Python."""
+    from ballet_ray.functions.hashing import mix
+    from ballet_ray.functions.partition import stable_hash_array
+
+    h = stable_hash_array(np.asarray(keys))
+    if salt:
+        h = mix(h, _salt_seed(salt))
+    return h
+
+
+def _priority_u(keys: np.ndarray, salt: str, method: str) -> np.ndarray:
+    """Uniform-[0,1) priority per key (see module docstring for modes)."""
+    if method == "siphash":
+        return _sip_u64(keys, salt) / 2.0**64
+    if method != "md5":
+        raise ValueError("method must be 'md5' or 'siphash'")
     hexes = _md5_hex(list(keys), salt)
     return np.asarray([int(h[:8], 16) for h in hexes], dtype=np.float64) / 2.0**32
 
 
-def stratified_sample(ds, *, group_col: str, key_col: str, n: int, salt: str = ""):
+def _priority_sortable(keys: np.ndarray, salt: str, method: str) -> np.ndarray:
+    """Sortable priority array: uint64 (siphash) or hex strings (md5)."""
+    if method == "siphash":
+        return _sip_u64(keys, salt)
+    if method != "md5":
+        raise ValueError("method must be 'md5' or 'siphash'")
+    return _md5_hex(list(keys), salt)
+
+
+def stratified_sample(
+    ds, *, group_col: str, key_col: str, n: int, salt: str = "", method: str = "siphash"
+):
     """The ``n`` smallest-priority rows of every group (ties broken by key).
 
-    Returns (group_col, key_col) rows. Exact and deterministic: equivalent
-    to ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5(salt||key), key)
-    <= n``.
+    Returns (group_col, key_col) rows. Exact and deterministic: with
+    ``method='md5'`` equivalent to ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY md5(salt||key), key) <= n`` (the oracle form); the default
+    siphash mode is the same construction over the vectorized hash.
     """
 
     def local_top(t: pa.Table) -> pa.Table:
         g = t.column(group_col).to_numpy(zero_copy_only=False)
         k = t.column(key_col).to_numpy(zero_copy_only=False)
-        prio = _md5_hex(k.tolist(), salt)
+        prio = _priority_sortable(k, salt, method)
         order = np.lexsort((k, prio, g))
         gs = g[order]
         # position within group run (groups are contiguous after lexsort)
@@ -87,9 +121,9 @@ def stratified_sample(ds, *, group_col: str, key_col: str, n: int, salt: str = "
 
 def hash_rate_filter(
     ds, *, key_col: str, rate: float | None = None, rates: dict | None = None,
-    group_col: str | None = None, salt: str = "", method: str = "md5",
+    group_col: str | None = None, salt: str = "", method: str = "siphash",
 ):
-    """Keep rows where ``u = int(md5(salt||key)[:8], 16)/2^32 < rate``;
+    """Keep rows where the key's uniform hash priority is below ``rate``;
     with ``rates`` + ``group_col`` the threshold is per group (mixture
     weighting). Stateless row filter — streams, never shuffles, and the
     kept set is independent of partitioning (resume-safe)."""
@@ -113,24 +147,27 @@ def hash_rate_filter(
 
 
 def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | None = None,
-                         n_buckets: int | None = None):
+                         n_buckets: int | None = None, method: str = "siphash"):
     """Deterministic global shuffle order for training epochs: every row
     gets a dense 0..N-1 ``shuffle_idx`` equal to its rank under
-    ``ORDER BY md5(salt||key), key`` — a reproducible random permutation
-    that is independent of partitioning and cluster size (re-runs and
-    resumes see the identical epoch order, unlike ``random_shuffle``).
+    ``ORDER BY priority(salt||key), key`` — a reproducible random
+    permutation that is independent of partitioning and cluster size
+    (re-runs and resumes see the identical epoch order, unlike
+    ``random_shuffle``).
 
     With ``bucket_col`` (an int column in [0, n_buckets), e.g. a
     difficulty tier) the order becomes CURRICULUM order:
-    ``ORDER BY bucket, md5(salt||key), key`` — buckets in sequence,
+    ``ORDER BY bucket, priority, key`` — buckets in sequence,
     hash-shuffled within each bucket.
 
-    Two passes: (1) a counts-only pre-pass over (bucket ×) 4096
-    hex-prefix bins (the bin id is the priority's first 3 hex digits, so
-    bin order == priority order) gives the driver one offset table; (2)
-    one bin-keyed shuffle sorts each bin locally by (priority, key) and
-    adds its offset. The payload moves through exactly one all-to-all,
-    which is the lower bound for materializing a global permutation.
+    Execution: the binned payload is hashed ONCE and materialized; the
+    counts pre-pass runs over its (already hashed) bin column and gives
+    the driver one 4096-bin offset table, then the single bin-keyed
+    shuffle sorts each bin locally by (priority, key) and adds its
+    offset. The payload moves through exactly one all-to-all — the lower
+    bound for materializing a global permutation — and each row is
+    hashed exactly once (the r3 version hashed twice: once in the counts
+    pass, once in the payload pass).
     """
     import ray as _ray
 
@@ -138,36 +175,59 @@ def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | 
     NB = HB * (n_buckets if bucket_col else 1)
     if bucket_col and not n_buckets:
         raise ValueError("bucket_col requires n_buckets")
+    if method not in ("md5", "siphash"):
+        raise ValueError("method must be 'md5' or 'siphash'")
 
     def add_bin(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
-        prio = _md5_hex(k.tolist(), salt)
-        bins = np.asarray([int(p[:3], 16) for p in prio], dtype=np.int64)
+        prio = _priority_sortable(k, salt, method)
+        if method == "siphash":
+            # top 12 bits: bin order == priority order (needed for dense
+            # global ranks from per-bin offsets)
+            bins = (prio >> np.uint64(52)).astype(np.int64)
+        else:
+            bins = np.asarray([int(p[:3], 16) for p in prio], dtype=np.int64)
         if bucket_col:
             b = t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
             bins = b * HB + bins
         return t.append_column("__prio", pa.array(prio)).append_column("__bin", pa.array(bins))
 
-    binned = ds.map_batches(add_bin, batch_format="pyarrow")
+    # hash once: materialize the binned payload (spillable in the object
+    # store — the same bytes the shuffle below holds in flight anyway),
+    # then both the counts pre-pass and the indexing pass reuse it without
+    # re-reading or re-hashing the input
+    binned = ds.map_batches(add_bin, batch_format="pyarrow").materialize()
 
-    # counts pre-pass on a keys-only projection — the payload does not
-    # move until the single indexing shuffle
-    narrow_cols = [key_col] + ([bucket_col] if bucket_col else [])
-    counts = (
-        ds.select_columns(narrow_cols)
-        .map_batches(add_bin, batch_format="pyarrow")
-        .groupby("__bin")
-        .count()
-        .to_pandas()
-    )
+    # counts pre-pass: per-batch bincount partials (≤4096 rows per block)
+    # merged by the vectorized coarse-partition grouped_reduce — BOTH
+    # Ray-native alternatives re-shuffle or burn per-group Python
+    # (groupby().count() moves every row again: 10 s of a 17 s 4M-row
+    # stage; groupby().sum() on the partials pays ~60 µs/key/task in
+    # AggregateFn combine: 8.6 s for 4096 keys)
+    def bin_counts_partial(t: pa.Table) -> pa.Table:
+        b = t.column("__bin").to_numpy(zero_copy_only=False)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"__bin": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    counts = grouped_reduce(
+        binned.select_columns(["__bin"]).map_batches(bin_counts_partial, batch_format="pyarrow"),
+        "__bin",
+        {"n": "sum"},
+        num_parts=16,
+    ).to_pandas()
     offs = np.zeros(NB + 1, np.int64)
-    offs[counts["__bin"].to_numpy() + 1] = counts["count()"].to_numpy()
+    offs[counts["__bin"].to_numpy() + 1] = counts["n"].to_numpy()
     offs = np.cumsum(offs)
     oref = _ray.put(offs)
 
     def index_bin(t: pa.Table) -> pa.Table:
         off = _ray.get(oref)
-        prio = np.asarray(t.column("__prio").to_pylist(), dtype=object)
+        if method == "siphash":
+            prio = t.column("__prio").to_numpy(zero_copy_only=False)
+        else:
+            prio = np.asarray(t.column("__prio").to_pylist(), dtype=object)
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         b = int(t.column("__bin")[0].as_py())
         order = np.lexsort((keys, prio))

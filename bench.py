@@ -215,6 +215,32 @@ def run_bench() -> dict:
             file=sys.stderr,
         )
 
+        # epoch-order permutation over the full 4M-row corpus: siphash
+        # (the default, one vectorized hash pass + one payload all-to-all)
+        # vs md5 (the row-wise-Python SQL-audit mode) — the r3 verdict's
+        # scale-killer; the ratio is the evidence the fix landed
+        from ballet_ray.stages.sampling import global_shuffle_index
+
+        def add_seq_key(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = pc.binary_join_element_wise(
+                t.column("doc_id").cast(pa.string()),
+                t.column("event_ts").cast(pa.timestamp("us")).cast(pa.int64()).cast(pa.string()),
+                ":",
+            )
+            return pa.table({"seq_key": key})
+
+        keys4m = rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts"]).map_batches(
+            add_seq_key, batch_format="pyarrow"
+        )
+        tq = time.time()
+        global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:").count()
+        qtimes["shuffle_index_4m_rows"] = round(time.time() - tq, 3)
+        tq = time.time()
+        global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:", method="md5").count()
+        qtimes["shuffle_index_4m_rows_md5"] = round(time.time() - tq, 3)
+
     ray.shutdown()
     return {
         "metric": "feature_materialization_sec",

@@ -25,14 +25,14 @@ def _docs(n=1000, seed=0):
 def test_stratified_sample_matches_reference():
     df = _docs()
     ds = rd.from_pandas(df).repartition(6)
-    got = stratified_sample(ds, group_col="g", key_col="doc_id", n=15).to_pandas()
+    got = stratified_sample(ds, group_col="g", key_col="doc_id", n=15, method="md5").to_pandas()
     df = df.assign(prio=[hashlib.md5(str(k).encode()).hexdigest() for k in df.doc_id])
     exp = (
         df.sort_values(["prio", "doc_id"]).groupby("g").head(15)[["g", "doc_id"]]
     )
     assert sorted(map(tuple, got[["g", "doc_id"]].to_numpy())) == sorted(map(tuple, exp.to_numpy()))
     # partitioning-invariant
-    got2 = stratified_sample(rd.from_pandas(df), group_col="g", key_col="doc_id", n=15).to_pandas()
+    got2 = stratified_sample(rd.from_pandas(df), group_col="g", key_col="doc_id", n=15, method="md5").to_pandas()
     assert sorted(got2.doc_id) == sorted(got.doc_id)
 
 
@@ -40,13 +40,13 @@ def test_hash_rate_filter_reference_and_rates():
     df = _docs(2000, seed=1)
     ds = rd.from_pandas(df).repartition(4)
     rates = {"a": 0.3, "b": 1.0, "c": 0.0}
-    got = hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="g", salt="s:").to_pandas()
+    got = hash_rate_filter(ds, key_col="doc_id", rates=rates, group_col="g", salt="s:", method="md5").to_pandas()
     u = np.array([int(hashlib.md5(b"s:" + str(k).encode()).hexdigest()[:8], 16) / 2**32 for k in df.doc_id])
     exp = df[u < df.g.map(rates).to_numpy()]
     assert sorted(got.doc_id) == sorted(exp.doc_id)
     assert not (got.g == "c").any()
     # global rate mode
-    g2 = hash_rate_filter(ds, key_col="doc_id", rate=0.5).to_pandas()
+    g2 = hash_rate_filter(ds, key_col="doc_id", rate=0.5, method="md5").to_pandas()
     u2 = np.array([int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) / 2**32 for k in df.doc_id])
     assert sorted(g2.doc_id) == sorted(df.doc_id[u2 < 0.5])
 
@@ -69,7 +69,7 @@ def test_global_shuffle_index_permutation_and_stability():
     from ballet_ray.stages.sampling import global_shuffle_index
 
     df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(777)], "payload": np.arange(777)})
-    a = global_shuffle_index(rd.from_pandas(df).repartition(6), key_col="doc_id").to_pandas()
+    a = global_shuffle_index(rd.from_pandas(df).repartition(6), key_col="doc_id", method="md5").to_pandas()
     # dense permutation
     assert sorted(a.shuffle_idx) == list(range(777))
     # matches the md5-order reference
@@ -79,7 +79,7 @@ def test_global_shuffle_index_permutation_and_stability():
     # payload carried through intact
     assert dict(zip(a.doc_id, a.payload)) == dict(zip(df.doc_id, df.payload))
     # partitioning-invariant
-    b = global_shuffle_index(rd.from_pandas(df), key_col="doc_id").to_pandas()
+    b = global_shuffle_index(rd.from_pandas(df), key_col="doc_id", method="md5").to_pandas()
     assert dict(zip(b.doc_id, b.shuffle_idx)) == exp
 
 
@@ -111,3 +111,39 @@ def test_curriculum_index_buckets_in_order():
     assert sorted(out.shuffle_idx) == list(range(600))
     by_tier = out.groupby("tier")["shuffle_idx"]
     assert by_tier.max()[0] < by_tier.min()[1] < by_tier.max()[1] < by_tier.min()[2]
+
+
+def test_global_shuffle_index_siphash_permutation_equivalence():
+    """Default (siphash) mode: dense 0..N-1 permutation, identical under
+    any partitioning, and genuinely shuffled (not input order)."""
+    from ballet_ray.stages.sampling import global_shuffle_index
+
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(911)], "payload": np.arange(911)})
+    a = global_shuffle_index(rd.from_pandas(df).repartition(7), key_col="doc_id").to_pandas()
+    assert sorted(a.shuffle_idx) == list(range(911))
+    b = global_shuffle_index(rd.from_pandas(df), key_col="doc_id").to_pandas()
+    assert dict(zip(a.doc_id, a.shuffle_idx)) == dict(zip(b.doc_id, b.shuffle_idx))
+    # same multiset of rows, different order than input (overwhelmingly)
+    in_order = a.sort_values("payload").shuffle_idx.to_numpy()
+    assert not np.array_equal(in_order, np.arange(911))
+    # payload intact
+    assert dict(zip(a.doc_id, a.payload)) == dict(zip(df.doc_id, df.payload))
+    # salt changes the permutation
+    c = global_shuffle_index(rd.from_pandas(df), key_col="doc_id", salt="x").to_pandas()
+    assert dict(zip(c.doc_id, c.shuffle_idx)) != dict(zip(a.doc_id, a.shuffle_idx))
+
+
+def test_stratified_sample_siphash_deterministic_and_uniformish():
+    from ballet_ray.stages.sampling import stratified_sample
+
+    df = _docs(3000, seed=5)
+    a = stratified_sample(rd.from_pandas(df).repartition(6), group_col="g", key_col="doc_id", n=25).to_pandas()
+    b = stratified_sample(rd.from_pandas(df), group_col="g", key_col="doc_id", n=25).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert (a.groupby("g").size() == 25).all()
+    # matches the direct definition: n smallest siphash priorities per group
+    from ballet_ray.stages.sampling import _sip_u64
+
+    pr = _sip_u64(df.doc_id.to_numpy(), "")
+    exp = df.assign(p=pr).sort_values(["p", "doc_id"]).groupby("g").head(25)
+    assert sorted(a.doc_id) == sorted(exp.doc_id)
