@@ -326,7 +326,7 @@ def doc_term_counts(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    round_to: int | None = 6):
+                    round_to: int | None = 6, max_vocab: int | None = 2_000_000):
     """Top TF-IDF term per document (sklearn smooth idf:
     ``ln((1+N)/(1+df)) + 1``), tie-broken by lexicographically smallest
     term. Two passes, no doc-keyed shuffle anywhere:
@@ -349,11 +349,13 @@ def tfidf_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return score
 
     return _top_term_scored(ds, text_col=text_col, id_col=id_col,
-                            score_builder=build, round_to=round_to)
+                            score_builder=build, round_to=round_to,
+                            max_vocab=max_vocab)
 
 
 def bm25_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                   k1: float = 1.2, b: float = 0.75, round_to: int | None = 6):
+                   k1: float = 1.2, b: float = 0.75, round_to: int | None = 6,
+                   max_vocab: int | None = 2_000_000):
     """Top BM25 term per document (Robertson/Spärck Jones Okapi weighting,
     Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` with length
     normalization by ``dl/avgdl``). Same two-pass, no-doc-keyed-shuffle
@@ -368,30 +370,50 @@ def bm25_top_terms(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return score
 
     return _top_term_scored(ds, text_col=text_col, id_col=id_col,
-                            score_builder=build, round_to=round_to)
+                            score_builder=build, round_to=round_to,
+                            max_vocab=max_vocab)
 
 
 def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
-                     round_to: int | None):
+                     round_to: int | None, max_vocab: int | None = 2_000_000):
     """Shared top-term kernel: one vocab-keyed DF groupby (broadcast), then
     a per-batch scoring pass emitting each doc's argmax term — no doc-keyed
     shuffle anywhere (a doc's terms never span batches).
     ``score_builder(n_docs, avgdl)`` returns a vectorized ``score(tf, dfs,
     dl)`` over the batch's (doc, term) groups; avgdl (Σtf / N) comes free
-    from the DF pass."""
+    from the DF pass.
+
+    ``max_vocab`` bounds the broadcast: on raw web text the distinct-term
+    space grows without bound (URLs, typos, hashes), so when the DF table
+    exceeds the cap only the ``max_vocab`` highest-df terms ship to the
+    workers and every other term scores as if its df were the cap
+    boundary's df (``df_floor`` — by construction an upper bound on any
+    dropped term's true df, so dropped-rare-term idf is slightly
+    *underestimated*, never inflated). Totals (n_docs, Σtf for avgdl) are
+    computed distributed over the FULL table, so kept-term scores are
+    exact. ``max_vocab=None`` disables the cap."""
     import ray.data.aggregate as _agg
 
     dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-    df_pdf = dt.groupby("term").aggregate(
+    stats = dt.groupby("term").aggregate(
         _agg.Count(alias_name="df"), _agg.Sum("tf", alias_name="ctf")
-    ).to_pandas()
+    ).materialize()
+    n_terms = stats.count()
+    ctf_total = stats.aggregate(_agg.Sum("ctf", alias_name="t"))["t"]
+    df_floor = 0
+    if max_vocab is not None and n_terms > max_vocab:
+        df_pdf = stats.sort("df", descending=True).limit(max_vocab).to_pandas()
+        df_floor = int(df_pdf["df"].min())
+    else:
+        df_pdf = stats.to_pandas()
     df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64)))
     n_docs = int(ds.count())
-    avgdl = float(df_pdf["ctf"].sum()) / max(n_docs, 1)
+    avgdl = float(ctf_total) / max(n_docs, 1)
     score_fn = score_builder(n_docs, avgdl)
     import ray as _ray
 
     dref = _ray.put(df_map)
+    oov_df = df_floor
 
     def top1(t: pa.Table) -> pa.Table:
         dfm = _ray.get(dref)
@@ -423,7 +445,7 @@ def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
         terms = dict_terms[cs[starts]]
         # df + doc length per (doc, term) group (vectorized over the
         # batch's dictionary codes / rows)
-        dfs = np.array([dfm.get(w, 0) for w in dict_terms], np.float64)[cs[starts]]
+        dfs = np.array([dfm.get(w, oov_df) for w in dict_terms], np.float64)[cs[starts]]
         dl = lens.astype(np.float64)[doc_of_group]
         score = score_fn(glens, dfs, dl)
         # per-doc argmax with lexicographic tie-break: sort groups by
@@ -446,7 +468,8 @@ def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
 
 
 def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                           alpha: float = 0.5, round_to: int | None = 4):
+                           alpha: float = 0.5, round_to: int | None = 4,
+                           max_vocab: int | None = 2_000_000):
     """KenLM-style unigram language-model scoring: per-document total and
     per-word mean log-probability under the corpus's own smoothed unigram
     distribution ``p(w) = (c(w)+alpha) / (total+alpha*vocab)`` — the
@@ -455,12 +478,25 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
 
     Scale shape (same as tfidf_top_terms): ONE vocab-keyed groupby builds
     the corpus counts, the log-prob table broadcasts via ``ray.put``, and
-    the per-doc sums run inside map_batches with no doc-keyed shuffle."""
+    the per-doc sums run inside map_batches with no doc-keyed shuffle.
+
+    ``max_vocab`` bounds the broadcast on unbounded raw-text vocabularies:
+    only the ``max_vocab`` most frequent terms ship; everything else
+    scores as OOV (``log(alpha/denom)`` — the same smoothing floor an
+    unseen word gets). ``total`` and the TRUE vocab size stay exact (they
+    are distributed scalars, not the dict), so kept-term probabilities
+    are identical with or without the cap."""
+    import ray.data.aggregate as _agg
+
     dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-    counts = dt.groupby("term").sum("tf").to_pandas()
-    total = float(counts["sum(tf)"].sum())
-    vocab = float(len(counts))
+    counts_ds = dt.groupby("term").sum("tf").materialize()
+    vocab = float(counts_ds.count())  # TRUE vocab size (a scalar, not a collect)
+    total = float(counts_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
     denom = total + alpha * vocab
+    if max_vocab is not None and vocab > max_vocab:
+        counts = counts_ds.sort("sum(tf)", descending=True).limit(max_vocab).to_pandas()
+    else:
+        counts = counts_ds.to_pandas()
     logp = dict(zip(counts["term"], np.log((counts["sum(tf)"].to_numpy(np.float64) + alpha) / denom)))
     import ray as _ray
 
@@ -598,30 +634,67 @@ def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_
     unigram distributions (the standard drift alarm between crawl
     snapshots / before-after a filter change).
 
-    Scale shape: one vocab-keyed groupby per side (the only shuffles —
-    small rows), then the divergence sums are computed over the joined
-    vocab table on the driver (vocab-sized, not corpus-sized). Smoothing
-    puts mass ``alpha`` on every word of the UNION vocab, so both
-    distributions are absolutely continuous and the KLs are finite.
+    Scale shape — fully distributed, NOTHING vocab-sized touches the
+    driver: one vocab-keyed groupby per side, a full-outer hash join of
+    the two (term, count) tables, then per-batch partial divergence sums
+    tree-reduced to three scalars. The r3 version collected both count
+    tables into driver dicts (unbounded on raw web text); this one is
+    exact at any vocabulary size. Smoothing puts mass ``alpha`` on every
+    word of the UNION vocab, so both distributions are absolutely
+    continuous and the KLs are finite.
 
     Returns a single-row pyarrow Table (kl_ab, kl_ba, js).
     """
+    import ray.data.aggregate as _agg
 
-    def side_counts(ds):
+    from ballet_ray.stages.joins import default_join_partitions, hash_join
+
+    def side_counts(ds, name):
         dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-        pdf = dt.groupby("term").sum("tf").to_pandas()
-        return dict(zip(pdf["term"], pdf["sum(tf)"].astype(np.int64)))
 
-    ca, cb = side_counts(ds_a), side_counts(ds_b)
-    vocab = sorted(set(ca) | set(cb))
-    a = np.asarray([ca.get(w, 0) for w in vocab], np.float64) + alpha
-    b = np.asarray([cb.get(w, 0) for w in vocab], np.float64) + alpha
-    pa_ = a / a.sum()
-    pb_ = b / b.sum()
-    m = (pa_ + pb_) / 2.0
-    kl_ab = float(np.sum(pa_ * np.log(pa_ / pb_)))
-    kl_ba = float(np.sum(pb_ * np.log(pb_ / pa_)))
-    js = float(0.5 * np.sum(pa_ * np.log(pa_ / m)) + 0.5 * np.sum(pb_ * np.log(pb_ / m)))
+        def rn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["term", name])
+
+        return dt.groupby("term").sum("tf").map_batches(rn, batch_format="pyarrow")
+
+    joined = hash_join(
+        side_counts(ds_a, "ca"),
+        side_counts(ds_b, "cb"),
+        on="term",
+        how="full_outer",
+        num_partitions=default_join_partitions(None),
+    ).materialize()
+
+    # pass 1: union vocab size + per-side totals (three scalars)
+    tot = joined.aggregate(
+        _agg.Count(alias_name="v"),
+        _agg.Sum("ca", alias_name="na"),
+        _agg.Sum("cb", alias_name="nb"),
+    )
+    V = float(tot["v"])
+    A = float(tot["na"] or 0) + alpha * V
+    B = float(tot["nb"] or 0) + alpha * V
+
+    # pass 2: per-batch partial sums of the three divergences
+    def partials(t: pa.Table) -> pa.Table:
+        ca = pc.fill_null(t.column("ca"), 0).to_numpy(zero_copy_only=False).astype(np.float64) + alpha
+        cb = pc.fill_null(t.column("cb"), 0).to_numpy(zero_copy_only=False).astype(np.float64) + alpha
+        p = ca / A
+        q = cb / B
+        m = (p + q) / 2.0
+        return pa.table({
+            "kl_ab": [float(np.sum(p * np.log(p / q)))],
+            "kl_ba": [float(np.sum(q * np.log(q / p)))],
+            "js": [float(0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m)))],
+        })
+
+    sums = joined.map_batches(partials, batch_format="pyarrow").aggregate(
+        _agg.Sum("kl_ab", alias_name="kl_ab"),
+        _agg.Sum("kl_ba", alias_name="kl_ba"),
+        _agg.Sum("js", alias_name="js"),
+    )
     import pyarrow as _pa
 
-    return _pa.table({"kl_ab": [kl_ab], "kl_ba": [kl_ba], "js": [js]})
+    return _pa.table({"kl_ab": [float(sums["kl_ab"])],
+                      "kl_ba": [float(sums["kl_ba"])],
+                      "js": [float(sums["js"])]})
