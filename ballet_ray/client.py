@@ -32,14 +32,19 @@ class Client:
     ) -> bool:
         """GFSSF acceptance judgement on a driver-side sample (reference
         Client.validate_feature_acceptance)."""
-        from ballet_ray.validation.discover import _feature_values_sample
+        from ballet_ray.validation.discover import (
+            _feature_values_sample,
+            _target_values_sample,
+        )
 
         candidate = _feature_values_sample(feature, ds, sample_cap)
         accepted_map = {
             (f.name or str(i)): _feature_values_sample(f, ds, sample_cap)
             for i, f in enumerate(accepted)
         }
-        y = ds.select_columns([y_col]).limit(sample_cap).to_pandas().to_numpy(dtype=float)
+        # same hash-priority sample rows as the features — limit() was a
+        # block PREFIX, biased on time/source-sorted data
+        y = _target_values_sample(ds, y_col, sample_cap)
         n = min(len(candidate), len(y))
         return GFSSFAccepter().judge(
             candidate[:n], {k: v[:n] for k, v in accepted_map.items()}, y[:n]

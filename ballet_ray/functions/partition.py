@@ -34,7 +34,9 @@ def stable_hash_array(values) -> np.ndarray:
         import polars as pl
 
         return pl.Series(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
-    except Exception:
+    except BaseException:
+        # BaseException: polars raises pyo3 PanicException (NOT an
+        # Exception subclass) on object arrays of unhashable elements
         return pd.util.hash_array(arr, categorize=False)
 
 

@@ -21,12 +21,70 @@ from ballet_ray.validation.entropy import (
 )
 
 
+def _input_row_priority(t, base_cols):
+    """Deterministic uint64 priority per row from the INPUT columns' content
+    — identical across calls, partitionings and transform order, so every
+    feature (and the target) draws the SAME sample rows. Unhashable columns
+    (nested lists etc.) are skipped; any hashable subset identifies rows."""
+    import pyarrow as pa
+
+    from ballet_ray.functions.hashing import mix
+    from ballet_ray.functions.partition import stable_hash_array
+
+    h = np.full(len(t), np.uint64(0xCBF29CE484222325))
+    for c in base_cols:
+        if c not in t.column_names:
+            continue
+        try:
+            hc = stable_hash_array(t.column(c).to_numpy(zero_copy_only=False))
+        except Exception:
+            continue
+        h = mix(h, hc)
+    return h
+
+
+def _priority_sample_pdf(out, base_cols: list[str], cap: int) -> pd.DataFrame:
+    """The ``cap`` rows with the smallest input-content priority, sorted by
+    priority — an unbiased deterministic sample. Unlike ``limit(cap)`` (a
+    PREFIX of the first blocks — biased on time/source-sorted data, the
+    exact bug class fixed in the imputers' reservoir, cleaning.py) the
+    winners span all blocks uniformly. Per-batch local top-cap bounds what
+    the sort shuffle carries; the driver sees only ``cap`` rows."""
+    import pyarrow as pa
+
+    def candidates(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("__prio", pa.array([], type=pa.uint64()))
+        pr = _input_row_priority(t, base_cols)
+        if len(t) > cap:
+            keep = np.sort(np.argpartition(pr, cap - 1)[:cap])
+            t = t.take(pa.array(keep))
+            pr = pr[keep]
+        return t.append_column("__prio", pa.array(pr))
+
+    return (
+        out.map_batches(candidates, batch_format="pyarrow")
+        .sort("__prio")
+        .limit(cap)
+        .to_pandas()
+    )
+
+
 def _feature_values_sample(feature: Feature, ds, cap: int) -> np.ndarray:
     pipe = FeatureEngineeringPipeline([feature])
     out = pipe.fit_transform(ds)
-    new_cols = [c for c in dataset_schema(out).names if c not in dataset_schema(ds).names]
-    pdf = out.select_columns(new_cols).limit(cap).to_pandas()
-    return pdf.to_numpy(dtype=float)
+    base_cols = list(dataset_schema(ds).names)
+    new_cols = [c for c in dataset_schema(out).names if c not in base_cols]
+    pdf = _priority_sample_pdf(out, base_cols, cap)
+    return pdf[new_cols].to_numpy(dtype=float)
+
+
+def _target_values_sample(ds, y_col: str, cap: int) -> np.ndarray:
+    """The target drawn from the SAME priority-sampled rows as the
+    features (the priority is a pure function of input row content)."""
+    base_cols = list(dataset_schema(ds).names)
+    pdf = _priority_sample_pdf(ds, base_cols, cap)
+    return pdf[[y_col]].to_numpy(dtype=float)
 
 
 def discover(
@@ -63,7 +121,7 @@ def discover(
 
     y = None
     if y_col is not None:
-        y = ds.select_columns([y_col]).limit(sample_cap).to_pandas().to_numpy(dtype=float)
+        y = _target_values_sample(ds, y_col, sample_cap)
 
     mats = {id(f): _feature_values_sample(f, ds, sample_cap) for f in features}
     rows = []

@@ -302,3 +302,66 @@ def test_gfssf_matches_sfds_oracle():
             redundant = set(pruner.prune(candidate, y)) - {i}
             selected = {k: v for k, v in candidate.items() if k not in redundant}
     assert set(selected) == expected
+
+
+def test_acceptance_sample_unbiased_under_block_sorted_shift():
+    """limit(cap) drew a PREFIX of the first blocks, so on block-sorted
+    data the GFSSF verdict disagreed with the full-data verdict; the
+    hash-priority sample must agree (VERDICT r3 #4)."""
+    import ray.data as rd
+
+    from ballet_ray.client import Client
+    from ballet_ray.feature import Feature
+    from ballet_ray.stages.core import IdentityTransform
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    # first half: candidate column is CONSTANT and y is noise;
+    # second half: y == x exactly (maximally informative)
+    x = np.concatenate([np.zeros(n // 2), rng.normal(size=n // 2)])
+    y = np.concatenate([rng.normal(size=n // 2), x[n // 2 :]])
+    df = pd.DataFrame({"x": x, "y": y})
+    ds = rd.from_pandas(df).repartition(8)  # order-preserving split
+
+    c = Client()
+    feat = Feature("x", IdentityTransform(), output="x_id")
+    verdict_sampled = c.validate_feature_acceptance(feat, [], ds, "y", sample_cap=1500)
+
+    # full-data verdict (no sampling): x is informative about y
+    from ballet_ray.validation.accepters import GFSSFAccepter
+
+    full = GFSSFAccepter().judge(x.reshape(-1, 1), {}, y.reshape(-1, 1))
+    assert full, "sanity: full-data GFSSF must accept an informative feature"
+    assert verdict_sampled == full
+
+    # the prefix draw (first 1500 rows: constant x) gives the WRONG verdict
+    pre_x = x[:1500].reshape(-1, 1)
+    pre_y = y[:1500].reshape(-1, 1)
+    assert not GFSSFAccepter().judge(pre_x, {}, pre_y), (
+        "sanity: the old prefix sample should reject here — if this fails "
+        "the scenario no longer demonstrates the bias"
+    )
+
+
+def test_priority_sample_rows_align_across_features():
+    """Every feature and the target must draw the SAME rows (GFSSF
+    compares rowwise), so the priority is a pure function of input row
+    content — verify alignment by reconstructing y from the feature."""
+    import ray.data as rd
+
+    from ballet_ray.feature import Feature
+    from ballet_ray.stages.core import IdentityTransform
+    from ballet_ray.validation.discover import (
+        _feature_values_sample,
+        _target_values_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"a": rng.normal(size=2000)})
+    df["y"] = 2.0 * df.a
+    ds = rd.from_pandas(df).repartition(6)
+    f = Feature("a", IdentityTransform(), output="a_id")
+    xs = _feature_values_sample(f, ds, 300)
+    ys = _target_values_sample(ds, "y", 300)
+    assert xs.shape[0] == ys.shape[0] == 300
+    assert np.allclose(ys[:, 0], 2.0 * xs[:, 0])
