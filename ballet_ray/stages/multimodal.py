@@ -2,11 +2,14 @@
 
 Media travel as opaque ``binary`` columns plus typed metadata columns; all
 Ray-side plumbing (schema, small batches for wide rows, actor-pool decode
-stages, output layout) is real and tested. The actual codec work is STUBBED
-— the decode libraries are not available in this environment — behind
-``decode_fn``: pass a real decoder in production, or leave the default
-deterministic fake (which hashes bytes into a fixed-size feature vector)
-for tests.
+stages, output layout) is real and tested. Decoding is REAL for the
+formats the pure-numpy codecs cover (PPM/BMP images, RIFF PCM16 WAV
+audio, concatenated-PPM frame sequences — see stages/codecs.py), selected
+by magic-byte sniffing per payload. Formats that genuinely need external
+codec libraries (JPEG/PNG/MP4/...) remain stubbed behind
+``decode_fn``/``transcode_fn``/``extract_fn`` — pass a real codec in
+production, or leave ``use_fake=True`` for a deterministic hash-based
+stand-in in tests.
 
 Batch-size guidance: with payloads of p bytes, choose
 ``batch_size ≈ target_block_bytes / p`` so a batch × actor-pool concurrency
@@ -19,6 +22,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ballet_ray.stages import codecs as _codecs
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -41,25 +46,41 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
 class MediaFeaturizer:
     """Actor-pool stage: binary payload → fixed-size feature vector.
 
-    ``decoder`` (loaded once per actor in __init__) would be the real
-    image/audio model; here it raises NotImplementedError unless
-    ``use_fake=True`` supplies the deterministic fake.
-    """
+    Per payload, magic-byte dispatch: PPM/BMP → decode + grayscale
+    thumbnail embedding; WAV → decode + windowed-RMS embedding; PPM-SEQ →
+    first frame's image embedding (all real numpy decode paths,
+    stages/codecs.py). Anything else uses ``decode_fn`` if given, the
+    deterministic fake if ``use_fake``, else raises NotImplementedError
+    (JPEG/PNG/... need codec libraries this environment lacks)."""
 
-    def __init__(self, out_dim: int = 16, use_fake: bool = True):
+    def __init__(self, out_dim: int = 16, use_fake: bool = True, decode_fn=None):
         self.out_dim = out_dim
-        if use_fake:
-            self.decode = lambda b: _fake_decode(b, out_dim)
-        else:  # pragma: no cover - real decoders unavailable in this env
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not present "
-                "in this environment; pass use_fake=True"
-            )
+        self.decode_fn = decode_fn
+        self.use_fake = use_fake
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        mime = _codecs.detect_mime(payload)
+        if mime in ("image/x-ppm", "image/bmp"):
+            return _codecs.image_features(_codecs.decode_image(payload), self.out_dim)
+        if mime == "audio/wav":
+            samples, rate = _codecs.decode_wav(payload)
+            return _codecs.audio_features(samples, self.out_dim)
+        if mime == "video/x-ppm-seq":
+            first = _codecs.extract_ppm_frame(payload, 0, 1)
+            return _codecs.image_features(_codecs.decode_ppm(first), self.out_dim)
+        if self.decode_fn is not None:
+            return np.asarray(self.decode_fn(payload), dtype=np.float32)[: self.out_dim]
+        if self.use_fake:
+            return _fake_decode(payload, self.out_dim)
+        raise NotImplementedError(
+            "payload format not decodable with the built-in numpy codecs "
+            "(PPM/BMP/WAV/PPM-SEQ); pass decode_fn or use_fake=True"
+        )
 
     def __call__(self, table: pa.Table) -> pa.Table:
         payloads = table.column("payload").to_pylist()
         feats = (
-            np.stack([self.decode(p) for p in payloads])
+            np.stack([self._features(p) for p in payloads])
             if payloads
             else np.empty((0, self.out_dim), np.float32)
         )
@@ -70,7 +91,7 @@ class MediaFeaturizer:
 
 
 def featurize_media(ds, *, out_dim: int = 16, batch_size: int = 64, concurrency: int = 2):
-    """Run the (stub) decoder as an actor pool with media-sized batches."""
+    """Run the decoder as an actor pool with media-sized batches."""
     return ds.map_batches(
         MediaFeaturizer,
         fn_constructor_kwargs={"out_dim": out_dim, "use_fake": True},
@@ -96,30 +117,68 @@ def synthetic_media_table(n: int, payload_bytes: int = 4096, seed: int = 1754) -
     )
 
 
+def synthetic_image_table(n: int, width: int = 32, height: int = 24, fmt: str = "ppm",
+                          seed: int = 1754) -> pa.Table:
+    """Real decodable media rows: random RGB images encoded as PPM or BMP."""
+    rng = np.random.RandomState(seed)
+    enc = _codecs.encode_ppm if fmt == "ppm" else _codecs.encode_bmp
+    payloads = [enc(rng.randint(0, 256, (height, width, 3)).astype(np.uint8)) for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array([f"img{i:06d}" for i in range(n)]),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array([f"image/x-{fmt}"] * n),
+            "width": pa.array(np.full(n, width, dtype=np.int32)),
+            "height": pa.array(np.full(n, height, dtype=np.int32)),
+            "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+
+
 class MediaResizer:
     """Actor-pool stage: payload → resized payload + updated metadata.
 
-    The Ray-side plumbing (per-actor transcoder setup, payload-in →
-    payload-out schema, width/height metadata rewrite, media-sized batches)
-    is real; the pixel work is STUBBED behind ``transcode_fn`` — pass a real
-    ``bytes -> bytes`` resizer in production, or leave the deterministic
-    fake (re-hash to a size proportional to the target area)."""
+    PPM and BMP payloads take the REAL path: decode → vectorized
+    nearest-neighbor resize → re-encode in the same format
+    (stages/codecs.py); PPM-SEQ containers resize every frame. Other
+    formats use ``transcode_fn`` if given, the deterministic fake if
+    ``use_fake``, else raise (codec libraries unavailable here)."""
 
     def __init__(self, width: int, height: int, transcode_fn=None, use_fake: bool = True):
         self.width, self.height = width, height
-        if transcode_fn is not None:
-            self.transcode = transcode_fn
-        elif use_fake:
-            out_bytes = max(16, (width * height) // 64)
-            self.transcode = lambda b: hashlib.blake2b(b, digest_size=min(64, out_bytes)).digest()
-        else:  # pragma: no cover - real codecs unavailable in this env
-            raise NotImplementedError(
-                "real image resizing requires codec libraries not present in "
-                "this environment; pass transcode_fn or use_fake=True"
+        self.transcode_fn = transcode_fn
+        self.use_fake = use_fake
+        out_bytes = max(16, (width * height) // 64)
+        self._fake = lambda b: hashlib.blake2b(b, digest_size=min(64, out_bytes)).digest()
+
+    def _resize(self, payload: bytes) -> bytes:
+        mime = _codecs.detect_mime(payload)
+        if mime == "image/x-ppm":
+            return _codecs.encode_ppm(
+                _codecs.resize_nearest(_codecs.decode_ppm(payload), self.width, self.height)
             )
+        if mime == "image/bmp":
+            return _codecs.encode_bmp(
+                _codecs.resize_nearest(_codecs.decode_bmp(payload), self.width, self.height)
+            )
+        if mime == "video/x-ppm-seq":
+            offs = _codecs.ppm_seq_offsets(payload)
+            frames = [
+                _codecs.resize_nearest(_codecs.decode_ppm(payload, o), self.width, self.height)
+                for o in offs
+            ]
+            return _codecs.encode_ppm_seq(frames)
+        if self.transcode_fn is not None:
+            return self.transcode_fn(payload)
+        if self.use_fake:
+            return self._fake(payload)
+        raise NotImplementedError(
+            "payload format not resizable with the built-in numpy codecs "
+            "(PPM/BMP/PPM-SEQ); pass transcode_fn or use_fake=True"
+        )
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        payloads = [self.transcode(p) for p in table.column("payload").to_pylist()]
+        payloads = [self._resize(p) for p in table.column("payload").to_pylist()]
         n = len(table)
         cols = {c: table.column(c) for c in table.column_names}
         cols["payload"] = pa.array(payloads, type=pa.binary())
@@ -141,24 +200,32 @@ def resize_media(ds, *, width: int, height: int, batch_size: int = 64, concurren
 class FrameSampler:
     """Actor-pool ONE-TO-MANY stage: each video row → ``n_frames`` frame
     rows sampled uniformly over ``duration_ms``. Output schema:
-    (media_id, frame_idx, frame_ts_ms, payload). The frame-extraction codec
-    is STUBBED behind ``extract_fn(payload, ts_ms) -> bytes`` (deterministic
-    fake: keyed hash of payload+timestamp); the explode plumbing, schema and
-    batch sizing are real."""
+    (media_id, frame_idx, frame_ts_ms, payload).
+
+    PPM-SEQ containers take the REAL path: the frame whose time slot
+    covers the sample timestamp is sliced out of the container (each
+    output payload is one decodable PPM image). Other containers use
+    ``extract_fn(payload, ts_ms) -> bytes`` if given, the deterministic
+    fake if ``use_fake``, else raise (video codecs unavailable here)."""
 
     def __init__(self, n_frames: int = 4, extract_fn=None, use_fake: bool = True):
         self.n_frames = n_frames
-        if extract_fn is not None:
-            self.extract = extract_fn
-        elif use_fake:
-            self.extract = lambda b, ts: hashlib.blake2b(
-                b, digest_size=32, key=int(ts).to_bytes(8, "little")
-            ).digest()
-        else:  # pragma: no cover
-            raise NotImplementedError(
-                "real frame extraction requires video codecs not present in "
-                "this environment; pass extract_fn or use_fake=True"
-            )
+        self.extract_fn = extract_fn
+        self.use_fake = use_fake
+        self._fake = lambda b, ts: hashlib.blake2b(
+            b, digest_size=32, key=int(ts).to_bytes(8, "little")
+        ).digest()
+
+    def _extract(self, payload: bytes, ts: int, dur: int) -> bytes:
+        if _codecs.detect_mime(payload) == "video/x-ppm-seq":
+            return _codecs.extract_ppm_frame(payload, ts, dur)
+        if self.extract_fn is not None:
+            return self.extract_fn(payload, ts)
+        if self.use_fake:
+            return self._fake(payload, ts)
+        raise NotImplementedError(
+            "payload is not a PPM-SEQ container; pass extract_fn or use_fake=True"
+        )
 
     def __call__(self, table: pa.Table) -> pa.Table:
         ids = table.column("media_id").to_pylist()
@@ -172,7 +239,7 @@ class FrameSampler:
                 out_id.append(mid)
                 out_idx.append(j)
                 out_ts.append(ts)
-                out_payload.append(self.extract(payload, ts))
+                out_payload.append(self._extract(payload, ts, int(dur)))
         return pa.table(
             {
                 "media_id": pa.array(out_id),
