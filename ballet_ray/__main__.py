@@ -1,0 +1,118 @@
+"""``python -m ballet_ray`` — CLI entry points.
+
+Reference surface: ``ballet validate`` (reference ballet/cli.py:80-116):
+per-stage flags (each defaulting off, overridable by the same
+``BALLET_*`` environment variables) plus ``--check-all/-A``. The
+reference loads its project from the cwd; this engine has no git project
+machinery (SURVEY §2.6 keeps that out of scope), so the config comes
+from a Python file or dotted module exposing ``get_config() -> dict`` or
+a ``CONFIG`` dict in the shape ``ballet_ray.validation.main.validate``
+documents (the dataset may be given as a parquet path under
+``data.path`` for convenience).
+
+Exit status: 0 when every requested stage passes, 1 on a validation
+failure (the reference's exception types), 2 on a usage/config error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import importlib.util
+import json
+import os
+import sys
+
+
+def _env_flag(name: str) -> bool:
+    v = os.environ.get(name, "")
+    return v.lower() in ("1", "true", "yes", "on")
+
+
+def _load_config(spec: str) -> dict:
+    if os.path.exists(spec):
+        mod_name = "_ballet_ray_cli_config"
+        s = importlib.util.spec_from_file_location(mod_name, spec)
+        mod = importlib.util.module_from_spec(s)
+        s.loader.exec_module(mod)
+    else:
+        mod = importlib.import_module(spec)
+    if hasattr(mod, "get_config"):
+        cfg = mod.get_config()
+    elif hasattr(mod, "CONFIG"):
+        cfg = dict(mod.CONFIG)
+    else:
+        raise SystemExit(f"config {spec!r} defines neither get_config() nor CONFIG")
+    data = cfg.get("data", {})
+    if "dataset" not in data and "path" in data:
+        import ray.data as rd
+
+        data = dict(data)
+        data["dataset"] = rd.read_parquet(data.pop("path"))
+        cfg = {**cfg, "data": data}
+    return cfg
+
+
+def _jsonable(x):
+    if isinstance(x, dict):
+        return {str(k): _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, (str, int, float, bool)) or x is None:
+        return x
+    return repr(x)
+
+
+def cmd_validate(args) -> int:
+    from ballet_ray.exc import BalletRayError
+    from ballet_ray.validation.main import validate
+
+    try:
+        cfg = _load_config(args.config)
+    except (ImportError, OSError, SystemExit) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():  # the driver may own the session already
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        report = validate(
+            cfg,
+            check_project_structure=args.check_project_structure or args.check_all,
+            check_feature_api=args.check_feature_api or args.check_all,
+            evaluate_feature_acceptance=args.evaluate_feature_acceptance or args.check_all,
+            evaluate_feature_pruning=args.evaluate_feature_pruning or args.check_all,
+        )
+    except BalletRayError as e:
+        print(json.dumps({"ok": False, "error": type(e).__name__, "detail": str(e)}))
+        return 1
+    print(json.dumps({"ok": True, "report": _jsonable(report)}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ballet_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate project changes (reference `ballet validate`)")
+    v.add_argument("config", help="python file or dotted module with get_config()/CONFIG")
+    v.add_argument("--check-all", "-A", action="store_true", default=False)
+    for flag, env in [
+        ("check-project-structure", "BALLET_CHECK_PROJECT_STRUCTURE"),
+        ("check-feature-api", "BALLET_CHECK_FEATURE_API"),
+        ("evaluate-feature-acceptance", "BALLET_EVALUATE_FEATURE_ACCEPTANCE"),
+        ("evaluate-feature-pruning", "BALLET_EVALUATE_FEATURE_PRUNING"),
+    ]:
+        dest = flag.replace("-", "_")
+        v.add_argument(f"--{flag}", dest=dest, action="store_true", default=_env_flag(env))
+        v.add_argument(f"--no-{flag}", dest=dest, action="store_false")
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,12 +62,13 @@ def _priority_sample_pdf(out, base_cols: list[str], cap: int) -> pd.DataFrame:
             pr = pr[keep]
         return t.append_column("__prio", pa.array(pr))
 
-    return (
+    pdf = (
         out.map_batches(candidates, batch_format="pyarrow")
         .sort("__prio")
         .limit(cap)
         .to_pandas()
     )
+    return pdf.drop(columns="__prio")
 
 
 def _feature_values_sample(feature: Feature, ds, cap: int) -> np.ndarray:

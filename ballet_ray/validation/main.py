@@ -45,11 +45,18 @@ def _load_data(config):
     return ds, target
 
 
-def _sample_frame(ds, sample_rows: int):
+def _sample_frame(ds, sample_rows: int, base_cols: list | None = None):
+    """Bounded driver-side sample. For Datasets this is the hash-priority
+    reservoir over INPUT row content (discover._priority_sample_pdf) — not
+    ``limit()``, which is a block prefix and biased on sorted data — so
+    every feature and the target draw the same rows."""
     import ray.data as rd
 
     if isinstance(ds, rd.Dataset):
-        return ds.limit(sample_rows).to_pandas()
+        from ballet_ray.validation.discover import _priority_sample_pdf
+
+        cols = list(base_cols) if base_cols is not None else list(ds.schema().names)
+        return _priority_sample_pdf(ds, cols, sample_rows)
     return ds.head(sample_rows)
 
 
@@ -57,9 +64,9 @@ def _feature_matrix(feature, ds, sample_rows: int) -> np.ndarray:
     import ray.data as rd
 
     out = feature.as_feature_engineering_pipeline().fit_transform(ds)
-    in_cols = set(ds.schema().names if isinstance(ds, rd.Dataset) else ds.columns)
-    pdf = _sample_frame(out, sample_rows)
-    cols = [c for c in pdf.columns if c not in in_cols]
+    in_cols = list(ds.schema().names) if isinstance(ds, rd.Dataset) else list(ds.columns)
+    pdf = _sample_frame(out, sample_rows, base_cols=in_cols)
+    cols = [c for c in pdf.columns if c not in set(in_cols)]
     return pdf[cols].to_numpy(dtype=float)
 
 
@@ -134,15 +141,23 @@ def validate(
             for i, f in enumerate(accepted_features)
         }
 
+    # reference parity: unconfigured validators fall back to the GFSSF
+    # pair (the reference project template's defaults)
+    vconf = config.get("validation", {})
+
     if evaluate_feature_acceptance:
-        accepter = instantiate(config["validation"]["feature_accepter"])
+        accepter = instantiate(
+            vconf.get("feature_accepter", "ballet_ray.validation.accepters.GFSSFAccepter")
+        )
         ok = call_judge(accepter, candidate=cand, accepted=accepted, y=y)
         report["accepted"] = bool(ok)
         if not ok:
             raise FeatureRejected(proposed.source)
 
     if evaluate_feature_pruning:
-        pruner = instantiate(config["validation"]["feature_pruner"])
+        pruner = instantiate(
+            vconf.get("feature_pruner", "ballet_ray.validation.accepters.GFSSFPruner")
+        )
         all_feats = {**accepted, proposed.source or "__proposed__": cand}
         redundant = pruner.prune(all_feats, y)
         report["redundant"] = list(redundant)

@@ -198,3 +198,65 @@ def test_validate_with_target_encoder(tmp_path):
     }
     report = validate(config)
     assert report["accepted"] is True  # x1 still informative after scaling y
+
+
+def test_cli_validate_end_to_end(tmp_path):
+    """`python -m ballet_ray validate <config.py> -A` on a fixture project
+    (reference `ballet validate`, ballet/cli.py:80-116)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    contrib_dir = _scaffold(tmp_path, {"user_a": GOOD_A, "user_b": GOOD_B})
+    data_path = tmp_path / "data.parquet"
+    rng = np.random.RandomState(7)
+    x1 = rng.randn(600)
+    x2 = rng.randn(600)
+    pd.DataFrame({"x1": x1, "x2": x2, "y": 3.0 * x1 + 0.5 * x2}).to_parquet(data_path)
+    cfg = tmp_path / "config.py"
+    cfg.write_text(
+        textwrap.dedent(
+            f"""
+            def get_config():
+                return {{
+                    "contrib": {str(contrib_dir)!r},
+                    "data": {{"path": {str(data_path)!r}, "target": "y"}},
+                    "sample_rows": 512,
+                }}
+            """
+        )
+    )
+    r = subprocess.run(
+        [_sys.executable, "-m", "ballet_ray", "validate", str(cfg), "-A"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True
+    got = sorted(out["report"]["collected"])
+    assert len(got) == 2
+    assert got[0].endswith("user_a") and got[1].endswith("user_b")
+
+    # a failing stage exits 1 with the exception name in the JSON
+    cfg_bad = tmp_path / "config_bad.py"
+    empty = tmp_path / "empty_contrib"
+    empty.mkdir()
+    cfg_bad.write_text(
+        textwrap.dedent(
+            f"""
+            CONFIG = {{
+                "contrib": {str(empty)!r},
+                "data": {{"path": {str(data_path)!r}, "target": "y"}},
+            }}
+            """
+        )
+    )
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "ballet_ray", "validate", str(cfg_bad), "-A"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r2.returncode == 1, r2.stderr[-2000:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["ok"] is False and out2["error"] == "InvalidProjectStructure"
