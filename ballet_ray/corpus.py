@@ -48,6 +48,7 @@ from ballet_ray.stages.dedup import (
     token_duplicate_passages,
     token_minhash_lsh_pairs,
 )
+from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.sampling import global_shuffle_index, hash_rate_filter, stratified_sample
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
@@ -107,6 +108,8 @@ __all__ = [
     "correlation_matrix",
     "dedup_by_minhash",
     "diversity_sample",
+    "dsir_log_weights",
+    "dsir_resample",
     "duplicate_passages",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -388,6 +388,120 @@ GROUP BY c.event_id, c.user_id
 """
 
 
+_DSIR_B = 1000  # hashed-n-gram buckets (the paper uses 10k; 1k keeps the sf oracle cheap)
+
+
+def q_dsir_logw_docs(sf_dir: str):
+    """DSIR (Xie et al. 2023) log importance weights: how much each raw
+    document's hashed uni+bigram distribution looks like the target
+    subcorpus (here: the English documents). Two 8 KB tree-reduced
+    bucket-count fits + one shuffle-free scoring pass; md5 bucket mode so
+    the DuckDB oracle reproduces the hash exactly."""
+    from ballet_ray.stages.dsir import dsir_log_weights
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = docs.map_batches(lambda t: t.filter(pc.equal(t.column("lang"), "en")), batch_format="pyarrow")
+    return dsir_log_weights(
+        docs, target, buckets=_DSIR_B, alpha=1.0, method="md5", round_to=4
+    )
+
+
+SQL_DSIR_LOGW_DOCS = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT doc_id, g FROM docs, UNNEST(w) AS t(g)
+    UNION ALL
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+    FROM docs, UNNEST(range(1, len(w))) AS t(i)
+),
+bg AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % {_DSIR_B} AS BIGINT) AS b
+    FROM grams
+),
+tgt AS (
+    SELECT b, COUNT(*) AS c
+    FROM bg JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+),
+rawc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+tot AS (
+    SELECT (SELECT SUM(c) FROM tgt) AS tt, (SELECT SUM(c) FROM rawc) AS tr
+),
+lam AS (
+    SELECT r.b,
+           ln(COALESCE(t.c, 0) + 1.0) - ln(tot.tt + {_DSIR_B})
+         - ln(r.c + 1.0) + ln(tot.tr + {_DSIR_B}) AS l
+    FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+)
+SELECT bg.doc_id, ROUND(SUM(lam.l), 4) AS logw
+FROM bg JOIN lam USING (b)
+GROUP BY bg.doc_id
+"""
+
+
+def q_dsir_resample_docs(sf_dir: str):
+    """DSIR selection step: Gumbel-top-k importance resampling without
+    replacement (k=100 docs toward the English-subcorpus distribution).
+    Deterministic — the Gumbel noise is a hash-uniform transform of the
+    doc id, so the draw is reproducible and SQL-auditable; only
+    (id, logw, key) enter the final global top-k sort."""
+    from ballet_ray.stages.dsir import dsir_resample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = docs.map_batches(lambda t: t.filter(pc.equal(t.column("lang"), "en")), batch_format="pyarrow")
+    return dsir_resample(
+        docs, target, k=100, buckets=_DSIR_B, alpha=1.0,
+        salt="dsir", method="md5", round_to=4,
+    )
+
+
+SQL_DSIR_RESAMPLE_DOCS = f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT doc_id, g FROM docs, UNNEST(w) AS t(g)
+    UNION ALL
+    SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+    FROM docs, UNNEST(range(1, len(w))) AS t(i)
+),
+bg AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % {_DSIR_B} AS BIGINT) AS b
+    FROM grams
+),
+tgt AS (
+    SELECT b, COUNT(*) AS c
+    FROM bg JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+),
+rawc AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY b),
+tot AS (
+    SELECT (SELECT SUM(c) FROM tgt) AS tt, (SELECT SUM(c) FROM rawc) AS tr
+),
+lam AS (
+    SELECT r.b,
+           ln(COALESCE(t.c, 0) + 1.0) - ln(tot.tt + {_DSIR_B})
+         - ln(r.c + 1.0) + ln(tot.tr + {_DSIR_B}) AS l
+    FROM rawc r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+),
+scored AS (
+    SELECT bg.doc_id, SUM(lam.l) AS logw
+    FROM bg JOIN lam USING (b)
+    GROUP BY bg.doc_id
+),
+keyed AS (
+    SELECT doc_id, logw,
+           logw + -ln(-ln(
+               (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                + 0.5) / 4294967296.0
+           )) AS key
+    FROM scored
+)
+SELECT doc_id, ROUND(logw, 4) AS logw, ROUND(key, 4) AS key
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT 100
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -2677,6 +2791,8 @@ QUERIES = {
     "hopping_window_events": q_hopping_window_events,
     "window_distinct_users": q_window_distinct_users,
     "window_join_events": q_window_join_events,
+    "dsir_logw_docs": q_dsir_logw_docs,
+    "dsir_resample_docs": q_dsir_resample_docs,
 }
 
 ORACLE_SQL = {
@@ -2765,4 +2881,6 @@ ORACLE_SQL = {
     "hopping_window_events": SQL_HOPPING_WINDOW_EVENTS,
     "window_distinct_users": SQL_WINDOW_DISTINCT_USERS,
     "window_join_events": SQL_WINDOW_JOIN_EVENTS,
+    "dsir_logw_docs": SQL_DSIR_LOGW_DOCS,
+    "dsir_resample_docs": SQL_DSIR_RESAMPLE_DOCS,
 }
