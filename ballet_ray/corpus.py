@@ -69,6 +69,7 @@ from ballet_ray.stages.sketches import (
 from ballet_ray.stages.text import (
     PII_PATTERNS,
     Fingerprint,
+    bigram_logprob_scores,
     bm25_top_terms,
     corpus_divergence,
     LangId,
@@ -102,6 +103,7 @@ __all__ = [
     "approx_quantiles",
     "approx_top_k",
     "assign_clusters",
+    "bigram_logprob_scores",
     "bm25_top_terms",
     "chunk_sequences",
     "corpus_divergence",

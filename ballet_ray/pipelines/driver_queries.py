@@ -502,6 +502,46 @@ LIMIT 100
 """
 
 
+def q_bigram_logprob_docs(sf_dir: str):
+    """CCNet-style perplexity filter: per-doc logprob / mean logprob /
+    perplexity under an interpolated bigram LM fit on the corpus itself
+    (λ·MLE-bigram + (1−λ)·add-α unigram). One term-keyed groupby per model
+    table, broadcast behind top-K caps; scoring is shuffle-free."""
+    from ballet_ray.stages.text import bigram_logprob_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_logprob_scores(ds, lam=0.8, alpha=0.5, round_to=4)
+
+
+SQL_BIGRAM_LOGPROB_DOCS = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+words AS (SELECT doc_id, g FROM docs, UNNEST(w) AS t(g)),
+uni AS (SELECT g, COUNT(*) AS c FROM words GROUP BY g),
+tot AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM uni),
+pairs AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM docs, UNNEST(range(1, len(w))) AS t(i)
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+lp AS (
+    SELECT p.doc_id,
+           ln(0.8 * COALESCE(bi.c2, 0) / u1.c
+              + 0.2 * (u2.c + 0.5) / (tot.T + 0.5 * tot.V)) AS l
+    FROM pairs p
+    JOIN uni u1 ON u1.g = p.w1
+    JOIN uni u2 ON u2.g = p.w2
+    LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+    CROSS JOIN tot
+),
+agg AS (SELECT doc_id, SUM(l) AS s, COUNT(*) AS np FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(COALESCE(agg.s, 0), 4) AS logprob,
+       ROUND(COALESCE(agg.s / agg.np, 0), 4) AS mean_logprob,
+       ROUND(EXP(-COALESCE(agg.s / agg.np, 0)), 4) AS ppl
+FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -2793,6 +2833,7 @@ QUERIES = {
     "window_join_events": q_window_join_events,
     "dsir_logw_docs": q_dsir_logw_docs,
     "dsir_resample_docs": q_dsir_resample_docs,
+    "bigram_logprob_docs": q_bigram_logprob_docs,
 }
 
 ORACLE_SQL = {
@@ -2883,4 +2924,5 @@ ORACLE_SQL = {
     "window_join_events": SQL_WINDOW_JOIN_EVENTS,
     "dsir_logw_docs": SQL_DSIR_LOGW_DOCS,
     "dsir_resample_docs": SQL_DSIR_RESAMPLE_DOCS,
+    "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
 }

@@ -627,6 +627,131 @@ class NgramRepetition(Transform):
         return [f"dup_{self.n}gram_frac", f"top_{self.n}gram_frac"]
 
 
+def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                          lam: float = 0.8, alpha: float = 0.5,
+                          round_to: int | None = 4,
+                          max_vocab: int | None = 2_000_000,
+                          max_bigrams: int | None = 10_000_000):
+    """CCNet-style perplexity filter: per-document log-probability and
+    perplexity under an interpolated bigram language model fit on the
+    corpus itself —
+    ``P(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+α)/(T+αV)``
+    (MLE bigram interpolated with the add-α unigram; the standard cheap
+    stand-in for the KenLM 5-gram CCNet uses — gibberish and shuffled-word
+    spam score far below fluent text even at n=2).
+
+    Scale shape (same as :func:`unigram_logprob_scores`): ONE term-keyed
+    groupby per model table (unigram, bigram), both broadcast via
+    ``ray.put`` behind top-K caps (``max_vocab`` / ``max_bigrams``);
+    scoring is one shuffle-free ``map_batches`` pass (dictionary-encode,
+    look up distinct grams only, one segment-sum per doc). Dropped/unseen
+    bigrams back off to the ``(1−λ)``·unigram term; dropped unigrams score
+    at the OOV smoothing floor — T and the TRUE vocab size V stay exact
+    (distributed scalars), so kept-gram probabilities are identical with
+    or without the caps.
+
+    Output per doc: ``logprob`` (Σ over positions 2..n), ``mean_logprob``
+    (/(n−1)), ``ppl`` (exp(−mean)). Single-word docs emit 0/0/1.
+    """
+    import ray as _ray
+    import ray.data.aggregate as _agg
+
+    dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
+    uni_ds = dt.groupby("term").sum("tf").materialize()
+    vocab = float(uni_ds.count())
+    total = float(uni_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
+    denom = total + alpha * vocab
+    if max_vocab is not None and vocab > max_vocab:
+        uni = uni_ds.sort("sum(tf)", descending=True).limit(max_vocab).to_pandas()
+    else:
+        uni = uni_ds.to_pandas()
+    uni_c = dict(zip(uni["term"], uni["sum(tf)"].to_numpy(np.float64)))
+
+    def bigram_counts(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        flat = words.flatten()
+        if len(flat) < 2:
+            return pa.table({"bg": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        bi = pc.binary_join_element_wise(flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        ends = offsets[1:] - 1
+        valid[ends[(ends >= 0) & (ends < len(valid))]] = False
+        bi = bi.filter(pa.array(valid))
+        d = bi.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        return pa.table({"bg": d.dictionary,
+                         "n": pa.array(np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64))})
+
+    bi_ds = (ds.select_columns([text_col])
+             .map_batches(bigram_counts, batch_format="pyarrow")
+             .groupby("bg").sum("n").materialize())
+    if max_bigrams is not None and bi_ds.count() > max_bigrams:
+        bi = bi_ds.sort("sum(n)", descending=True).limit(max_bigrams).to_pandas()
+    else:
+        bi = bi_ds.to_pandas()
+    bi_c = dict(zip(bi["bg"], bi["sum(n)"].to_numpy(np.float64)))
+
+    uref, bref = _ray.put(uni_c), _ray.put(bi_c)
+    floor = alpha / denom
+
+    def score(t: pa.Table) -> pa.Table:
+        uc, bc = _ray.get(uref), _ray.get(bref)
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        n = len(words)
+        flat = words.flatten()
+        ids = t.column(id_col)
+        zeros = np.zeros(n)
+        if len(flat) < 2:
+            return pa.table({id_col: ids, "logprob": pa.array(zeros),
+                             "mean_logprob": pa.array(zeros),
+                             "ppl": pa.array(np.ones(n))})
+        offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = offsets - offsets[0]
+        lens = np.diff(offsets)
+        # distinct-word lookups: c(w) and p_uni(w)
+        dw = flat.dictionary_encode()
+        wcodes = dw.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dwords = np.asarray(dw.dictionary.to_pandas(), dtype=object)
+        cw = np.array([uc.get(w, 0.0) for w in dwords], np.float64)
+        p_uni = np.where(cw > 0, (cw + alpha) / denom, floor)
+        # per-pair bigram counts
+        bi_str = pc.binary_join_element_wise(flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        ends = offsets[1:] - 1
+        valid[ends[(ends >= 0) & (ends < len(valid))]] = False
+        db = bi_str.dictionary_encode()
+        bcodes = db.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dbi = np.asarray(db.dictionary.to_pandas(), dtype=object)
+        cbi = np.array([bc.get(g, 0.0) for g in dbi], np.float64)
+        c2 = cbi[bcodes]                     # c(w1 w2) per position pair
+        c1 = cw[wcodes[:-1]]                 # c(w1) per pair
+        p2 = p_uni[wcodes[1:]]               # unigram backoff of w2
+        mle = np.divide(c2, c1, out=np.zeros_like(c2), where=c1 > 0)
+        logp = np.log(lam * mle + (1.0 - lam) * p2)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pair_doc = doc_idx[:-1][valid]
+        tot = np.bincount(pair_doc, weights=logp[valid], minlength=n)
+        npairs = np.maximum(lens - 1, 0)
+        mean = np.divide(tot, npairs, out=np.zeros_like(tot), where=npairs > 0)
+        out_tot, out_mean, out_ppl = tot, mean, np.exp(-mean)
+        if round_to is not None:
+            out_tot = np.round(out_tot, round_to)
+            out_mean = np.round(out_mean, round_to)
+            out_ppl = np.round(out_ppl, round_to)
+        return pa.table({id_col: ids, "logprob": pa.array(out_tot),
+                         "mean_logprob": pa.array(out_mean), "ppl": pa.array(out_ppl)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+
+
 def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_id",
                       alpha: float = 0.5):
     """Distribution-shift monitor between two corpus snapshots: KL(A‖B),
