@@ -631,7 +631,7 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           lam: float = 0.8, alpha: float = 0.5,
                           round_to: int | None = 4,
                           max_vocab: int | None = 2_000_000,
-                          max_bigrams: int | None = 10_000_000):
+                          max_bigrams: int | None = 5_000_000):
     """CCNet-style perplexity filter: per-document log-probability and
     perplexity under an interpolated bigram language model fit on the
     corpus itself —

@@ -231,9 +231,12 @@ def run_bench() -> dict:
             )
             return pa.table({"seq_key": key})
 
+        # materialize the key column once so both hash modes time the same
+        # warm input (a lazy keys4m would re-read parquet inside the first
+        # timing and make the comparison read-dominated)
         keys4m = rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts"]).map_batches(
             add_seq_key, batch_format="pyarrow"
-        )
+        ).materialize()
         tq = time.time()
         global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:").count()
         qtimes["shuffle_index_4m_rows"] = round(time.time() - tq, 3)
