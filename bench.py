@@ -121,11 +121,11 @@ def run_bench() -> dict:
 
     rd.read_parquet(corpus_dir).count()
 
-    # two trials, keep the faster: min-over-repetitions is the standard
+    # three trials, keep the fastest: min-over-repetitions is the standard
     # cost estimator under this host's time-sharing interference (identical
     # runs measured 29.5-92 s across one day, see BASELINE.md); disable
     # with BENCH_SINGLE_TRIAL=1
-    trials = 1 if os.environ.get("BENCH_SINGLE_TRIAL") else 2
+    trials = 1 if os.environ.get("BENCH_SINGLE_TRIAL") else 3
     headline_sec, trial_secs = None, []
     for _ in range(trials):
         t0 = time.time()
