@@ -58,6 +58,9 @@ from ballet_ray.stages.similarity import (
     ivf_knn,
     knn_brute,
     lsh_knn,
+    pq_encode,
+    pq_fit,
+    pq_knn,
     semantic_dedup,
 )
 from ballet_ray.stages.sketches import (
@@ -128,6 +131,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_sequences",
     "pca_fit_embeddings",
+    "pq_encode",
+    "pq_fit",
+    "pq_knn",
     "pca_transform_embeddings",
     "remove_duplicate_spans",
     "semantic_dedup",

@@ -260,6 +260,43 @@ def semantic_dedup(
     return comps.map_batches(losers, batch_format="pyarrow")
 
 
+def _priority_sample_matrix(ds, embedding_col: str, sample_size: int, seed: int) -> np.ndarray:
+    """Unbiased deterministic sample of embedding rows: per-batch top-cap
+    by a content-stable hashed priority (project onto a fixed random
+    direction, hash the bit pattern — block- and partitioning-agnostic),
+    merged on the driver by the same priority. (n, d) float32.
+
+    The per-batch cap must be the FULL sample_size: any smaller cap makes
+    the result depend on the partitioning (a single block can hold more
+    than cap of the global smallest-priority rows — seen as a PQ/IVF
+    nondeterminism bug when one partition held the whole table). The
+    shuffle therefore carries ≤ sample_size rows per block — same
+    exactness-first shape as stratified_sample."""
+    from ballet_ray.functions.partition import stable_hash_array
+
+    cap = sample_size
+    proj = np.random.RandomState(seed ^ 0x5EED).randn(8192).astype(np.float32)
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t, embedding_col, dtype=np.float32)
+        if not len(m):
+            return pa.table({"prio": pa.array([], pa.uint64()),
+                             "vec": pa.array([], pa.binary())})
+        d = m.shape[1]
+        p = proj[:d] if d <= len(proj) else np.resize(proj, d)
+        key = (m @ p).astype(np.float64).view(np.int64)
+        prio = stable_hash_array(key)
+        k = min(cap, len(m))
+        sel = np.argsort(prio)[:k]
+        return pa.table({"prio": pa.array(prio[sel]),
+                         "vec": pa.array([m[i].tobytes() for i in sel], pa.binary())})
+
+    parts = ds.select_columns([embedding_col]).map_batches(
+        sample_batch, batch_format="pyarrow"
+    ).sort("prio").limit(sample_size).to_pandas()
+    return np.stack([np.frombuffer(b, np.float32) for b in parts["vec"]])
+
+
 def ivf_fit_centroids(
     ds, *, embedding_col: str, n_centroids: int = 256, sample_size: int = 8192,
     iters: int = 5, seed: int = 1754,
@@ -273,36 +310,7 @@ def ivf_fit_centroids(
     where each round is ONE map_batches pass emitting per-centroid partial
     (sum, count) rows reduced by a grouped Sum — the driver sees
     n_centroids rows per round, never vectors. Returns (K, d) float32."""
-    import pyarrow.compute as pc
-
-    from ballet_ray.functions.partition import stable_hash_array
-
-    # --- unbiased init sample: per-batch top-(cap) by hashed priority,
-    # merged on the driver by the same priority (deterministic)
-    cap = max(64, sample_size // 8)
-
-    proj = np.random.RandomState(seed ^ 0x5EED).randn(8192).astype(np.float32)
-
-    def sample_batch(t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t, embedding_col, dtype=np.float32)
-        if not len(m):
-            return pa.table({"prio": pa.array([], pa.uint64()),
-                             "vec": pa.array([], pa.binary())})
-        # content-stable priority (block- and run-agnostic, vectorized):
-        # project onto a fixed random direction and hash the bit pattern
-        d = m.shape[1]
-        p = proj[:d] if d <= len(proj) else np.resize(proj, d)
-        key = (m @ p).astype(np.float64).view(np.int64)
-        prio = stable_hash_array(key)
-        k = min(cap, len(m))
-        sel = np.argsort(prio)[:k]
-        return pa.table({"prio": pa.array(prio[sel]),
-                         "vec": pa.array([m[i].tobytes() for i in sel], pa.binary())})
-
-    parts = ds.select_columns([embedding_col]).map_batches(
-        sample_batch, batch_format="pyarrow"
-    ).sort("prio").limit(sample_size).to_pandas()
-    sample = np.stack([np.frombuffer(b, np.float32) for b in parts["vec"]])
+    sample = _priority_sample_matrix(ds, embedding_col, sample_size, seed)
     sample = _normalize(sample.astype(np.float64)).astype(np.float32)
 
     rng = np.random.RandomState(seed)
@@ -448,3 +456,172 @@ def diversity_sample(
 
     cells = slim.map_batches(cellify, batch_format="pyarrow")
     return cells.groupby("cell").map_groups(kcenter, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou/Douze/Schmid 2011) — the memory-scale ANN path:
+# each d-dim vector compresses to m uint8 codes (e.g. 64 floats -> 8 bytes),
+# queries score the codes via an ADC lookup table without ever touching the
+# original vectors.
+
+
+def _pq_split(m: np.ndarray, n_sub: int) -> np.ndarray:
+    n, d = m.shape
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {n_sub}")
+    return m.reshape(n, n_sub, d // n_sub)
+
+
+def _pq_assign(sub: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest codeword per (row, subspace). sub (n, m, dsub), books
+    (m, K, dsub) -> codes (n, m) — one GEMM per subspace:
+    argmin ||x-c||² = argmin (−2x·c + ||c||²)."""
+    n, n_sub, _ = sub.shape
+    codes = np.empty((n, n_sub), np.int64)
+    for s in range(n_sub):
+        b = books[s]
+        d2 = -2.0 * (sub[:, s, :] @ b.T) + (b * b).sum(axis=1)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_fit(ds, *, embedding_col: str, m_subspaces: int = 8, n_codes: int = 256,
+           sample_size: int = 8192, local_iters: int = 10, refine_iters: int = 2,
+           seed: int = 1754) -> np.ndarray:
+    """Fit PQ codebooks: per-subspace k-means. Init + ``local_iters`` Lloyd
+    rounds run on a deterministic hash-priority sample on the driver (the
+    standard practice — codebooks are trained on a sample), then
+    ``refine_iters`` DISTRIBUTED Lloyd rounds over the full corpus where
+    each round is ONE tree-reduced pass (``vector_sum_reduce`` of the
+    flat (m·K·dsub sums + m·K counts) vector — ~½ MB at m=8, K=256,
+    dsub=8; the driver never sees vectors). Returns (m, K, dsub) float32.
+    """
+    from ballet_ray.stages.decomposition import vector_sum_reduce
+
+    sample = _priority_sample_matrix(ds, embedding_col, sample_size, seed).astype(np.float64)
+    d = sample.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    dsub = d // m_subspaces
+    K = min(n_codes, len(sample))
+    rng = np.random.RandomState(seed)
+    sub = _pq_split(sample, m_subspaces)
+
+    books = np.empty((m_subspaces, K, dsub), np.float64)
+    for s in range(m_subspaces):
+        x = sub[:, s, :]
+        cents = x[rng.choice(len(x), K, replace=False)]
+        for _ in range(local_iters):
+            d2 = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for j in range(K):
+                sel = assign == j
+                if sel.any():
+                    cents[j] = x[sel].mean(axis=0)
+        books[s] = cents
+
+    vec_len = m_subspaces * K * dsub + m_subspaces * K
+    for _ in range(refine_iters):
+        bref = ray.put(books.astype(np.float32))
+
+        def partial(t: pa.Table) -> np.ndarray:
+            b = ray.get(bref).astype(np.float64)
+            m = _emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)
+            out = np.zeros(vec_len, np.float64)
+            if not len(m):
+                return out
+            sub = _pq_split(m, m_subspaces)
+            codes = _pq_assign(sub, b)
+            sums = out[: m_subspaces * K * dsub].reshape(m_subspaces, K, dsub)
+            cnts = out[m_subspaces * K * dsub:].reshape(m_subspaces, K)
+            for s in range(m_subspaces):
+                cnts[s] = np.bincount(codes[:, s], minlength=K)
+                for dd in range(dsub):
+                    sums[s, :, dd] = np.bincount(
+                        codes[:, s], weights=sub[:, s, dd], minlength=K
+                    )
+            return out
+
+        tot = vector_sum_reduce(ds.select_columns([embedding_col]), partial)
+        sums = tot[: m_subspaces * K * dsub].reshape(m_subspaces, K, dsub)
+        cnts = tot[m_subspaces * K * dsub:].reshape(m_subspaces, K)
+        nz = cnts > 0
+        books = books.copy()
+        books[nz] = sums[nz] / cnts[nz][:, None]
+
+    return books.astype(np.float32)
+
+
+def pq_encode(ds, codebooks: np.ndarray, *, embedding_col: str, id_col: str,
+              out_col: str = "pq_code"):
+    """Encode each row to its m uint8 PQ codes — one shuffle-free
+    vectorized pass; output is (id, list<uint8>) — e.g. 64 f32 -> 8 bytes,
+    a 32× compression of the ANN working set."""
+    if codebooks.shape[1] > 256:
+        raise ValueError("uint8 codes require n_codes <= 256")
+    bref = ray.put(codebooks.astype(np.float64))
+
+    def enc(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        m = _emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)
+        if not len(m):
+            return pa.table({id_col: t.column(id_col),
+                             out_col: pa.array([], pa.list_(pa.uint8()))})
+        codes = _pq_assign(_pq_split(m, b.shape[0]), b).astype(np.uint8)
+        return pa.table({id_col: t.column(id_col),
+                         out_col: pa.array(list(codes))})
+
+    return ds.select_columns([id_col, embedding_col]).map_batches(enc, batch_format="pyarrow")
+
+
+def pq_knn(ds, queries: np.ndarray, codebooks: np.ndarray, *, embedding_col: str,
+           id_col: str, k: int = 10):
+    """ADC (asymmetric distance computation) top-k: each batch encodes its
+    rows once, then every query scores them through a (m, K) lookup table
+    of exact query-to-codeword squared distances — Σ_s LUT[s, code_s], no
+    distance to the original vectors. ``score = −‖q−x̂‖²`` (larger is
+    closer) so the per-query merge is the same grouped nlargest as
+    knn_brute. With m=1 and K ≥ #distinct vectors this is exact L2 top-k.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    b = codebooks.astype(np.float64)
+    n_sub, K, dsub = b.shape
+    # LUT[qi, s, j] = ||q_s - c_sj||²
+    qs = _pq_split(q, n_sub)  # (nq, m, dsub)
+    lut = (
+        (qs * qs).sum(axis=2)[:, :, None]
+        - 2.0 * np.einsum("qsd,sjd->qsj", qs, b)
+        + (b * b).sum(axis=2)[None, :, :]
+    )  # (nq, m, K)
+    bref, lref = ray.put(b), ray.put(lut)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        bb, ll = ray.get(bref), ray.get(lref)
+        m = _emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)
+        if not len(m):
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             id_col: t.column(id_col).slice(0, 0),
+                             "score": pa.array([], pa.float64())})
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        codes = _pq_assign(_pq_split(m, bb.shape[0]), bb)  # (n, m)
+        kk = min(k, len(m))
+        qi, oi, sc = [], [], []
+        cols = np.arange(bb.shape[0])
+        for qj in range(ll.shape[0]):
+            dist = ll[qj][cols, codes].sum(axis=1)  # (n,)
+            sel = np.argpartition(dist, kk - 1)[:kk]
+            qi.append(np.full(kk, qj, dtype=np.int32))
+            oi.append(ids[sel])
+            sc.append(-dist[sel])
+        return pa.table({"query_idx": pa.array(np.concatenate(qi)),
+                         id_col: pa.array(np.concatenate(oi)),
+                         "score": pa.array(np.concatenate(sc))})
+
+    partials = ds.select_columns([id_col, embedding_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, "score")
+
+    return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
