@@ -48,6 +48,7 @@ from ballet_ray.stages.dedup import (
     token_duplicate_passages,
     token_minhash_lsh_pairs,
 )
+from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.sampling import global_shuffle_index, hash_rate_filter, stratified_sample
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
@@ -105,6 +106,9 @@ __all__ = [
     "approx_distinct_per_group",
     "approx_quantiles",
     "approx_top_k",
+    "BpeEncoder",
+    "BpeTokenizer",
+    "apply_bpe",
     "assign_clusters",
     "bigram_logprob_scores",
     "bm25_top_terms",
@@ -141,5 +145,6 @@ __all__ = [
     "stratified_sample",
     "token_duplicate_passages",
     "token_minhash_lsh_pairs",
+    "train_bpe",
     "unigram_logprob_scores",
 ]
