@@ -57,6 +57,7 @@ from ballet_ray.stages.similarity import (
     embedding_near_dup_pairs,
     ivf_fit_centroids,
     ivf_knn,
+    ivf_pq_knn,
     knn_brute,
     lsh_knn,
     pq_encode,
@@ -129,6 +130,7 @@ __all__ = [
     "hash_tokenize",
     "ivf_fit_centroids",
     "ivf_knn",
+    "ivf_pq_knn",
     "knn_brute",
     "lsh_knn",
     "minhash_lsh_pairs",

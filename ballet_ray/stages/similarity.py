@@ -625,3 +625,33 @@ def pq_knn(ds, queries: np.ndarray, codebooks: np.ndarray, *, embedding_col: str
         return g.nlargest(k, "score")
 
     return partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
+
+
+def ivf_pq_knn(ds, queries: np.ndarray, centroids: np.ndarray, codebooks: np.ndarray,
+               *, embedding_col: str, id_col: str, k: int = 10, nprobe: int = 8):
+    """The production large-scale ANN stack (IVFADC, Jégou et al. 2011
+    §V): IVF coarse probing prunes the corpus to the queries' ``nprobe``
+    nearest cells, then PQ-ADC scores only the survivors — per batch one
+    small GEMM for the cell assignment plus LUT gathers; full vectors are
+    touched once (for assignment) and never shipped. With
+    ``nprobe == len(centroids)`` it degrades to pq_knn exactly."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, len(c))
+    qprobes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    probe = np.unique(qprobes)
+    cref, pref = ray.put(c.astype(np.float32)), ray.put(probe)
+
+    def keep(t: pa.Table) -> pa.Table:
+        cc, pp = ray.get(cref), ray.get(pref)
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32).astype(np.float64)).astype(np.float32)
+        if not len(m):
+            return t
+        assign = np.argmax(m @ cc.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, pp)))
+
+    return pq_knn(
+        ds.select_columns([id_col, embedding_col]).map_batches(keep, batch_format="pyarrow"),
+        np.asarray(queries, dtype=np.float64), codebooks,
+        embedding_col=embedding_col, id_col=id_col, k=k,
+    )

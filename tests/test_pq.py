@@ -102,3 +102,39 @@ def test_dim_not_divisible_raises():
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(_make_ds(vecs), embedding_col="embedding", m_subspaces=4,
                n_codes=8, sample_size=64)
+
+
+def test_ivf_pq_full_probe_equals_pq():
+    from ballet_ray.stages.similarity import ivf_fit_centroids, ivf_pq_knn
+
+    vecs, _ = _clusters(n_clusters=4, per=20, d=16)
+    ds = _make_ds(vecs, 3)
+    cents = ivf_fit_centroids(ds, embedding_col="embedding", n_centroids=8,
+                              sample_size=128, iters=2)
+    books = pq_fit(ds, embedding_col="embedding", m_subspaces=4, n_codes=16,
+                   sample_size=256, refine_iters=1)
+    q = vecs[[3, 41]]
+    full = ivf_pq_knn(ds, q, cents, books, embedding_col="embedding",
+                      id_col="vec_id", k=5, nprobe=len(cents)).to_pandas()
+    ref = pq_knn(ds, q, books, embedding_col="embedding", id_col="vec_id", k=5).to_pandas()
+    for qi in (0, 1):
+        a = set(full[full["query_idx"] == qi]["vec_id"])
+        b = set(ref[ref["query_idx"] == qi]["vec_id"])
+        assert a == b
+
+
+def test_ivf_pq_probe_recall():
+    from ballet_ray.stages.similarity import ivf_fit_centroids, ivf_pq_knn
+
+    vecs, labels = _clusters(n_clusters=6, per=30, d=16)
+    ds = _make_ds(vecs, 4)
+    cents = ivf_fit_centroids(ds, embedding_col="embedding", n_centroids=12,
+                              sample_size=256, iters=3)
+    books = pq_fit(ds, embedding_col="embedding", m_subspaces=4, n_codes=32,
+                   sample_size=256, refine_iters=1)
+    q = vecs[[0, 45, 100]]
+    out = ivf_pq_knn(ds, q, cents, books, embedding_col="embedding",
+                     id_col="vec_id", k=5, nprobe=3).to_pandas()
+    hits = sum(labels[int(r["vec_id"])] == labels[[0, 45, 100][int(r["query_idx"])]]
+               for _, r in out.iterrows())
+    assert hits / len(out) >= 0.9
