@@ -65,6 +65,7 @@ from ballet_ray.stages.similarity import (
     pq_knn,
     semantic_dedup,
 )
+from ballet_ray.stages.streaming_dedup import make_bloom_index, streaming_exact_dedup
 from ballet_ray.stages.sketches import (
     approx_distinct,
     approx_distinct_per_group,
@@ -133,6 +134,7 @@ __all__ = [
     "ivf_pq_knn",
     "knn_brute",
     "lsh_knn",
+    "make_bloom_index",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "pack_sequences",
@@ -145,6 +147,7 @@ __all__ = [
     "semantic_dedup",
     "simhash_pairs",
     "stratified_sample",
+    "streaming_exact_dedup",
     "token_duplicate_passages",
     "token_minhash_lsh_pairs",
     "train_bpe",

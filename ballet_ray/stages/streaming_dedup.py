@@ -1,0 +1,130 @@
+"""Online (streaming/incremental) exact dedup — a shared mutable
+membership index over sharded Bloom-filter actors.
+
+Batch ``exact_dedup`` (stages/dedup.py) answers "dedupe this closed
+corpus" with a keyed shuffle. Ingest pipelines need the OTHER question:
+"have I ever seen this content before, across every batch and every run
+of an append-only stream?" — a shared mutable index, which is exactly the
+case the Dataset API cannot express and raw Ray actors are for (the one
+(c)-tier fallback in this package; everything else is map_batches).
+
+Design:
+
+- ``num_shards`` :class:`BloomShard` actors, each owning a fixed
+  ``bits``-wide Bloom filter (numpy uint64 bitset, k probes by double
+  hashing — vectorized, no per-row Python). A content hash routes to
+  shard ``h % num_shards``, so shards never coordinate and scale reads
+  linearly; per-shard calls serialize (actor semantics) which is what
+  makes check-then-add atomic.
+- :func:`streaming_exact_dedup` wraps a corpus pass: each batch hashes
+  its content column (one vectorized pass), sends each shard ONE rpc with
+  its hash slice, keeps first-in-batch occurrences whose probe says
+  "never seen", and sets the bits. Batches carry only uint64 hashes to
+  the actors — never the payload.
+
+Semantics: at-most-one survivor per distinct content, first-arrival wins
+(arrival order is the stream's order, not deterministic under parallel
+re-execution — this is the documented streaming trade; use batch
+``exact_dedup`` when a canonical winner matters). False positives drop a
+unique row with probability ≈ (1 − e^{−kn/bits})^k — size ``bits`` ≥
+~10 n for ε < 1 % at k=7; false negatives are impossible, so no
+duplicate ever survives.
+
+State persists for the lifetime of the actors: pass the same
+``handles`` to successive datasets to dedup a multi-day ingest, and
+:meth:`BloomShard.state` / ``restore`` round-trip the bitsets through
+any store for job-level resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+_U64 = np.uint64
+
+
+def _probes(h: np.ndarray, k: int, bits: int) -> np.ndarray:
+    """(k, n) probe positions by double hashing: h1 + i·h2 mod bits."""
+    from ballet_ray.functions.hashing import splitmix64
+
+    h1 = h % _U64(bits)
+    h2 = splitmix64(h ^ _U64(0x9E3779B97F4A7C15)) % _U64(bits - 1) + _U64(1)
+    i = np.arange(k, dtype=_U64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % _U64(bits)
+
+
+class _BloomCore:
+    """The filter itself — plain object so it is unit-testable without Ray."""
+
+    def __init__(self, bits: int = 1 << 27, k: int = 7):
+        self.bits, self.k = int(bits), int(k)
+        self.words = np.zeros((self.bits + 63) // 64, dtype=_U64)
+
+    def check_and_add(self, h: np.ndarray) -> np.ndarray:
+        """For each hash: True iff NOT seen before this call (and mark it
+        seen). Duplicate hashes within one call: only the first is True."""
+        h = np.asarray(h, dtype=_U64)
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        # first occurrence within the call
+        _, first_idx = np.unique(h, return_index=True)
+        is_first = np.zeros(len(h), dtype=bool)
+        is_first[first_idx] = True
+        pos = _probes(h, self.k, self.bits)  # (k, n)
+        w, b = pos >> _U64(6), pos & _U64(63)
+        member = ((self.words[w] >> b) & _U64(1)).astype(bool).all(axis=0)
+        fresh = is_first & ~member
+        if fresh.any():
+            wf, bf = w[:, fresh].ravel(), b[:, fresh].ravel()
+            np.bitwise_or.at(self.words, wf, _U64(1) << bf)
+        return fresh
+
+    def state(self) -> bytes:
+        return self.words.tobytes()
+
+    def restore(self, blob: bytes) -> None:
+        self.words = np.frombuffer(blob, dtype=_U64).copy()
+
+
+@ray.remote
+class BloomShard(_BloomCore):
+    """One shard of the shared membership index (actor = atomic
+    check-then-add per call)."""
+
+
+def make_bloom_index(num_shards: int = 8, *, bits: int = 1 << 27, k: int = 7) -> list:
+    """Create the sharded index. ~``bits/8`` bytes per shard (16 MB at
+    2^27); size total bits ≥ ~10× expected distinct rows."""
+    return [BloomShard.remote(bits=bits, k=k) for _ in range(num_shards)]
+
+
+def streaming_exact_dedup(ds, *, col: str, handles: list):
+    """One streaming pass: keep rows whose ``col`` content was never seen
+    by the index — across this dataset AND every earlier dataset the same
+    ``handles`` processed. Batches ship only uint64 hashes to the shards;
+    each batch makes ≤ ``len(handles)`` rpcs."""
+    from ballet_ray.functions.partition import stable_hash_array
+
+    n_shards = len(handles)
+
+    def pass_batch(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return t
+        h = stable_hash_array(vals)
+        shard = (h % _U64(n_shards)).astype(np.int64)
+        keep = np.zeros(len(h), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            sel = np.flatnonzero(shard == s)
+            if len(sel):
+                futs.append(handles[s].check_and_add.remote(h[sel]))
+                idxs.append(sel)
+        for sel, f in zip(idxs, ray.get(futs)):
+            keep[sel] = f
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(pass_batch, batch_format="pyarrow")
