@@ -731,3 +731,89 @@ def window_join(
         )
 
     return both.groupby(BUCKET_COL).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def asof_join_multi(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    horizons: list,
+    id_col: str,
+    allow_exact: bool = True,
+    num_buckets: int = 64,
+    skew_threshold: int | None = None,
+    slice_target: int = 250_000,
+    num_partitions: int | None = None,
+):
+    """Multi-horizon point-in-time join — the feature-store snapshot query:
+    for every left row, the latest right-side values as of ``ts − h`` for
+    EACH horizon ``h`` ("value now, a day ago, a week ago"). Zero temporal
+    leakage at every horizon by construction (each is a backward as-of).
+
+    Shape: per horizon, ONE skew-safe :func:`asof_join` over the NARROW
+    left projection (id, entity, shifted ts) — the left payload never
+    multiplies by ``len(horizons)``; the per-horizon results (id + renamed
+    feature columns) then chain through hash joins on ``id_col``. Output =
+    ``(id_col, {col}_{horizon}…)``, one row per left row; join it back to
+    the full left table by id if the payload is needed.
+
+    ``horizons`` entries are pandas-parseable strings ('1h', '7d'), ints
+    (µs), or 0 for "as of now". ``id_col`` must be unique per left row.
+    """
+    from ballet_ray.pipeline import dataset_schema
+    from ballet_ray.stages.joins import default_join_partitions, hash_join
+
+    ts_type = dataset_schema(left).field(on).type
+
+    def label_of(h) -> str:
+        return str(h).replace(" ", "")
+
+    def shift_fn(h_us: int):
+        if h_us == 0:
+            return None
+
+        def shift(t: pa.Table) -> pa.Table:
+            col = t.column(on)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_timestamp(col.type):
+                unit = col.type.unit
+                mult = {"s": 1 / 1_000_000, "ms": 1 / 1_000, "us": 1, "ns": 1_000}[unit]
+                shifted = pc.subtract(col.cast(pa.int64()), int(h_us * mult)).cast(col.type)
+            else:
+                shifted = pc.subtract(col, h_us)
+            return t.set_column(t.schema.get_field_index(on), on, shifted)
+
+        return shift
+
+    base = left.select_columns([id_col, by, on])
+    out = None
+    for h in horizons:
+        h_us = _parse_window_us(h)
+        lab = label_of(h)
+        shifted = base
+        fn = shift_fn(h_us)
+        if fn is not None:
+            shifted = shifted.map_batches(fn, batch_format="pyarrow")
+        joined = asof_join(
+            shifted, right, on=on, by=by, right_cols=right_cols,
+            allow_exact=allow_exact, num_buckets=num_buckets,
+            skew_threshold=skew_threshold, slice_target=slice_target,
+        )
+        renames = {c: f"{c}_{lab}" for c in right_cols}
+        part = joined.select_columns([id_col] + right_cols).map_batches(
+            lambda t, _r=renames: t.rename_columns(
+                [_r.get(c, c) for c in t.schema.names]
+            ),
+            batch_format="pyarrow",
+        )
+        out = part if out is None else hash_join(
+            out, part, on=id_col,
+            num_partitions=default_join_partitions(num_partitions),
+        )
+    if out is None:
+        raise ValueError("horizons must be non-empty")
+    return out
