@@ -50,7 +50,12 @@ from ballet_ray.stages.dedup import (
 )
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
-from ballet_ray.stages.sampling import global_shuffle_index, hash_rate_filter, stratified_sample
+from ballet_ray.stages.sampling import (
+    budget_sample,
+    global_shuffle_index,
+    hash_rate_filter,
+    stratified_sample,
+)
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
     diversity_sample,
@@ -114,6 +119,7 @@ __all__ = [
     "assign_clusters",
     "bigram_logprob_scores",
     "bm25_top_terms",
+    "budget_sample",
     "chunk_sequences",
     "corpus_divergence",
     "correlation_matrix",

@@ -236,3 +236,115 @@ def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | 
         return t.drop_columns(["__prio", "__bin"]).append_column("shuffle_idx", pa.array(idx))
 
     return binned.groupby("__bin").map_groups(index_bin, batch_format="pyarrow")
+
+
+def budget_sample(ds, *, group_col: str, key_col: str, token_col: str,
+                  budgets: dict, salt: str = "", method: str = "siphash"):
+    """Token-budget mixture construction: per group (source/domain), keep
+    the hash-priority prefix of rows whose cumulative ``token_col`` stays
+    within ``budgets[group]`` — "30 B tokens of web, 5 B of books", the
+    pretraining-mix staple. Deterministic (pure content hash ⇒ same mix on
+    any partitioning/cluster/run, resume-safe), unbiased within a group,
+    and groups absent from ``budgets`` are dropped.
+
+    Selection rule: order each group by (priority, key); keep the maximal
+    PREFIX with running token sum ≤ budget (stop at first overflow — a
+    prefix, not a knapsack, so the cut is reproducible and auditable).
+
+    Scale shape (the counts-bin pattern of :func:`global_shuffle_index`):
+
+    1. One map-only partials pass → (group, 4096-bin, Σtokens) via a
+       coarse-partition grouped_reduce; the driver sees ≤ groups×4096
+       rows, never data.
+    2. The driver picks each group's boundary bin + residual budget.
+    3. One map-only FILTER keeps bins strictly inside; only the ~1/4096
+       boundary-bin slice of each group shuffles (one tiny map_groups) to
+       resolve the exact cut. The kept payload never moves.
+    """
+    import ray as _ray
+
+    if method not in ("md5", "siphash"):
+        raise ValueError("method must be 'md5' or 'siphash'")
+    HB = 4096
+
+    def add_bin_cols(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        prio = _priority_sortable(k, salt, method)
+        if method == "siphash":
+            bins = (prio >> np.uint64(52)).astype(np.int64)
+        else:
+            bins = np.asarray([int(p[:3], 16) for p in prio], dtype=np.int64)
+        return (t.append_column("__prio", pa.array(prio))
+                 .append_column("__bin", pa.array(bins)))
+
+    binned = ds.map_batches(add_bin_cols, batch_format="pyarrow").materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        b = t.column("__bin").to_numpy(zero_copy_only=False)
+        tok = t.column(token_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "b": b, "tok": tok})
+        agg = df.groupby(["g", "b"], sort=False)["tok"].sum().reset_index()
+        return pa.table({"g": pa.array(agg["g"]), "b": pa.array(agg["b"].astype(np.int64)),
+                         "tok": pa.array(agg["tok"].astype(np.int64))})
+
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    stats = grouped_reduce(
+        binned.select_columns([group_col, "__bin", token_col]).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        ["g", "b"],
+        {"tok": "sum"},
+        num_parts=16,
+    ).to_pandas().sort_values(["g", "b"])
+
+    # driver decision: per group, boundary bin + residual budget
+    plan = {}  # group(str) -> (boundary_bin, residual); bins < boundary are fully kept
+    for g, grp in stats.groupby("g", sort=False):
+        if g not in {str(k) for k in budgets}:
+            continue
+        budget = int({str(k): v for k, v in budgets.items()}[g])
+        cum = 0
+        boundary, residual = HB, 0  # default: everything fits
+        for b, tok in zip(grp["b"], grp["tok"]):
+            if cum + tok > budget:
+                boundary, residual = int(b), budget - cum
+                break
+            cum += tok
+        plan[str(g)] = (boundary, residual)
+    pref = _ray.put(plan)
+
+    def keep_full(t: pa.Table) -> pa.Table:
+        p = _ray.get(pref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        b = t.column("__bin").to_numpy(zero_copy_only=False)
+        bounds = np.asarray([p.get(str(x), (-1, 0))[0] for x in g], dtype=np.int64)
+        return t.filter(pa.array(b < bounds)).drop_columns(["__prio", "__bin"])
+
+    def keep_boundary(t: pa.Table) -> pa.Table:
+        p = _ray.get(pref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        b = t.column("__bin").to_numpy(zero_copy_only=False)
+        bounds = np.asarray([p.get(str(x), (-1, 0))[0] for x in g], dtype=np.int64)
+        return t.filter(pa.array(b == bounds))
+
+    full = binned.map_batches(keep_full, batch_format="pyarrow")
+    boundary = binned.map_batches(keep_boundary, batch_format="pyarrow")
+
+    def resolve(grp):
+        import pandas as pd  # noqa: F811
+
+        p = plan  # captured: tiny dict
+        g = str(grp[group_col].iloc[0])
+        residual = p[g][1]
+        srt = grp.sort_values(["__prio", key_col])
+        run = srt[token_col].cumsum().to_numpy()
+        stop = np.flatnonzero(run > residual)  # prefix rule: stop at first overflow
+        kept = srt.iloc[: stop[0]] if len(stop) else srt
+        return kept.drop(columns=["__prio", "__bin"])
+
+    resolved = boundary.groupby(group_col).map_groups(resolve, batch_format="pandas")
+    return full.union(resolved)
