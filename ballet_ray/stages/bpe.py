@@ -85,6 +85,13 @@ class BpeTokenizer:
     def vocab_size(self) -> int:
         return len(self.id_to_token)
 
+    def decode(self, ids) -> str:
+        """ids → text (tokens concatenate; EOW marks word boundaries).
+        Unknown ids render as the UNK token."""
+        toks = self.id_to_token
+        s = "".join(toks[i] if 0 <= i < len(toks) else toks[UNK_ID] for i in ids)
+        return s.replace(EOW, " ").rstrip(" ")
+
     def encode_word(self, word: str) -> list:
         """Greedy lowest-rank pair merging (the standard BPE encode)."""
         syms = list(_word_symbols(word))

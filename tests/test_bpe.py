@@ -105,3 +105,10 @@ def test_tokenizer_pickles():
     tok = train_bpe(_ds(), num_merges=5)
     tok2 = pickle.loads(pickle.dumps(tok))
     assert tok2.encode_word("newest") == tok.encode_word("newest")
+
+
+def test_decode_roundtrip():
+    tok = train_bpe(_ds(), num_merges=15)
+    text = "newest lower low widest"
+    ids = [t for w in text.split(" ") for t in tok.encode_word(w)]
+    assert tok.decode(ids) == text
