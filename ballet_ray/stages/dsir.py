@@ -110,14 +110,20 @@ def _gram_buckets(
     return np.concatenate(out_buckets), np.concatenate(out_docs), n
 
 
-def _bucket_counts(ds, *, text_col: str, buckets: int, ngmax: int, method: str) -> np.ndarray:
+def _bucket_counts(ds, *, text_col: str, buckets: int, ngmax: int, method: str,
+                   side: str) -> np.ndarray:
+    if method not in ("md5", "siphash"):
+        raise ValueError("method must be 'md5' or 'siphash'")
     from ballet_ray.stages.decomposition import vector_sum_reduce
 
     def vec(t: pa.Table) -> np.ndarray:
         b, _, _ = _gram_buckets(t, text_col=text_col, buckets=buckets, ngmax=ngmax, method=method)
         return np.bincount(b, minlength=buckets).astype(np.float64)
 
-    return vector_sum_reduce(ds.select_columns([text_col]), vec)
+    try:
+        return vector_sum_reduce(ds.select_columns([text_col]), vec)
+    except IndexError:
+        raise ValueError(f"DSIR {side} corpus is empty — nothing to fit") from None
 
 
 def dsir_log_weights(
@@ -141,8 +147,10 @@ def dsir_log_weights(
     """
     import ray
 
-    ct = _bucket_counts(target_ds, text_col=text_col, buckets=buckets, ngmax=ngmax, method=method)
-    cr = _bucket_counts(raw_ds, text_col=text_col, buckets=buckets, ngmax=ngmax, method=method)
+    ct = _bucket_counts(target_ds, text_col=text_col, buckets=buckets, ngmax=ngmax,
+                        method=method, side="target")
+    cr = _bucket_counts(raw_ds, text_col=text_col, buckets=buckets, ngmax=ngmax,
+                        method=method, side="raw")
     denom_t = ct.sum() + alpha * buckets
     denom_r = cr.sum() + alpha * buckets
     lam = (np.log(ct + alpha) - np.log(denom_t)) - (np.log(cr + alpha) - np.log(denom_r))

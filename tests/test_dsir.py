@@ -106,3 +106,15 @@ def test_single_word_and_repeat_docs():
     assert got["f"] == pytest.approx(lamf, abs=1e-12)
     # repeated grams count with multiplicity: e = 3×λ(cat) + 2×λ(cat cat)
     assert got["e"] == pytest.approx(_brute_logw(_bucket_md5)["e"], abs=1e-12)
+
+
+def test_empty_target_clear_error():
+    raw = _ds(RAW, 2)
+    empty = raw.filter(lambda r: False)
+    with pytest.raises(ValueError, match="target corpus is empty"):
+        dsir_log_weights(raw, empty, buckets=B, method="md5").materialize()
+
+
+def test_bad_method_eager_error():
+    with pytest.raises(ValueError, match="method"):
+        dsir_log_weights(_ds(RAW, 1), _ds(TGT, 1), buckets=B, method="sha1")
