@@ -49,6 +49,113 @@ def build_pipeline():
     )
 
 
+def run_ingest(args) -> None:
+    """End-to-end corpus ingest: streaming exact dedup (sharded Bloom
+    index, state checkpointed under <out>/bloom_state so a later run of
+    NEW data suppresses everything already ingested) → Gopher-style fused
+    quality filter → hash tokenization to the canonical (doc_id, tokens,
+    n_tok) shape → resumable chunk+pack (CheckpointedPack manifests).
+    Everything up to the pack phase is one map-only streaming chain —
+    zero shuffles; the pack phase resumes per shard-group."""
+    import ray
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ballet_ray.feature import Feature
+    from ballet_ray.pipeline import FeatureEngineeringPipeline
+    from ballet_ray.stages.streaming_dedup import make_bloom_index, streaming_exact_dedup
+    from ballet_ray.stages.text import QualityScore, WordRepetition, hash_tokenize
+    from ballet_ray.state.checkpoint import CheckpointedPack
+
+    t0 = time.time()
+    out = args.out
+    state_dir = os.path.join(out, "bloom_state")
+    tokens_dir = os.path.join(out, "tokens")
+    handles = make_bloom_index(args.bloom_shards, bits=args.bloom_bits)
+    restored = False
+    if os.path.isdir(state_dir):
+        blobs = []
+        for s in range(args.bloom_shards):
+            p = os.path.join(state_dir, f"shard-{s}.bin")
+            blobs.append(open(p, "rb").read() if os.path.exists(p) else None)
+        if all(b is not None for b in blobs):
+            ray.get([h.restore.remote(b) for h, b in zip(handles, blobs)])
+            restored = True
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    docs_in = ds.count()
+    deduped = streaming_exact_dedup(ds, col="text", handles=handles)
+
+    pipe = FeatureEngineeringPipeline(
+        [Feature("text", QualityScore()), Feature("text", WordRepetition())]
+    )
+    scored = pipe.fit_transform(deduped)
+
+    min_words = args.min_words
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("words"), min_words),
+                pc.less_equal(t.column("dup_word_frac"), 0.6),
+            ),
+            pc.less_equal(t.column("top_word_frac"), 0.13),
+        )
+        return t.filter(m).select(["doc_id", "text"])
+
+    vocab = args.vocab
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        return hash_tokenize(t, text_col="text", vocab=vocab).select(
+            ["doc_id", "tokens", "n_tok"]
+        )
+
+    kept = scored.map_batches(keep, batch_format="pyarrow").map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    # intermediate tokens parquet = the pack phase's resume substrate
+    if os.path.isdir(tokens_dir):
+        import shutil
+
+        shutil.rmtree(tokens_dir)
+    kept.write_parquet(tokens_dir)
+    os.makedirs(tokens_dir, exist_ok=True)  # empty stream writes no files
+    has_tokens = any(f.endswith(".parquet") for f in os.listdir(tokens_dir))
+    docs_kept = (
+        rd.read_parquet(tokens_dir, columns=["doc_id"]).count() if has_tokens else 0
+    )
+
+    if has_tokens:
+        pack_summary = CheckpointedPack(
+            os.path.join(out, "packs"), max_len=args.max_len, stride=args.stride,
+            pack_len=args.pack_len, files_per_part=args.files_per_part,
+            sep_token=args.sep_token,
+        ).run(tokens_dir)
+    else:  # everything suppressed by the index (a pure replay) or filtered
+        pack_summary = {"partitions_total": 0, "partitions_processed": 0,
+                        "partitions_resumed": 0, "packs": 0, "tokens_out": 0}
+
+    os.makedirs(state_dir, exist_ok=True)
+    for s, blob in enumerate(ray.get([h.state.remote() for h in handles])):
+        tmp = os.path.join(state_dir, f".shard-{s}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(state_dir, f"shard-{s}.bin"))
+
+    dt = time.time() - t0
+    summary = {
+        "mode": "ingest",
+        "docs_in": int(docs_in),
+        "docs_kept": int(docs_kept),
+        "bloom_restored": restored,
+        "pack": pack_summary,
+        "wall_s_total": round(dt, 3),
+    }
+    print(json.dumps(summary))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -59,7 +166,11 @@ def main() -> None:
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=None)
-    ap.add_argument("--mode", choices=["backfill", "pack"], default="backfill")
+    ap.add_argument("--mode", choices=["backfill", "pack", "ingest"], default="backfill")
+    ap.add_argument("--bloom-shards", type=int, default=4)
+    ap.add_argument("--bloom-bits", type=int, default=1 << 24)
+    ap.add_argument("--vocab", type=int, default=50_257)
+    ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--max-len", type=int, default=512)
     ap.add_argument("--stride", type=int, default=None)
     ap.add_argument("--pack-len", type=int, default=2048)
@@ -77,6 +188,11 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    if args.mode == "ingest":
+        run_ingest(args)
+        ray.shutdown()
+        return
 
     if args.mode == "pack":
         from ballet_ray.state.checkpoint import CheckpointedPack

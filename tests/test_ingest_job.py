@@ -1,0 +1,61 @@
+"""End-to-end ingest job (jobs/run.py --mode ingest): bloom dedup →
+quality filter → tokenize → resumable pack, with incremental replay
+suppression via the checkpointed bloom state."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(ids, seed=3):
+    rng = np.random.RandomState(seed)
+    words = [f"w{j}" for j in range(80)]  # wide vocab: passes the Gopher repetition thresholds
+    rows = []
+    for i in ids:
+        rng2 = np.random.RandomState(seed + i)
+        text = " ".join(rng2.choice(words, 40))
+        rows.append({"doc_id": i, "text": text})
+    return pd.DataFrame(rows)
+
+
+def _run(inp, out):
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "ingest", "--input", inp,
+         "--out", out, "--num-cpus", "4", "--max-len", "16", "--pack-len", "64",
+         "--bloom-bits", str(1 << 20)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_ingest_incremental(tmp_path):
+    day1 = tmp_path / "day1.parquet"
+    _docs(range(40)).to_parquet(day1)
+    out = str(tmp_path / "out")
+
+    s1 = _run(str(day1), out)
+    assert s1["docs_in"] == 40
+    assert 0 < s1["docs_kept"] <= 40
+    assert s1["bloom_restored"] is False
+    assert s1["pack"]["packs"] > 0
+
+    # pure replay: everything suppressed by the restored index
+    s2 = _run(str(day1), out)
+    assert s2["bloom_restored"] is True
+    assert s2["docs_kept"] == 0
+    assert s2["pack"]["packs"] == 0
+
+    # day 2 = replayed docs + genuinely new ones -> only the new survive
+    day2 = tmp_path / "day2.parquet"
+    pd.concat([_docs(range(40)), _docs(range(100, 120))]).to_parquet(day2)
+    s3 = _run(str(day2), out)
+    assert s3["bloom_restored"] is True
+    assert 0 < s3["docs_kept"] <= 20
