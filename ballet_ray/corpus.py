@@ -49,6 +49,7 @@ from ballet_ray.stages.dedup import (
     token_minhash_lsh_pairs,
 )
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
+from ballet_ray.stages.decomposition import grouped_pca_fit, grouped_pca_transform
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.sampling import (
     budget_sample,
@@ -132,6 +133,8 @@ __all__ = [
     "exact_dedup",
     "find_contaminated",
     "global_shuffle_index",
+    "grouped_pca_fit",
+    "grouped_pca_transform",
     "grouped_rank",
     "hash_rate_filter",
     "hash_tokenize",

@@ -190,3 +190,100 @@ def correlation_matrix(ds, cols: list[str], *, round_to: int | None = None):
     return rd.from_arrow(
         pa.table({"col_a": rows_a, "col_b": rows_b, "corr": pa.array(vals, pa.float64())})
     )
+
+
+def grouped_pca_fit(ds, *, group_col: str, embedding_col: str = "embedding",
+                    n_components: int = 8) -> dict:
+    """Per-group PCA (per-language/per-source embedding whitening): ONE
+    pass emits a (1+d+d²) moments blob per (batch, group); a tiny
+    group-keyed merge (one blob row per (batch, group) enters the
+    shuffle) leaves the driver exactly one moments row per group (never
+    vectors), which it eigendecomposes.
+    Returns {group(str): model} with the same fields as
+    :func:`pca_from_moments`. Groups with <2 rows are skipped."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        m = _emb_matrix(t, embedding_col, dtype=np.float64)
+        if not len(m):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "blob": pa.array([], pa.binary())})
+        order = np.argsort(g, kind="stable")
+        gs = g[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        ends = np.append(starts[1:], len(gs))
+        names, blobs = [], []
+        for a, b in zip(starts, ends):
+            names.append(str(gs[a]))
+            blobs.append(_moments_blob(m[order[a:b]]))
+        return pa.table({"g": pa.array(names), "blob": pa.array(blobs, pa.binary())})
+
+    def merge_group(df):
+        import pandas as pd  # noqa: F811
+
+        tot = None
+        for blob in df["blob"]:
+            v = np.frombuffer(blob, np.float64)
+            tot = v.copy() if tot is None else tot + v
+        return pd.DataFrame({"g": [df["g"].iloc[0]], "blob": [tot.tobytes()]})
+
+    # blobs need a vector-sum merge, which grouped_reduce's pandas agg can't
+    # express — groupby().map_groups merges directly (one blob row per
+    # (batch, group) enters the shuffle, so the exchange is tiny)
+    parts = ds.select_columns([group_col, embedding_col]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    merged = parts.groupby("g").map_groups(merge_group, batch_format="pandas").to_pandas()
+
+    models = {}
+    for _, r in merged.iterrows():
+        v = np.frombuffer(r["blob"], np.float64)
+        d = int(round((-1 + np.sqrt(1 + 4 * (len(v) - 1))) / 2))
+        n, s, gram = float(v[0]), v[1: 1 + d], v[1 + d:].reshape(d, d)
+        if n >= 2:
+            models[str(r["g"])] = pca_from_moments(n, s.copy(), gram.copy(), n_components)
+    return models
+
+
+def grouped_pca_transform(ds, models: dict, *, group_col: str,
+                          embedding_col: str = "embedding", id_col: str = "vec_id"):
+    """Project each row through ITS group's fitted components (rows of
+    groups without a model are dropped). One shuffle-free pass; the model
+    dict broadcasts once via ``ray.put``."""
+    import ray as _ray
+
+    mref = _ray.put(models)
+
+    def project(t: pa.Table) -> pa.Table:
+        mm = _ray.get(mref)
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        m = _emb_matrix(t, embedding_col, dtype=np.float64)
+        k = max((len(v["components"]) for v in mm.values()), default=0)
+        cols = {id_col: [], group_col: []}
+        proj_rows = []
+        keep_idx = []
+        for gi in np.unique(g.astype(str)):
+            model = mm.get(gi)
+            if model is None:
+                continue
+            sel = np.flatnonzero(g.astype(str) == gi)
+            p = (m[sel] - model["mean"]) @ model["components"].T
+            if p.shape[1] < k:  # group fit with fewer components (tiny group)
+                p = np.pad(p, ((0, 0), (0, k - p.shape[1])), constant_values=np.nan)
+            proj_rows.append(p)
+            keep_idx.append(sel)
+        if not keep_idx:
+            out = {id_col: t.column(id_col).slice(0, 0),
+                   group_col: t.column(group_col).slice(0, 0)}
+            for i in range(k):
+                out[f"pc{i}"] = pa.array([], pa.float64())
+            return pa.table(out)
+        idx = np.concatenate(keep_idx)
+        proj = np.vstack(proj_rows)
+        out = {id_col: t.column(id_col).take(pa.array(idx)),
+               group_col: t.column(group_col).take(pa.array(idx))}
+        for i in range(proj.shape[1]):
+            out[f"pc{i}"] = pa.array(proj[:, i])
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
