@@ -89,3 +89,38 @@ def test_bad_method_raises():
     with pytest.raises(ValueError, match="method"):
         budget_sample(rd.from_pandas(df), group_col="source", key_col="doc_id",
                       token_col="n_tok", budgets=BUDGETS, method="sha9")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(20, 120),
+    budget=st.integers(0, 20_000),
+    seed=st.integers(0, 10_000),
+    parts=st.integers(1, 6),
+)
+def test_property_budget_and_prefix_maximality(n, budget, seed, parts):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "doc_id": [f"p{seed}-{i}" for i in range(n)],
+        "source": rng.choice(["a", "b"], n),
+        "n_tok": rng.randint(1, 800, n).astype(np.int64),
+    })
+    budgets = {"a": budget, "b": budget // 2}
+    out = budget_sample(
+        rd.from_pandas(df).repartition(parts), group_col="source",
+        key_col="doc_id", token_col="n_tok", budgets=budgets, method="md5",
+    ).to_pandas()
+    exp = _brute(df, budgets)
+    if len(exp) == 0:
+        # all-empty selection: Ray loses the schema on a fully empty
+        # union, so only the row count is checkable
+        assert len(out) == 0
+        return
+    # exact set equality with the brute prefix rule implies both the
+    # budget bound and prefix-maximality
+    assert set(out["doc_id"]) == set(exp["doc_id"])
+    for g, b in budgets.items():
+        assert out[out["source"] == g]["n_tok"].sum() <= b
