@@ -76,7 +76,9 @@ def cmd_validate(args) -> int:
     import ray
 
     if not ray.is_initialized():  # the driver may own the session already
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ncpu = os.environ.get("BALLET_RAY_NUM_CPUS")
+        kw = {"num_cpus": int(ncpu)} if ncpu else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
     try:
         report = validate(
             cfg,

@@ -229,7 +229,8 @@ def test_cli_validate_end_to_end(tmp_path):
     r = subprocess.run(
         [_sys.executable, "-m", "ballet_ray", "validate", str(cfg), "-A"],
         capture_output=True, text=True, cwd="/root/repo",
-        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+        env={**__import__("os").environ, "RAY_ADDRESS": "local",
+             "BALLET_RAY_NUM_CPUS": "4"},
     )
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
@@ -255,7 +256,8 @@ def test_cli_validate_end_to_end(tmp_path):
     r2 = subprocess.run(
         [_sys.executable, "-m", "ballet_ray", "validate", str(cfg_bad), "-A"],
         capture_output=True, text=True, cwd="/root/repo",
-        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+        env={**__import__("os").environ, "RAY_ADDRESS": "local",
+             "BALLET_RAY_NUM_CPUS": "4"},
     )
     assert r2.returncode == 1, r2.stderr[-2000:]
     out2 = json.loads(r2.stdout.strip().splitlines()[-1])
