@@ -97,8 +97,14 @@ class BloomShard(_BloomCore):
 
 def make_bloom_index(num_shards: int = 8, *, bits: int = 1 << 27, k: int = 7) -> list:
     """Create the sharded index. ~``bits/8`` bytes per shard (16 MB at
-    2^27); size total bits ≥ ~10× expected distinct rows."""
-    return [BloomShard.remote(bits=bits, k=k) for _ in range(num_shards)]
+    2^27); size total bits ≥ ~10× expected distinct rows.
+
+    Shards take ``num_cpus=0``: each rpc is a microseconds-scale bitset
+    probe, and claiming a CPU slot would let a saturated map stage starve
+    the actors out of the scheduler entirely (observed as 30 s seq_no
+    timeouts when ingest runs beside other full-width stages)."""
+    return [BloomShard.options(num_cpus=0).remote(bits=bits, k=k)
+            for _ in range(num_shards)]
 
 
 def streaming_exact_dedup(ds, *, col: str, handles: list):

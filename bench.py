@@ -39,6 +39,34 @@ def ensure_corpus() -> str:
     return CORPUS_DIR
 
 
+INGEST_DIR = "/tmp/bench_ingest_corpus"
+
+
+def ensure_ingest_corpus() -> str:
+    """1M-doc deterministic text corpus (60 words from a 5k vocab per doc,
+    20% exact duplicates of the first 50k ids) for the ingest bench."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(INGEST_DIR) and len(os.listdir(INGEST_DIR)) >= 16:
+        return INGEST_DIR
+    import numpy as np
+
+    os.makedirs(INGEST_DIR, exist_ok=True)
+    words = np.array([f"w{j}" for j in range(5000)], dtype=object)
+    N, SHARDS = 1_000_000, 16
+    per = N // SHARDS
+    for s in range(SHARDS):
+        rng = np.random.RandomState(1754 + s)
+        ids = np.arange(s * per, (s + 1) * per)
+        base = np.where(rng.rand(per) < 0.2, ids % 50_000, ids)
+        texts = [" ".join(words[np.random.RandomState(int(b)).randint(0, 5000, 60)])
+                 for b in base]
+        pq.write_table(pa.table({"doc_id": ids, "text": texts}),
+                       os.path.join(INGEST_DIR, f"part-{s:02d}.parquet"))
+    return INGEST_DIR
+
+
 def headline_pipeline(corpus_dir: str):
     import ray.data as rd
 
@@ -243,6 +271,35 @@ def run_bench() -> dict:
         tq = time.time()
         global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:", method="md5").count()
         qtimes["shuffle_index_4m_rows_md5"] = round(time.time() - tq, 3)
+
+        # end-to-end ingest job: 1M synthetic text docs (20% planted exact
+        # dups) -> streaming Bloom dedup -> Gopher filter -> tokenize ->
+        # chunk+pack. Runs in-process (Ray already up); fresh output dir so
+        # every round measures the clean (non-replay) path.
+        tq = time.time()
+        ingest_dir = ensure_ingest_corpus()
+        gen_s = round(time.time() - tq, 3)
+        import argparse as _ap
+        import shutil as _sh
+
+        out_dir = "/tmp/bench_ingest_out"
+        if os.path.isdir(out_dir):
+            _sh.rmtree(out_dir)
+        from jobs.run import run_ingest
+        import contextlib as _cl
+        import io as _io
+
+        args = _ap.Namespace(
+            input=ingest_dir, out=out_dir, bloom_shards=8, bloom_bits=1 << 27,
+            vocab=50_257, min_words=20, max_len=128, stride=None, pack_len=1024,
+            files_per_part=2, sep_token=None,
+        )
+        tq = time.time()
+        with _cl.redirect_stdout(_io.StringIO()):
+            run_ingest(args)
+        qtimes["ingest_1m_docs"] = round(time.time() - tq, 3)
+        if gen_s > 1:
+            print(f"# ingest corpus generated in {gen_s:.1f}s", file=sys.stderr)
 
     ray.shutdown()
     return {
