@@ -694,7 +694,10 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         bi = bi_ds.sort("sum(n)", descending=True).limit(max_bigrams).to_pandas()
     else:
         bi = bi_ds.to_pandas()
-    bi_c = dict(zip(bi["bg"], bi["sum(n)"].to_numpy(np.float64)))
+    # a corpus of single-word docs has NO bigrams; the empty dataset loses
+    # its schema, so guard the column access
+    bi_c = (dict(zip(bi["bg"], bi["sum(n)"].to_numpy(np.float64)))
+            if len(bi) else {})
 
     uref, bref = _ray.put(uni_c), _ray.put(bi_c)
     floor = alpha / denom

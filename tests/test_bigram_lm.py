@@ -80,3 +80,35 @@ def test_bigram_cap_backoff():
     # doc e is wall-to-wall "x y"/"y x": the top bigram corpus-wide is one
     # of its pairs, so its capped score is >= pure-backoff but <= full
     assert capped.loc["e", "logprob"] <= full.loc["e", "logprob"] + 1e-12
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_text = st.lists(_word, min_size=1, max_size=10).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(_text, min_size=1, max_size=8), parts=st.integers(1, 3))
+def test_property_matches_brute(docs, parts):
+    rows = [(f"d{i}", t) for i, t in enumerate(docs)]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in rows]).repartition(parts)
+    got = bigram_logprob_scores(ds, lam=LAM, alpha=ALPHA, round_to=None
+                                ).to_pandas().set_index("doc_id")
+
+    uni, bi, T = {}, {}, 0
+    for _, t in rows:
+        w = t.split(" ")
+        T += len(w)
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for j in range(len(w) - 1):
+            bi[(w[j], w[j + 1])] = bi.get((w[j], w[j + 1]), 0) + 1
+    denom = T + ALPHA * len(uni)
+    for i, t in rows:
+        w = t.split(" ")
+        ls = [np.log(LAM * bi.get((w[j], w[j + 1]), 0) / uni[w[j]]
+                     + (1 - LAM) * (uni[w[j + 1]] + ALPHA) / denom)
+              for j in range(len(w) - 1)]
+        tot = float(np.sum(ls)) if ls else 0.0
+        assert got.loc[i, "logprob"] == pytest.approx(tot, abs=1e-10)

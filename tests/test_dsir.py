@@ -118,3 +118,41 @@ def test_empty_target_clear_error():
 def test_bad_method_eager_error():
     with pytest.raises(ValueError, match="method"):
         dsir_log_weights(_ds(RAW, 1), _ds(TGT, 1), buckets=B, method="sha1")
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["cat", "dog", "sun", "run", "big", "sky"])
+_text = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    raw=st.lists(_text, min_size=2, max_size=10),
+    tgt=st.lists(_text, min_size=1, max_size=4),
+    parts=st.integers(1, 3),
+)
+def test_property_matches_brute(raw, tgt, parts):
+    raw_rows = [(f"r{i}", t) for i, t in enumerate(raw)]
+    tgt_rows = [(f"t{i}", t) for i, t in enumerate(tgt)]
+    out = dsir_log_weights(_ds(raw_rows, parts), _ds(tgt_rows, 1),
+                           buckets=31, alpha=0.7, method="md5",
+                           round_to=None).to_pandas()
+    got = dict(zip(out["doc_id"], out["logw"]))
+
+    def counts(corpus):
+        c = np.zeros(31)
+        for _, t in corpus:
+            for g in _grams(t):
+                c[_bucket31(g)] += 1
+        return c
+
+    def _bucket31(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 31
+
+    ct, cr = counts(tgt_rows), counts(raw_rows)
+    lam = (np.log(ct + 0.7) - np.log(ct.sum() + 0.7 * 31)
+           - np.log(cr + 0.7) + np.log(cr.sum() + 0.7 * 31))
+    for i, t in raw_rows:
+        exp = sum(lam[_bucket31(g)] for g in _grams(t))
+        assert got[i] == pytest.approx(exp, abs=1e-10)
