@@ -271,6 +271,12 @@ def run_bench() -> dict:
         tq = time.time()
         global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:", method="md5").count()
         qtimes["shuffle_index_4m_rows_md5"] = round(time.time() - tq, 3)
+        # release the 4M-row materialized key table before the ingest job —
+        # holding it pressures the object store under the next stage's reads
+        del keys4m
+        import gc as _gc
+
+        _gc.collect()
 
         # end-to-end ingest job: 1M synthetic text docs (20% planted exact
         # dups) -> streaming Bloom dedup -> Gopher filter -> tokenize ->
