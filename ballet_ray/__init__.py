@@ -21,6 +21,8 @@ Nothing here is a port: the reference is a single-process pandas library
 streaming ~100 TB of pre-tokenized Parquet through the object store.
 """
 
+__version__ = "0.4.0"  # round-numbered: bumped each build round
+
 from ballet_ray.feature import Feature
 from ballet_ray.pipeline import EncoderPipeline, FeatureEngineeringPipeline
 

@@ -73,10 +73,12 @@ from ballet_ray.stages.similarity import (
 )
 from ballet_ray.stages.streaming_dedup import make_bloom_index, streaming_exact_dedup
 from ballet_ray.stages.sketches import (
+    CountMinSketch,
     approx_distinct,
     approx_distinct_per_group,
     approx_quantiles,
     approx_top_k,
+    count_min,
 )
 from ballet_ray.stages.text import (
     PII_PATTERNS,
@@ -107,6 +109,7 @@ __all__ = [
     "QualityScore",
     "RegexRedactor",
     "RegexTokenCount",
+    "CountMinSketch",
     "TokenCount",
     "TokenStats",
     "WordRepetition",
@@ -124,6 +127,7 @@ __all__ = [
     "chunk_sequences",
     "corpus_divergence",
     "correlation_matrix",
+    "count_min",
     "dedup_by_minhash",
     "diversity_sample",
     "dsir_log_weights",

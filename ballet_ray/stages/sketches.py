@@ -320,3 +320,85 @@ def approx_top_k(ds, col: str, *, k: int = 10, capacity: int = 256):
         .sort(["cnt", col], descending=[True, False])
         .limit(k)
     )
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode/Muthukrishnan 2005): point
+    frequency estimates over unbounded key spaces in fixed memory.
+    ``depth`` independent hash rows × ``width`` counters; an estimate is
+    the MIN across rows — always ≥ the true count, and ≤ true + εN with
+    probability 1−δ for ``width = ⌈e/ε⌉``, ``depth = ⌈ln 1/δ⌉``.
+
+    Addition is element-wise on the counter matrix, so per-block partials
+    tree-reduce through the same ``vector_sum_reduce`` pipe every sketch
+    in this module uses — the driver receives ONE (depth×width) matrix."""
+
+    def __init__(self, *, width: int = 2048, depth: int = 5, seed: int = 1754,
+                 matrix: np.ndarray | None = None, total: float = 0.0):
+        self.width, self.depth, self.seed = int(width), int(depth), int(seed)
+        self.matrix = (np.zeros((depth, width), np.float64)
+                       if matrix is None else matrix)
+        self.total = float(total)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(depth, n) counter columns — one vectorized hash pass per row."""
+        from ballet_ray.functions.hashing import mix, splitmix64
+        from ballet_ray.functions.partition import stable_hash_array
+
+        h = stable_hash_array(np.asarray(keys))
+        out = np.empty((self.depth, len(h)), np.int64)
+        for r in range(self.depth):
+            out[r] = (mix(h, splitmix64(np.uint64(self.seed + r)))
+                      % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def update(self, keys, counts=None) -> "CountMinSketch":
+        keys = np.asarray(keys)
+        if not len(keys):
+            return self
+        w = (np.ones(len(keys), np.float64) if counts is None
+             else np.asarray(counts, np.float64))
+        pos = self._positions(keys)
+        for r in range(self.depth):
+            self.matrix[r] += np.bincount(pos[r], weights=w, minlength=self.width)
+        self.total += float(w.sum())
+        return self
+
+    def query(self, keys) -> np.ndarray:
+        keys = np.asarray(keys)
+        if not len(keys):
+            return np.zeros(0, np.float64)
+        pos = self._positions(keys)
+        ests = np.stack([self.matrix[r][pos[r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth, other.seed) != (self.width, self.depth, self.seed):
+            raise ValueError("can only merge sketches with identical geometry")
+        self.matrix += other.matrix
+        self.total += other.total
+        return self
+
+
+def count_min(ds, col: str, *, width: int = 2048, depth: int = 5,
+              count_col: str | None = None, seed: int = 1754) -> CountMinSketch:
+    """Fit a Count-Min sketch over a column in ONE streaming pass
+    (per-block partial matrices, tree-reduced; the driver receives exactly
+    one depth×width float64 matrix — 80 KB at the defaults). Pass
+    ``count_col`` to weight each row (pre-aggregated (key, count) input)."""
+    from ballet_ray.stages.decomposition import vector_sum_reduce
+
+    cols = [col] + ([count_col] if count_col else [])
+    proto = CountMinSketch(width=width, depth=depth, seed=seed)
+
+    def vec(t: pa.Table) -> np.ndarray:
+        s = CountMinSketch(width=width, depth=depth, seed=seed)
+        keys = t.column(col).to_numpy(zero_copy_only=False)
+        w = (t.column(count_col).to_numpy(zero_copy_only=False)
+             if count_col else None)
+        s.update(keys, w)
+        return np.concatenate(([s.total], s.matrix.ravel()))
+
+    v = vector_sum_reduce(ds.select_columns(cols), vec)
+    return CountMinSketch(width=width, depth=depth, seed=seed,
+                          matrix=v[1:].reshape(depth, width), total=float(v[0]))
