@@ -171,6 +171,9 @@ def main() -> None:
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--pipeline", default=None,
+                    help="path to a saved pipeline artifact (state/persist.py); "
+                         "backfill mode applies it instead of the built-in pipeline")
     ap.add_argument("--max-len", type=int, default=512)
     ap.add_argument("--stride", type=int, default=None)
     ap.add_argument("--pack-len", type=int, default=2048)
@@ -213,6 +216,13 @@ def main() -> None:
 
     from ballet_ray.state.checkpoint import CheckpointedBackfill
 
+    if args.pipeline:
+        from ballet_ray.state.persist import load_pipeline
+
+        pipeline = load_pipeline(args.pipeline)
+    else:
+        pipeline = build_pipeline()
+
     t0 = time.time()
     summary = CheckpointedBackfill(
         args.out,
@@ -222,7 +232,7 @@ def main() -> None:
         slice_target=args.slice_target,
         hot_sample_frac=args.hot_sample_frac,
         fit_columns=["doc_id", "event_ts", "n_tok", "source"],
-    ).run(args.input, build_pipeline())
+    ).run(args.input, pipeline)
     dt = time.time() - t0
     summary["wall_s_total"] = round(dt, 3)
     if summary.get("rows_processed"):

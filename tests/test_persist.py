@@ -62,3 +62,41 @@ def test_save_is_atomic(tmp_path):
 
     assert os.path.exists(p)
     assert not [f for f in os.listdir(tmp_path) if f.startswith(".")]
+
+
+def test_backfill_job_with_saved_pipeline(tmp_path):
+    """jobs/run.py --pipeline <artifact>: the backfill applies a loaded
+    pipeline instead of the built-in one."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from ballet_ray.schema import write_corpus
+
+    corpus = write_corpus(str(tmp_path / "corpus"), rows=3000, shards=4,
+                          n_docs=100, with_ts=True)
+    from ballet_ray.stages.core import Log1p
+
+    art = str(tmp_path / "pipe.pkl")
+    save_pipeline(
+        FeatureEngineeringPipeline([Feature("n_tok", Log1p(), output="log_n_tok")]),
+        art,
+    )
+    r = subprocess.run(
+        [_sys.executable, "jobs/run.py", "--input", corpus,
+         "--out", str(tmp_path / "bf"), "--partitions", "2", "--num-cpus", "4",
+         "--pipeline", art],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["rows_processed"] == 3000
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(str(tmp_path / "bf" / "**" / "*.parquet"), recursive=True)
+    assert files
+    cols = pq.read_schema(files[0]).names
+    assert "log_n_tok" in cols
