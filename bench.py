@@ -301,9 +301,13 @@ def run_bench() -> dict:
             files_per_part=2, sep_token=None,
         )
         tq = time.time()
-        with _cl.redirect_stdout(_io.StringIO()):
-            run_ingest(args)
-        qtimes["ingest_1m_docs"] = round(time.time() - tq, 3)
+        try:
+            with _cl.redirect_stdout(_io.StringIO()):
+                run_ingest(args)
+            qtimes["ingest_1m_docs"] = round(time.time() - tq, 3)
+        except Exception as e:  # one flaky stage must not sink the record
+            print(f"# ingest bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            qtimes["ingest_1m_docs"] = -1.0
         if gen_s > 1:
             print(f"# ingest corpus generated in {gen_s:.1f}s", file=sys.stderr)
 
