@@ -40,36 +40,6 @@ def _word_symbols(word: str) -> tuple:
     return tuple(word) + (EOW,)
 
 
-def _pair_counts(vocab: dict) -> dict:
-    pairs: dict = {}
-    for syms, freq in vocab.items():
-        for a, b in zip(syms, syms[1:]):
-            pairs[(a, b)] = pairs.get((a, b), 0) + freq
-    return pairs
-
-
-def _merge_vocab(vocab: dict, pair: tuple) -> dict:
-    a, b = pair
-    ab = a + b
-    out = {}
-    for syms, freq in vocab.items():
-        if a not in syms:
-            out[syms] = out.get(syms, 0) + freq
-            continue
-        new = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                new.append(ab)
-                i += 2
-            else:
-                new.append(syms[i])
-                i += 1
-        key = tuple(new)
-        out[key] = out.get(key, 0) + freq
-    return out
-
-
 class BpeTokenizer:
     """Fitted artifact: ordered merge list + id table. Picklable and tiny
     (≤ vocab entries) — broadcast once, used by every encoder actor."""
@@ -137,17 +107,60 @@ def train_bpe(ds, *, text_col: str = "text", num_merges: int = 1000,
     vocab = {_word_symbols(w): int(f) for w, f in zip(counts["term"], counts["sum(tf)"]) if w}
     base = sorted({s for syms in vocab for s in syms})
 
+    # incremental trainer (Sennrich's original optimization): only words
+    # CONTAINING the winning pair are rewritten, and pair counts update by
+    # deltas through a pair→words index — O(Σ rewritten-word lengths) per
+    # merge instead of a full vocabulary rescan (the naive loop is
+    # O(merges × vocab): intractable at 1M words × 50k merges).
+    words = list(vocab.keys())           # word id -> symbol tuple
+    freqs = [vocab[w] for w in words]
+    pair_counts: dict = {}
+    pair_words: dict = {}                # pair -> set of word ids
+    for wid, syms in enumerate(words):
+        f = freqs[wid]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wid)
+
     merges = []
     for _ in range(num_merges):
-        pairs = _pair_counts(vocab)
-        if not pairs:
+        if not pair_counts:
             break
         # deterministic: max count, tie -> lexicographically smallest pair
-        top = max(pairs.values())
-        cands = [p for p, c in pairs.items() if c == top]
-        pair = min(cands)
+        top = max(pair_counts.values())
+        pair = min(p for p, c in pair_counts.items() if c == top)
         merges.append(pair)
-        vocab = _merge_vocab(vocab, pair)
+        a, b = pair
+        ab = a + b
+        for wid in list(pair_words.get(pair, ())):
+            syms = words[wid]
+            f = freqs[wid]
+            # remove the word's current pair contributions
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wid)
+                    if not ws:
+                        del pair_words[p]
+            # rewrite
+            new = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    new.append(ab)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = tuple(new)
+            words[wid] = syms
+            # add the rewritten word's pair contributions
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                pair_words.setdefault(p, set()).add(wid)
     return BpeTokenizer(merges, base)
 
 
