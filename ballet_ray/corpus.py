@@ -51,6 +51,7 @@ from ballet_ray.stages.dedup import (
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
 from ballet_ray.stages.decomposition import grouped_pca_fit, grouped_pca_transform
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
+from ballet_ray.stages.report import corpus_report
 from ballet_ray.stages.sampling import (
     budget_sample,
     global_shuffle_index,
@@ -126,6 +127,7 @@ __all__ = [
     "budget_sample",
     "chunk_sequences",
     "corpus_divergence",
+    "corpus_report",
     "correlation_matrix",
     "count_min",
     "dedup_by_minhash",

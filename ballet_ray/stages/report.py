@@ -1,0 +1,99 @@
+"""One-call corpus report — the "what is in my corpus?" summary every
+ingest run wants, composed from this package's mergeable sketches so the
+driver never sees rows:
+
+- size: documents, total words, words-per-doc quantiles (KLL sketch)
+- duplication: exact-duplicate fraction estimate (KMV distinct over a
+  content hash vs the exact doc count)
+- mixture: rows per value of each ``group_cols`` entry (Misra-Gries
+  top-k — exact when the cardinality is below the capacity, which
+  lang/source columns are)
+- vocabulary: approximate distinct words (KMV over the flattened word
+  stream) and the top-k words (Misra-Gries)
+
+Every component is one streaming pass with a tiny tree-reduced or
+capacity-bounded exchange; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def corpus_report(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple = ("lang", "source"),
+    top_words: int = 10,
+    quantiles: tuple = (0.1, 0.5, 0.9, 0.99),
+) -> dict:
+    from ballet_ray.stages.dedup import add_content_hash
+    from ballet_ray.stages.sketches import (
+        approx_distinct,
+        approx_quantiles,
+        approx_top_k,
+    )
+
+    schema_names = set()
+    try:
+        schema_names = set(ds.schema().names)
+    except Exception:
+        pass
+
+    n_docs = ds.count()
+    report: dict = {"documents": int(n_docs)}
+
+    # words-per-doc + flattened word stream stats from one derived pass
+    def word_stats(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(col, " ")
+        lens = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        return pa.table({"words": pa.array(lens.astype(np.int64))})
+
+    lens_ds = ds.select_columns([text_col]).map_batches(
+        word_stats, batch_format="pyarrow"
+    ).materialize()
+    import ray.data.aggregate as _agg
+
+    report["total_words"] = int(lens_ds.aggregate(_agg.Sum("words", alias_name="t"))["t"] or 0)
+    qs = approx_quantiles(lens_ds, "words", list(quantiles))
+    report["words_per_doc_quantiles"] = {
+        str(q): float(v) for q, v in zip(quantiles, qs)
+    }
+
+    # exact-duplicate fraction: distinct content hashes vs rows
+    # (add_content_hash emits a 128-bit pair; the KMV estimate over one
+    # 64-bit half is fine — estimation error dwarfs collision error)
+    hashed = add_content_hash(ds.select_columns([text_col]), text_col)
+    distinct_docs = approx_distinct(hashed, "content_h1")
+    report["approx_duplicate_fraction"] = round(
+        max(0.0, 1.0 - distinct_docs / n_docs), 4
+    ) if n_docs else 0.0
+
+    # vocabulary
+    def flat_words(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"w": pc.split_pattern(col, " ").flatten()})
+
+    words_ds = ds.select_columns([text_col]).map_batches(flat_words, batch_format="pyarrow")
+    report["approx_distinct_words"] = int(approx_distinct(words_ds, "w"))
+    top = approx_top_k(words_ds, "w", k=top_words).to_pandas()
+    report["top_words"] = list(zip(top["w"], top["cnt"].astype(int)))
+
+    # mixture per grouping column (exact below the MG capacity)
+    mixture = {}
+    for g in group_cols:
+        if g not in schema_names:
+            continue
+        t = approx_top_k(ds.select_columns([g]), g, k=64, capacity=512).to_pandas()
+        mixture[g] = {str(k): int(v) for k, v in zip(t[g], t["cnt"])}
+    report["mixture"] = mixture
+    return report
