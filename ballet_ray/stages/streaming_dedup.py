@@ -57,11 +57,21 @@ def _probes(h: np.ndarray, k: int, bits: int) -> np.ndarray:
 
 
 class _BloomCore:
-    """The filter itself — plain object so it is unit-testable without Ray."""
+    """The filter itself — plain object so it is unit-testable without Ray.
+
+    ``check_and_add`` takes an internal lock: the actor runs THREADED
+    (``max_concurrency`` > 1) so its call queue is unordered — a Ray
+    ordered actor queue cancels everything after 30 s when one caller's
+    earlier seq_no stalls in a loaded cluster (observed killing the
+    ingest stage when it ran beside full-width stages). The lock restores
+    the atomic check-then-add the dedup semantics need."""
 
     def __init__(self, bits: int = 1 << 27, k: int = 7):
+        import threading
+
         self.bits, self.k = int(bits), int(k)
         self.words = np.zeros((self.bits + 63) // 64, dtype=_U64)
+        self._lock = threading.Lock()
 
     def check_and_add(self, h: np.ndarray) -> np.ndarray:
         """For each hash: True iff NOT seen before this call (and mark it
@@ -75,18 +85,21 @@ class _BloomCore:
         is_first[first_idx] = True
         pos = _probes(h, self.k, self.bits)  # (k, n)
         w, b = pos >> _U64(6), pos & _U64(63)
-        member = ((self.words[w] >> b) & _U64(1)).astype(bool).all(axis=0)
-        fresh = is_first & ~member
-        if fresh.any():
-            wf, bf = w[:, fresh].ravel(), b[:, fresh].ravel()
-            np.bitwise_or.at(self.words, wf, _U64(1) << bf)
+        with self._lock:
+            member = ((self.words[w] >> b) & _U64(1)).astype(bool).all(axis=0)
+            fresh = is_first & ~member
+            if fresh.any():
+                wf, bf = w[:, fresh].ravel(), b[:, fresh].ravel()
+                np.bitwise_or.at(self.words, wf, _U64(1) << bf)
         return fresh
 
     def state(self) -> bytes:
-        return self.words.tobytes()
+        with self._lock:
+            return self.words.tobytes()
 
     def restore(self, blob: bytes) -> None:
-        self.words = np.frombuffer(blob, dtype=_U64).copy()
+        with self._lock:
+            self.words = np.frombuffer(blob, dtype=_U64).copy()
 
 
 @ray.remote
@@ -99,11 +112,13 @@ def make_bloom_index(num_shards: int = 8, *, bits: int = 1 << 27, k: int = 7) ->
     """Create the sharded index. ~``bits/8`` bytes per shard (16 MB at
     2^27); size total bits ≥ ~10× expected distinct rows.
 
-    Shards take ``num_cpus=0``: each rpc is a microseconds-scale bitset
-    probe, and claiming a CPU slot would let a saturated map stage starve
-    the actors out of the scheduler entirely (observed as 30 s seq_no
-    timeouts when ingest runs beside other full-width stages)."""
-    return [BloomShard.options(num_cpus=0).remote(bits=bits, k=k)
+    Shards take ``num_cpus=0`` (each rpc is a microseconds-scale bitset
+    probe; claiming a CPU slot would let a saturated map stage starve the
+    actors out of the scheduler) and ``max_concurrency=8`` (threaded ⇒
+    UNORDERED call queue: Ray's ordered queue cancels all queued calls
+    after 30 s when one caller's earlier seq_no stalls under cluster
+    load; the bitset mutation is serialized by the core's own lock)."""
+    return [BloomShard.options(num_cpus=0, max_concurrency=8).remote(bits=bits, k=k)
             for _ in range(num_shards)]
 
 
