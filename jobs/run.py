@@ -153,6 +153,14 @@ def run_ingest(args) -> None:
         "pack": pack_summary,
         "wall_s_total": round(dt, 3),
     }
+    if getattr(args, "report", False):
+        from ballet_ray.stages.report import corpus_report
+
+        # full-schema read: the mixture section needs lang/source columns
+        # the ingest path prunes away
+        summary["input_report"] = corpus_report(
+            rd.read_parquet(args.input), text_col="text", id_col="doc_id"
+        )
     print(json.dumps(summary))
 
 
@@ -171,6 +179,9 @@ def main() -> None:
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
     ap.add_argument("--min-words", type=int, default=20)
+    ap.add_argument("--report", action="store_true",
+                    help="ingest mode: include a sketch-backed corpus_report "
+                         "of the INPUT in the summary JSON")
     ap.add_argument("--pipeline", default=None,
                     help="path to a saved pipeline artifact (state/persist.py); "
                          "backfill mode applies it instead of the built-in pipeline")
