@@ -317,19 +317,28 @@ def budget_sample(ds, *, group_col: str, key_col: str, token_col: str,
         plan[str(g)] = (boundary, residual)
     pref = _ray.put(plan)
 
+    def _bounds_of(t: pa.Table, p: dict) -> np.ndarray:
+        """Per-row boundary bin, resolved on DISTINCT group values only
+        (dictionary encode; no per-row Python in the hot filter)."""
+        col = t.column(group_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        distinct = d.dictionary.to_pylist()
+        per_distinct = np.asarray([p.get(str(x), (-1, 0))[0] for x in distinct],
+                                  dtype=np.int64)
+        return per_distinct[codes]
+
     def keep_full(t: pa.Table) -> pa.Table:
         p = _ray.get(pref)
-        g = t.column(group_col).to_numpy(zero_copy_only=False)
         b = t.column("__bin").to_numpy(zero_copy_only=False)
-        bounds = np.asarray([p.get(str(x), (-1, 0))[0] for x in g], dtype=np.int64)
-        return t.filter(pa.array(b < bounds)).drop_columns(["__prio", "__bin"])
+        return t.filter(pa.array(b < _bounds_of(t, p))).drop_columns(["__prio", "__bin"])
 
     def keep_boundary(t: pa.Table) -> pa.Table:
         p = _ray.get(pref)
-        g = t.column(group_col).to_numpy(zero_copy_only=False)
         b = t.column("__bin").to_numpy(zero_copy_only=False)
-        bounds = np.asarray([p.get(str(x), (-1, 0))[0] for x in g], dtype=np.int64)
-        return t.filter(pa.array(b == bounds))
+        return t.filter(pa.array(b == _bounds_of(t, p)))
 
     full = binned.map_batches(keep_full, batch_format="pyarrow")
     boundary = binned.map_batches(keep_boundary, batch_format="pyarrow")
