@@ -568,8 +568,10 @@ def pq_encode(ds, codebooks: np.ndarray, *, embedding_col: str, id_col: str,
             return pa.table({id_col: t.column(id_col),
                              out_col: pa.array([], pa.list_(pa.uint8()))})
         codes = _pq_assign(_pq_split(m, b.shape[0]), b).astype(np.uint8)
-        return pa.table({id_col: t.column(id_col),
-                         out_col: pa.array(list(codes))})
+        n, n_sub = codes.shape
+        offs = pa.array((np.arange(n + 1, dtype=np.int64) * n_sub).astype(np.int32))
+        lst = pa.ListArray.from_arrays(offs, pa.array(codes.ravel()))
+        return pa.table({id_col: t.column(id_col), out_col: lst})
 
     return ds.select_columns([id_col, embedding_col]).map_batches(enc, batch_format="pyarrow")
 
