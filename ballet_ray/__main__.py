@@ -94,9 +94,39 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ncpu = os.environ.get("BALLET_RAY_NUM_CPUS")
+        kw = {"num_cpus": int(ncpu)} if ncpu else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+    import ray.data as rd
+
+    from ballet_ray.stages.report import corpus_report
+
+    rep = corpus_report(
+        rd.read_parquet(args.input),
+        text_col=args.text_col,
+        id_col=args.id_col,
+        group_cols=tuple(args.group_cols.split(",")) if args.group_cols else (),
+        top_words=args.top_words,
+    )
+    print(json.dumps(_jsonable(rep)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ballet_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("report", help="sketch-backed corpus summary of a parquet table")
+    r.add_argument("input", help="parquet file or directory")
+    r.add_argument("--text-col", default="text")
+    r.add_argument("--id-col", default="doc_id")
+    r.add_argument("--group-cols", default="lang,source")
+    r.add_argument("--top-words", type=int, default=10)
+    r.set_defaults(fn=cmd_report)
 
     v = sub.add_parser("validate", help="validate project changes (reference `ballet validate`)")
     v.add_argument("config", help="python file or dotted module with get_config()/CONFIG")

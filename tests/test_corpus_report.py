@@ -55,3 +55,20 @@ def test_report_without_group_cols():
     rep = corpus_report(rd.from_pandas(df).repartition(2))
     assert rep["mixture"] == {}
     assert rep["documents"] == 200
+
+
+def test_report_cli(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    _corpus().to_parquet(tmp_path / "docs.parquet")
+    r = subprocess.run(
+        [_sys.executable, "-m", "ballet_ray", "report", str(tmp_path / "docs.parquet")],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local", "BALLET_RAY_NUM_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["documents"] == 200 and rep["mixture"]["lang"]["en"] == 150
