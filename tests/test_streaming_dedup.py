@@ -66,3 +66,25 @@ def test_job_resume_via_state_blobs():
     ray.get([h.restore.remote(b) for h, b in zip(fresh, blobs)])
     out = streaming_exact_dedup(ds, col="text", handles=fresh).to_pandas()
     assert len(out) == 0
+
+
+def test_no_duplicate_survives_even_with_tiny_filter():
+    # an undersized filter may DROP uniques (false positives) but must
+    # never let a duplicate through (false negatives are impossible)
+    rows = [{"text": f"t-{i % 60}"} for i in range(240)]
+    ds = rd.from_items(rows).repartition(4)
+    handles = make_bloom_index(2, bits=1 << 10, k=4)  # deliberately tiny
+    out = streaming_exact_dedup(ds, col="text", handles=handles).to_pandas()
+    assert out["text"].is_unique
+    assert len(out) <= 60
+
+
+def test_concurrent_callers_unique_survivors():
+    # threaded shards + core lock: hammer one index from many parallel
+    # map tasks; survivors must still be globally unique
+    rows = [{"text": f"c-{i % 500}"} for i in range(20_000)]
+    ds = rd.from_items(rows).repartition(16)
+    handles = make_bloom_index(4, bits=1 << 22)
+    out = streaming_exact_dedup(ds, col="text", handles=handles).to_pandas()
+    assert out["text"].is_unique
+    assert set(out["text"]) == {f"c-{j}" for j in range(500)}
