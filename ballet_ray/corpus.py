@@ -96,6 +96,7 @@ from ballet_ray.stages.text import (
     hash_tokenize,
     tfidf_top_terms,
     unigram_logprob_scores,
+    winnow_fingerprints,
 )
 from ballet_ray.stages.windows import grouped_rank
 
@@ -167,4 +168,5 @@ __all__ = [
     "token_minhash_lsh_pairs",
     "train_bpe",
     "unigram_logprob_scores",
+    "winnow_fingerprints",
 ]
