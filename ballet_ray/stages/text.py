@@ -916,3 +916,52 @@ def winnow_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: ids, "fingerprints": lst, "n_fp": pa.array(n_fp)})
 
     return ds.select_columns([id_col, text_col]).map_batches(fp, batch_format="pyarrow")
+
+
+def winnow_similarity_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 5, window: int = 4, min_shared: int = 2,
+                            max_bucket: int = 1000):
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints — the MOSS matching step. Bucketed, never all-pairs:
+    fingerprints explode to (fp, id) rows, each fp-bucket emits its pairs
+    (buckets above ``max_bucket`` ids are dropped — a fingerprint shared
+    by thousands of documents is boilerplate, not plagiarism signal, and
+    the cap is the documented recall trade), and one keyed count keeps
+    pairs reaching the threshold. Returns (id_a, id_b, shared) with
+    id_a < id_b."""
+    import pandas as pd
+
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col,
+                              k=k, window=window)
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t.column("fingerprints")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = col.flatten()
+        ids = t.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64), np.diff(offs)))
+        )
+        return pa.table({"fp": flat, id_col: ids})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        iu = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+    pairs = (fps.map_batches(explode, batch_format="pyarrow")
+             .groupby("fp").map_groups(bucket_pairs, batch_format="pandas"))
+    counted = pairs.groupby(["id_a", "id_b"]).count()
+
+    def threshold(t: pa.Table) -> pa.Table:
+        cnt = t.column("count()")
+        keep = pc.greater_equal(cnt, min_shared)
+        t = t.filter(keep)
+        return pa.table({"id_a": t.column("id_a"), "id_b": t.column("id_b"),
+                         "shared": t.column("count()")})
+
+    return counted.map_batches(threshold, batch_format="pyarrow")

@@ -81,3 +81,34 @@ def test_density():
     out = winnow_fingerprints(_ds([("a", text)], 1), k=K, window=W).to_pandas()
     frac = out["n_fp"].iloc[0] / (2000 - K + 1)
     assert 0.2 <= frac <= 0.6  # 2/(W+1) = 0.4 ± slack
+
+
+def test_similarity_pairs():
+    from ballet_ray.stages.text import winnow_similarity_pairs
+
+    shared = " ".join(f"s{j}" for j in range(12))
+    rows = [
+        ("a", "one two three " + shared + " four five"),
+        ("b", "nine eight " + shared + " seven six"),
+        ("c", " ".join(f"u{j}" for j in range(20))),  # unrelated
+    ]
+    out = winnow_similarity_pairs(_ds(rows, 2), k=K, window=W,
+                                  min_shared=1).to_pandas()
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for _, r in out.iterrows()}
+    assert ("a", "b") in got
+    assert all("c" not in p for p in got)
+
+
+def test_similarity_threshold_filters():
+    from ballet_ray.stages.text import winnow_similarity_pairs
+
+    long = " ".join(f"p{j}" for j in range(30))
+    rows = [
+        ("a", long),
+        ("b", long),                      # identical -> many shared fingerprints
+        ("c", "z z2 z3 p0 p1 p2 x9 y8"),  # small overlap with the long docs
+    ]
+    hi = winnow_similarity_pairs(_ds(rows, 2), k=K, window=W,
+                                 min_shared=3).to_pandas()
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for _, r in hi.iterrows()}
+    assert got == {("a", "b")}
