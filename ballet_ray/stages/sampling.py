@@ -238,6 +238,66 @@ def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | 
     return binned.groupby("__bin").map_groups(index_bin, batch_format="pyarrow")
 
 
+def weighted_sample(
+    ds, *, key_col: str, weight_col: str, n: int, group_col: str | None = None,
+    salt: str = "", method: str = "siphash",
+):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006
+    A-ES): keep the ``n`` rows with the smallest exponential race time
+    ``-ln(u)/w`` where ``u`` is the key's deterministic uniform hash
+    priority — each row's inclusion probability is proportional to its
+    weight, drawn without replacement, and the selection is reproducible
+    across runs/partitionings/cluster sizes (same contract as
+    :func:`stratified_sample`; change ``salt`` for a fresh draw).
+
+    With ``group_col``, ``n`` rows per group. Rows with weight <= 0 or a
+    null weight are never selected. Scale shape: per-batch local top-n
+    (the shuffle carries at most n rows per block per group), then one
+    tiny per-group merge. Returns ([group_col,] key_col, weight_col).
+    """
+    cols = ([group_col] if group_col else []) + [key_col, weight_col]
+
+    def add_race(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        u = _priority_u(k, salt, method)
+        # clamp u away from 0 so -ln(u) is finite; 2^-64 is below any
+        # attainable siphash priority and any md5 32-bit priority
+        race = -np.log(np.maximum(u, 2.0**-64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            race = race / w
+        race[~(w > 0)] = np.inf  # non-positive / NaN weights never win
+        return t.append_column("__race", pa.array(race))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        t = add_race(t)
+        race = t.column("__race").to_numpy(zero_copy_only=False)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        if group_col:
+            g = t.column(group_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((k, race, g))
+            gs = g[order]
+            new = np.concatenate([[True], gs[1:] != gs[:-1]])
+            run_start = np.maximum.accumulate(np.where(new, np.arange(len(gs)), 0))
+            pos = np.arange(len(gs)) - run_start
+            sel = order[pos < n]
+        else:
+            order = np.lexsort((k, race))
+            sel = order[:n]
+        sel = sel[np.isfinite(race[sel])]
+        out = t.take(pa.array(sel))
+        if not group_col:
+            out = out.append_column("__g", pa.array(np.zeros(len(out), np.int8)))
+        return out
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        out = grp.sort_values(["__race", key_col]).head(n)
+        return out[cols]
+
+    parts = ds.select_columns(cols).map_batches(local_top, batch_format="pyarrow")
+    return parts.groupby(group_col or "__g").map_groups(merge, batch_format="pandas")
+
+
 def budget_sample(ds, *, group_col: str, key_col: str, token_col: str,
                   budgets: dict, salt: str = "", method: str = "siphash"):
     """Token-budget mixture construction: per group (source/domain), keep

@@ -322,6 +322,114 @@ def approx_top_k(ds, col: str, *, k: int = 10, capacity: int = 256):
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007): distinct counting in FIXED memory —
+# 2^p one-byte registers (4 KB at p=12) regardless of cardinality, vs KMV's
+# 8k bytes. Registers merge by element-wise MAX, so the per-block partial →
+# tree-merge shape of approx_distinct applies unchanged; the driver receives
+# exactly one register array. Standard error ≈ 1.04/√(2^p) (~1.6% at p=12).
+# Small cardinalities use the linear-counting correction; the 64-bit hash
+# space needs no large-range correction at corpus scales.
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """One-pass register array for a batch of values (uint8, len 2^p)."""
+    h = stable_hash_array(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of the remaining bits + 1, capped at 64-p+1.
+    # Vectorized leading-zero count via float64 exponent bits; values within
+    # half-ulp below a power of two round UP (exponent one too high), so the
+    # exponent is clamped and corrected against the exact integer 2^e.
+    nz = rest != 0
+    lz = np.full(len(h), 64, np.int64)
+    if nz.any():
+        f = rest[nz].astype(np.float64)
+        exp = ((f.view(np.uint64) >> np.uint64(52)).astype(np.int64) - 1023)
+        exp = np.minimum(exp, 63)
+        exp -= (rest[nz] < (np.uint64(1) << exp.astype(np.uint64))).astype(np.int64)
+        lz[nz] = 63 - exp
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray, p: int) -> float:
+    m = float(1 << p)
+    alpha = 0.7213 / (1 + 1.079 / m)  # standard constant for m >= 128
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting (small range)
+    return est
+
+
+def approx_distinct_hll(ds, col: str, *, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog: each batch emits ONE
+    2^p-byte register blob, blocks pre-merge by element-wise max, and a
+    single grouped reduce hands the driver exactly one register array —
+    fixed memory at ANY cardinality (use over :func:`approx_distinct` when
+    the distinct space is unbounded, e.g. URLs / shingles at 100 TB)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        regs = _hll_registers(vals, p)
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([regs.tobytes()])})
+
+    def merge_blobs(blobs) -> bytes:
+        merged = np.zeros(1 << p, np.uint8)
+        for blob in blobs:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        return merged.tobytes()
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({"g": pa.array([0], type=pa.int8()),
+                         "sketch": pa.array([merge_blobs(t.column("sketch").to_pylist())])})
+
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sketch": [merge_blobs(g["sketch"])]})
+
+    parts = ds.select_columns([col]).map_batches(partial, batch_format="pyarrow")
+    out = (parts.map_batches(combine, batch_format="pyarrow")
+           .groupby("g").map_groups(final, batch_format="pandas").take(1))
+    return _hll_estimate(np.frombuffer(out[0]["sketch"], dtype=np.uint8), p)
+
+
+def approx_distinct_per_group_hll(ds, col: str, by: str, *, p: int = 10):
+    """Per-group HyperLogLog distinct counts (fixed 2^p bytes per group no
+    matter the cardinality). Returns pandas (by, approx_nd)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups = t.column(by).to_numpy(zero_copy_only=False)
+        vals = t.column(col).to_numpy(zero_copy_only=False)
+        rows_g, rows_s = [], []
+        for g in np.unique(groups):
+            rows_g.append(g)
+            rows_s.append(_hll_registers(vals[groups == g], p).tobytes())
+        return pa.table({by: pa.array(rows_g), "sketch": pa.array(rows_s)})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(1 << p, np.uint8)
+        for blob in g["sketch"]:
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        return pd.DataFrame({by: [g[by].iloc[0]],
+                             "approx_nd": [_hll_estimate(merged, p)]})
+
+    return (
+        ds.select_columns([by, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(by)
+        .map_groups(merge_group, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 class CountMinSketch:
     """Mergeable Count-Min sketch (Cormode/Muthukrishnan 2005): point
     frequency estimates over unbounded key spaces in fixed memory.
