@@ -116,6 +116,35 @@ _H128_KEY_A = "0123456789123456"
 _H128_KEY_B = "6543219876543210"
 
 
+def _join_or_null_offs(payload, per_doc, id_col: str, num_partitions: int):
+    """Left-join the aggregated loser-offset table onto the payload; when
+    NO doc has losers (per_doc empty after scrubbing) skip the join — Ray's
+    join operator sends no shards from a zero-row side, leaving aggregators
+    with schema-less right partitions — and append a null ``__offs``."""
+    from ballet_ray.stages.joins import hash_join
+
+    if per_doc.count() == 0:  # metadata-only: per_doc is materialized
+        def add_null(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__offs", pa.array([None] * len(t), pa.list_(pa.int32()))
+            )
+
+        return payload.map_batches(add_null, batch_format="pyarrow")
+    return hash_join(payload, per_doc, on=(id_col,), how="left_outer",
+                     num_partitions=num_partitions)
+
+
+def _id_arrow_type(ds, col: str) -> pa.DataType:
+    """Arrow type of an id column, for typed-empty join sides (falls back
+    to string when the dataset's schema is pandas/object-dtyped)."""
+    from ballet_ray.stages.joins import _arrow_schema_or_none
+
+    s = _arrow_schema_or_none(ds)
+    if s is not None and col in s.names:
+        return s.field(col).type
+    return pa.string()
+
+
 def add_content_hash(ds, col: str, out: str = "content_h"):
     """Append two independent 64-bit content hashes (vectorized siphash with
     two keys → 128 bits total: collision-safe at 10^12 docs, unlike a single
@@ -1326,11 +1355,14 @@ def remove_duplicate_spans(
         .groupby("__part")
         .map_groups(agg_offs, batch_format="pyarrow")
     )
+    from ballet_ray.stages.joins import scrub_empty_blocks
 
-    joined = hash_join(
-        ds.select_columns([id_col, tokens_col]), per_doc, on=(id_col,),
-        how="left_outer", num_partitions=num_partitions,
-    )
+    per_doc = scrub_empty_blocks(per_doc, schema=pa.schema([
+        pa.field(id_col, _id_arrow_type(ds, id_col)),
+        pa.field("__offs", pa.list_(pa.int32())),
+    ]))
+    joined = _join_or_null_offs(ds.select_columns([id_col, tokens_col]),
+                                per_doc, id_col, num_partitions)
 
     def rewrite(t: pa.Table) -> pa.Table:
         col = t.column(tokens_col)
@@ -1363,6 +1395,141 @@ def remove_duplicate_spans(
             id_col: t.column(id_col),
             tokens_col: pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), new_flat),
             "n_tok": pa.array(kept_per_row.astype(np.int32)),
+            "n_removed": pa.array((lens - kept_per_row).astype(np.int32)),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
+
+
+def remove_duplicate_lines(
+    ds, *, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True, min_chars: int = 1, num_partitions: int | None = None,
+):
+    """Corpus-wide exact LINE dedup (the C4 / RefinedWeb / Dolma text-side
+    counterpart of :func:`remove_duplicate_spans`): every line whose
+    normalized text occurs anywhere else in the corpus is removed except
+    the global first occurrence (min id, then min line number). Boilerplate
+    nav bars, cookie banners and licence footers — the dominant web-crawl
+    duplication mode — disappear while each doc keeps its unique content.
+
+    ``normalize`` keys lines on ``lower(strip(line))`` (removal still
+    rewrites the ORIGINAL lines); lines shorter than ``min_chars`` after
+    normalization (blank lines by default) are structural and never keyed.
+
+    Plan (same bounded shape as remove_duplicate_spans — the text payload
+    shuffles exactly once, in the final id-keyed join):
+
+    1. key pass — Arrow ``split_pattern`` lines → (line-hash, id, line_no);
+    2. loser selection — coarse hash-partition on the key, one vectorized
+       sort + ``duplicated`` pass per partition;
+    3. per-doc aggregation of loser line numbers (Arrow list offsets);
+    4. left join + rewrite — drop loser lines, ``binary_join`` the rest.
+
+    Output: (id, text, n_lines, n_removed).
+    """
+    from ballet_ray.stages.joins import (
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+    )
+
+    num_partitions = default_join_partitions(num_partitions)
+
+    def _line_lists(t: pa.Table) -> pa.ListArray:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.split_pattern(pc.fill_null(col, ""), "\n")
+
+    def keys(t: pa.Table) -> pa.Table:
+        lines = _line_lists(t)
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(flat)) if normalize else flat
+        nlen = pc.utf8_length(norm).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = stable_hash_array(norm.to_numpy(zero_copy_only=False))
+        total = int(lens.sum())
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+        mask = nlen >= min_chars
+        return pa.table({
+            "k": pa.array(h[mask].view(np.int64)),
+            id_col: t.column(id_col).take(pa.array(row_idx[mask])),
+            "off": pa.array(line_no[mask].astype(np.int32)),
+        })
+
+    wins = ds.select_columns([id_col, text_col]).map_batches(keys, batch_format="pyarrow")
+
+    kparts = max(8, num_partitions)
+
+    def part_by_k(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column("__part", pa.array((k % np.uint64(kparts)).astype(np.int64)))
+
+    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", id_col, "off"], kind="mergesort")
+        dup = df["k"].duplicated(keep="first")
+        return df.loc[dup.to_numpy(), [id_col, "off"]]
+
+    losers = (
+        wins.map_batches(part_by_k, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pandas")
+    )
+
+    def part_by_id(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = stable_hash_array(ids)
+        return t.append_column("__part", pa.array((h % np.uint64(kparts)).astype(np.int64)))
+
+    def agg_offs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        off = t.column("off").to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.lexsort((off, ids))
+        ids_s, off_s = ids[order], off[order]
+        new_grp = np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+        starts = np.flatnonzero(new_grp)
+        offsets = np.concatenate([starts, [len(off_s)]]).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids_s[starts]),
+            "__offs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(off_s)),
+        })
+
+    per_doc = (
+        losers.map_batches(part_by_id, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_offs, batch_format="pyarrow")
+    )
+    per_doc = scrub_empty_blocks(per_doc, schema=pa.schema([
+        pa.field(id_col, _id_arrow_type(ds, id_col)),
+        pa.field("__offs", pa.list_(pa.int32())),
+    ]))
+    joined = _join_or_null_offs(ds.select_columns([id_col, text_col]),
+                                per_doc, id_col, num_partitions)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        lines = _line_lists(t)
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        total = int(lens.sum())
+        keep = np.ones(total, dtype=bool)
+        for i, offs in enumerate(t.column("__offs").to_pylist()):
+            if offs:
+                keep[row_starts[i] + np.asarray(offs, dtype=np.int64)] = False
+        sel = np.flatnonzero(keep)
+        new_flat = flat.take(pa.array(sel.astype(np.int64)))
+        cs = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept_per_row = cs[row_starts + lens] - cs[row_starts]
+        offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), new_flat), "\n"
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            text_col: rebuilt,
+            "n_lines": pa.array(kept_per_row.astype(np.int32)),
             "n_removed": pa.array((lens - kept_per_row).astype(np.int32)),
         })
 

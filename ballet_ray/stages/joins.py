@@ -86,13 +86,76 @@ def broadcast_join(
     return ds.map_batches(merge, batch_format="pyarrow")
 
 
-def _has_list_columns(ds) -> bool:
+def _arrow_schema_or_none(ds) -> pa.Schema | None:
+    """Best-effort Arrow schema of a Dataset; None when unknowable (e.g.
+    object-dtype pandas blocks whose Arrow types can't be inferred)."""
     try:
-        return any(
-            pa.types.is_list(t) or pa.types.is_large_list(t) for t in ds.schema().types
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(
+            [pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+             for n, t in zip(s.names, s.types)]
         )
     except Exception:
-        return False
+        return None
+
+
+def _normalize_side(schema: pa.Schema | None):
+    """map_batches fn for a join input: conform schema-less empty blocks
+    (Ray's sort-based groupby emits zero-column blocks for partitions with
+    no groups, which poison the join aggregator's partition tables) to the
+    side's schema, then binary-pack list payload columns for Acero."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 and schema is not None:
+            t = schema.empty_table()
+        return pack_list_columns(t)
+
+    return f
+
+
+def scrub_empty_blocks(ds, *, schema: pa.Schema | None = None):
+    """Drop schema-less zero-column blocks from a Dataset.
+
+    Ray's sort-based groupby emits them for sorted ranges containing no
+    groups; ``map_batches`` forwards them untouched (the fn never runs on a
+    block that yields no batches), and they poison ``Dataset.join``'s
+    per-partition Arrow tables ("No match ... for key field on right side").
+    Feed any ``groupby().map_groups()`` output through this before joining.
+
+    Materializes ``ds`` (it is already the small aggregated side in every
+    caller); the probe is one zero-CPU metadata task per block — block DATA
+    never moves to the driver. If every block is empty, returns an empty
+    dataset of ``schema`` (pass it so joins see typed columns), else of
+    whatever non-empty blocks exist.
+    """
+    import ray.data as rd
+
+    if schema is None:
+        schema = _arrow_schema_or_none(ds)
+    m = ds.materialize()
+    refs = m.get_internal_block_refs()
+
+    @ray.remote(num_cpus=0)
+    def _probe(b):
+        ncols = b.num_columns if isinstance(b, pa.Table) else len(b.columns)
+        return ncols > 0
+
+    @ray.remote(num_cpus=0)
+    def _to_arrow(b):
+        return b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+
+    keep = ray.get([_probe.remote(r) for r in refs])
+    kept = [r for r, k in zip(refs, keep) if k]
+    if not kept:
+        if schema is None:
+            raise ValueError("scrub_empty_blocks: dataset is empty and no schema known")
+        return rd.from_arrow(schema.empty_table())
+    if len(kept) == len(refs):
+        return m
+    return rd.from_arrow_refs([_to_arrow.remote(r) for r in kept])
 
 
 def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partitions: int = 32):
@@ -100,16 +163,15 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
 
     List-typed payload columns (e.g. the canonical ``tokens:list<int32>``)
     are transparently binary-packed around the join — Acero rejects list
-    non-key fields — and restored in the output."""
+    non-key fields — and restored in the output. Packing is unconditional:
+    Dataset.schema() reports numpy dtypes for pandas-block datasets, so a
+    schema probe can MISS list columns (pack is a no-op relabel otherwise).
+    Schema-less empty blocks on either side are conformed to the side's
+    schema before the shuffle."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
-    packed = False
-    if _has_list_columns(left):
-        left = left.map_batches(pack_list_columns, batch_format="pyarrow")
-        packed = True
-    if _has_list_columns(right):
-        right = right.map_batches(pack_list_columns, batch_format="pyarrow")
-        packed = True
+    left = left.map_batches(_normalize_side(_arrow_schema_or_none(left)), batch_format="pyarrow")
+    right = right.map_batches(_normalize_side(_arrow_schema_or_none(right)), batch_format="pyarrow")
     out = left.join(
         right,
         join_type=how,
@@ -117,9 +179,7 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
         on=on,
         right_on=right_on,
     )
-    if packed:
-        out = out.map_batches(unpack_list_columns, batch_format="pyarrow")
-    return out
+    return out.map_batches(unpack_list_columns, batch_format="pyarrow")
 
 
 def semi_join_filter(ds, keys, *, key: str, invert: bool = False):
