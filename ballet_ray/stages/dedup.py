@@ -1178,8 +1178,25 @@ def _count_dup_keys(wins, *, id_col: str, min_count: int, return_docs: bool):
     per_doc = wins.groupby(["k", id_col]).count().drop_columns(["count()"])
     counts = per_doc.groupby("k").count()
     dup_keys = counts.map_batches(keep_dups, batch_format="pyarrow").drop_columns(["count()"])
-    from ballet_ray.stages.joins import default_join_partitions, hash_join
+    from ballet_ray.stages.joins import (
+        _arrow_schema_or_none,
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+    )
 
+    # the kept-keys side is small (keys above the bar); scrubbing it also
+    # catches the no-duplicates corpus, where a zero-row join side would
+    # leave Ray's join aggregators schema-less
+    dup_keys = scrub_empty_blocks(dup_keys, schema=pa.schema([pa.field("k", pa.int64())]))
+    if dup_keys.count() == 0:
+        import ray.data as rd
+
+        s = _arrow_schema_or_none(per_doc)
+        id_type = s.field(id_col).type if s is not None and id_col in s.names else pa.string()
+        return rd.from_arrow(pa.schema([
+            pa.field("passage_key", pa.int64()), pa.field(id_col, id_type),
+        ]).empty_table())
     out = hash_join(per_doc, dup_keys, on=("k",), num_partitions=default_join_partitions(None))
     return _rename(out, ["passage_key", id_col])
 

@@ -151,7 +151,7 @@ def scrub_empty_blocks(ds, *, schema: pa.Schema | None = None):
     kept = [r for r, k in zip(refs, keep) if k]
     if not kept:
         if schema is None:
-            raise ValueError("scrub_empty_blocks: dataset is empty and no schema known")
+            return m  # can't type an empty fallback; caller sees it unchanged
         return rd.from_arrow(schema.empty_table())
     if len(kept) == len(refs):
         return m

@@ -775,7 +775,11 @@ def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_
     """
     import ray.data.aggregate as _agg
 
-    from ballet_ray.stages.joins import default_join_partitions, hash_join
+    from ballet_ray.stages.joins import (
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+    )
 
     def side_counts(ds, name):
         dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
@@ -783,7 +787,12 @@ def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_
         def rn(t: pa.Table) -> pa.Table:
             return t.rename_columns(["term", name])
 
-        return dt.groupby("term").sum("tf").map_batches(rn, batch_format="pyarrow")
+        side = dt.groupby("term").sum("tf").map_batches(rn, batch_format="pyarrow")
+        # empty-corpus side: a zero-row join input leaves the aggregator
+        # partition tables schema-less; scrub gives the join typed blocks
+        return scrub_empty_blocks(side, schema=pa.schema(
+            [pa.field("term", pa.string()), pa.field(name, pa.int64())]
+        ))
 
     joined = hash_join(
         side_counts(ds_a, "ca"),

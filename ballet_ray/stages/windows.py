@@ -802,9 +802,12 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
             }
         )
 
-    from ballet_ray.stages.joins import default_join_partitions
+    from ballet_ray.stages.joins import default_join_partitions, scrub_empty_blocks
 
     ranked = cnt.groupby(group_col).map_groups(ranks, batch_format="pandas")
+    # pandas map_groups can emit schema-less empty blocks (empty sorted
+    # ranges) that poison the join aggregator — scrub before joining
+    ranked = scrub_empty_blocks(ranked)
     return hash_join(
         ds, ranked, on=(group_col, value_col),
         num_partitions=default_join_partitions(num_partitions),
