@@ -64,6 +64,96 @@ def fit_logreg(ds, cols: list[str], target: str, *, n_iter: int = 8, l2: float =
     return beta
 
 
+def _text_features(t: pa.Table, *, text_col: str, buckets: int, ngmax: int,
+                   method: str) -> np.ndarray:
+    """Dense hashed-n-gram frequency matrix (n_rows × buckets) of a batch —
+    the fastText featurization: uni+bigram counts hashed into a FIXED
+    bucket space (nothing vocabulary-sized ever exists), rows normalized
+    by their gram count. One bincount over doc×bucket codes, no Python
+    per row (the gram stream comes from dsir's dictionary-encode kernel)."""
+    from ballet_ray.stages.dsir import _gram_buckets
+
+    b, docs, n = _gram_buckets(t, text_col=text_col, buckets=buckets,
+                               ngmax=ngmax, method=method)
+    if n == 0:
+        return np.zeros((0, buckets))
+    cnt = np.bincount(docs * buckets + b, minlength=n * buckets).astype(np.float64)
+    X = cnt.reshape(n, buckets)
+    X /= np.maximum(X.sum(axis=1, keepdims=True), 1.0)
+    return X
+
+
+def fit_text_logreg(ds, *, label_col: str, text_col: str = "text",
+                    buckets: int = 256, ngmax: int = 2, n_iter: int = 8,
+                    l2: float = 1e-4, method: str = "siphash") -> dict:
+    """fastText-shape quality classifier fit (Joulin et al. 2016, the
+    CCNet/GPT-3 'looks like the reference corpus' filter): logistic
+    regression over hashed uni+bigram frequency features, trained with the
+    same distributed Newton as :func:`fit_logreg` — each iteration is ONE
+    streaming pass; the (B+1)+(B+1)² partials tree-reduce and the driver
+    solves one (B+1)×(B+1) system, never seeing rows. ``label_col`` is
+    0/1 (1 = high quality / in-domain). Returns a small model dict for
+    :func:`score_text_logreg` (picklable; persistable via state/persist).
+    """
+    if method not in ("md5", "siphash"):
+        raise ValueError("method must be 'md5' or 'siphash'")
+    d1 = buckets + 1
+    beta = np.zeros(d1)
+    narrow = ds.select_columns([text_col, label_col])
+    for _ in range(n_iter):
+        b0 = beta.copy()
+
+        def partial(t: pa.Table, b0=b0) -> np.ndarray:
+            X = _text_features(t, text_col=text_col, buckets=buckets,
+                               ngmax=ngmax, method=method)
+            y = _col_f64(t, label_col)
+            ok = ~np.isnan(y)
+            return newton_step_partial(X[ok], y[ok], b0)
+
+        v = vector_sum_reduce(narrow, partial)
+        g = v[:d1] - l2 * np.concatenate([beta[:-1], [0.0]])
+        H = v[d1:].reshape(d1, d1) + l2 * np.diag(np.concatenate([np.ones(d1 - 1), [0.0]]))
+        beta = beta + np.linalg.solve(H, g)
+    return {"beta": beta, "buckets": buckets, "ngmax": ngmax,
+            "method": method, "text_col": text_col}
+
+
+def score_text_logreg(ds, model: dict, *, output: str = "prob",
+                      text_col: str | None = None):
+    """Score every document under a fitted text classifier: one
+    shuffle-free ``map_batches`` pass appending ``output`` = P(label=1).
+    The model is a ~2 KB dict baked into the task closure."""
+    text_col = text_col or model["text_col"]
+    beta = np.asarray(model["beta"])
+    buckets, ngmax, method = model["buckets"], model["ngmax"], model["method"]
+
+    def score(t: pa.Table) -> pa.Table:
+        X = _text_features(t, text_col=text_col, buckets=buckets,
+                           ngmax=ngmax, method=method)
+        p = _sigmoid(X @ beta[:-1] + beta[-1])
+        return t.append_column(output, pa.array(p))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_filter_by_model(ds, model: dict, *, threshold: float = 0.5,
+                            text_col: str | None = None):
+    """Keep documents the fitted classifier scores >= ``threshold`` —
+    the model-based quality filter as a streaming row filter (scores are
+    computed in-pass and not materialized in the output)."""
+    text_col = text_col or model["text_col"]
+    beta = np.asarray(model["beta"])
+    buckets, ngmax, method = model["buckets"], model["ngmax"], model["method"]
+
+    def flt(t: pa.Table) -> pa.Table:
+        X = _text_features(t, text_col=text_col, buckets=buckets,
+                           ngmax=ngmax, method=method)
+        p = _sigmoid(X @ beta[:-1] + beta[-1])
+        return t.filter(pa.array(p >= threshold))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 class DistributedLogReg(FittedTransform):
     """Fitted classifier step: ``fit`` = distributed Newton on the input
     columns against ``target``; ``transform`` emits the predicted
