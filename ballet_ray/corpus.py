@@ -27,7 +27,12 @@ Grouped by stage of a typical pipeline:
                   approx_quantiles, grouped_rank
 """
 
-from ballet_ray.stages.classifier import DistributedLogReg
+from ballet_ray.stages.classifier import (
+    DistributedLogReg,
+    fit_text_logreg,
+    quality_filter_by_model,
+    score_text_logreg,
+)
 from ballet_ray.stages.core import HashSplit, TokenCount, TokenStats
 from ballet_ray.stages.decomposition import (
     PCA,
@@ -43,6 +48,7 @@ from ballet_ray.stages.dedup import (
     find_contaminated,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
     remove_duplicate_spans,
     simhash_pairs,
     token_duplicate_passages,
@@ -54,6 +60,7 @@ from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.report import corpus_report
 from ballet_ray.stages.sampling import (
     budget_sample,
+    weighted_sample,
     global_shuffle_index,
     hash_rate_filter,
     stratified_sample,
@@ -77,6 +84,8 @@ from ballet_ray.stages.sketches import (
     CountMinSketch,
     approx_distinct,
     approx_distinct_per_group,
+    approx_distinct_hll,
+    approx_distinct_per_group_hll,
     approx_quantiles,
     approx_top_k,
     count_min,
@@ -97,10 +106,19 @@ from ballet_ray.stages.text import (
     tfidf_top_terms,
     unigram_logprob_scores,
     winnow_fingerprints,
+    winnow_similarity_pairs,
 )
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "fit_text_logreg",
+    "quality_filter_by_model",
+    "score_text_logreg",
+    "remove_duplicate_lines",
+    "weighted_sample",
+    "approx_distinct_hll",
+    "approx_distinct_per_group_hll",
+    "winnow_similarity_pairs",
     "PCA",
     "PII_PATTERNS",
     "DistributedLogReg",
