@@ -60,6 +60,8 @@ from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.report import corpus_report
 from ballet_ray.stages.sampling import (
     budget_sample,
+    temperature_rates,
+    temperature_sample,
     weighted_sample,
     global_shuffle_index,
     hash_rate_filter,
@@ -111,6 +113,8 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "temperature_rates",
+    "temperature_sample",
     "fit_text_logreg",
     "quality_filter_by_model",
     "score_text_logreg",

@@ -238,6 +238,70 @@ def global_shuffle_index(ds, *, key_col: str, salt: str = "", bucket_col: str | 
     return binned.groupby("__bin").map_groups(index_bin, batch_format="pyarrow")
 
 
+def temperature_rates(ds, *, group_col: str, alpha: float = 0.3,
+                      target_total: float | None = None,
+                      count_col: str | None = None) -> dict:
+    """Per-group keep rates for temperature-based mixture sampling (the
+    mT5/XLM-R multilingual recipe): sample source ``g`` in proportion to
+    ``p_g ** alpha`` where ``p_g`` is its corpus share — ``alpha < 1``
+    flattens the mixture toward low-resource groups, ``alpha = 1`` keeps
+    natural proportions. Returns ``{group: rate}`` for
+    :func:`hash_rate_filter` (rates are keep PROBABILITIES, capped at 1 —
+    a filter can down-sample only; the group that would need up-sampling
+    anchors the scale when ``target_total`` is not given).
+
+    ``count_col`` weights sizes by a column (e.g. ``n_tok`` for
+    token-level shares); ``target_total`` asks for an expected total of
+    that many rows/tokens in the output.
+
+    One tiny grouped reduction (the driver sees one row per group) —
+    compose with :func:`hash_rate_filter` for a deterministic,
+    resume-safe streaming mixture.
+    """
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    if count_col:
+        sizes = grouped_reduce(
+            ds.select_columns([group_col, count_col]), group_col,
+            {count_col: "sum"}, pre_combine=True,
+        ).to_pandas().rename(columns={count_col: "n"})
+    else:
+        def ones(t: pa.Table) -> pa.Table:
+            return t.append_column("__one", pa.array(np.ones(len(t), np.int64)))
+
+        sizes = grouped_reduce(
+            ds.select_columns([group_col]).map_batches(ones, batch_format="pyarrow"),
+            group_col, {"__one": "sum"}, pre_combine=True,
+        ).to_pandas().rename(columns={"__one": "n"})
+    if not len(sizes) or "n" not in sizes.columns:
+        return {}
+    n = sizes["n"].to_numpy(dtype=np.float64)
+    if not len(n) or n.sum() <= 0:
+        return {}
+    p = n / n.sum()
+    q = p**alpha
+    q /= q.sum()
+    if target_total is None:
+        # largest feasible mixture with the exact q proportions: scale so
+        # the tightest group keeps 100%
+        target_total = float(np.min(n / q))
+    rates = np.minimum(1.0, target_total * q / n)
+    return {g: float(r) for g, r in zip(sizes[group_col], rates)}
+
+
+def temperature_sample(ds, *, group_col: str, key_col: str, alpha: float = 0.3,
+                       target_total: float | None = None,
+                       count_col: str | None = None, salt: str = "",
+                       method: str = "siphash"):
+    """Temperature-flattened mixture in one pass: compute
+    :func:`temperature_rates`, then stream through
+    :func:`hash_rate_filter` — deterministic and resume-safe."""
+    rates = temperature_rates(ds, group_col=group_col, alpha=alpha,
+                              target_total=target_total, count_col=count_col)
+    return hash_rate_filter(ds, key_col=key_col, rates=rates,
+                            group_col=group_col, salt=salt, method=method)
+
+
 def weighted_sample(
     ds, *, key_col: str, weight_col: str, n: int, group_col: str | None = None,
     salt: str = "", method: str = "siphash",
