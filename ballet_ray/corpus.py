@@ -81,7 +81,11 @@ from ballet_ray.stages.similarity import (
     pq_knn,
     semantic_dedup,
 )
-from ballet_ray.stages.streaming_dedup import make_bloom_index, streaming_exact_dedup
+from ballet_ray.stages.streaming_dedup import (
+    make_bloom_index,
+    streaming_exact_dedup,
+    streaming_minhash_dedup,
+)
 from ballet_ray.stages.sketches import (
     CountMinSketch,
     approx_distinct,
@@ -113,6 +117,7 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "streaming_minhash_dedup",
     "temperature_rates",
     "temperature_sample",
     "fit_text_logreg",

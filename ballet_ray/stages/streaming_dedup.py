@@ -122,6 +122,97 @@ def make_bloom_index(num_shards: int = 8, *, bits: int = 1 << 27, k: int = 7) ->
             for _ in range(num_shards)]
 
 
+def streaming_minhash_dedup(
+    ds, *, handles: list, id_col: str = "doc_id", text_col: str | None = "text",
+    tokens_col: str | None = None, num_perm: int = 64, bands: int = 16,
+    shingle_k: int = 3, seed: int = 1754,
+):
+    """Online NEAR-dedup: keep a document iff NONE of its MinHash-LSH band
+    keys was ever seen by the shared sharded index — across this dataset
+    and every earlier dataset the same ``handles`` processed (the
+    append-only-ingest counterpart of :func:`~ballet_ray.stages.dedup.
+    minhash_lsh_pairs`, which needs the closed corpus).
+
+    Each batch signs its docs (the vectorized MinHasher/TokenMinHasher
+    kernels — pass ``tokens_col`` to sign the canonical token table with
+    no text path), folds each band's signature segment plus the band index
+    into ONE uint64 key, and ships only those keys to the shards (≤
+    ``bands × len(handles)`` rpcs per batch, payload never moves). A doc
+    survives iff ALL ``bands`` keys were fresh.
+
+    Semantics (documented trades of the online setting):
+
+    - band recall/precision are those of (num_perm, bands) LSH — e.g.
+      64/16 ⇒ match probability ``1-(1-j^4)^16``;
+    - dropped docs leave their fresh band keys in the index, so dedup is
+      CHAIN-transitive (A~B, B~C drops C even when A≁C) — usually what
+      corpus dedup wants;
+    - two mutually-similar docs racing through different in-flight batches
+      can, in the worst interleaving, BOTH drop (each seeing the other's
+      keys on some shard) — over-removal, never under-removal: two
+      banding-similar docs are never both kept, because their shared key
+      lands on one shard whose calls serialize;
+    - Bloom false positives drop unique docs at the filter's ε (size
+      ``bits`` ≥ ~10× expected distinct keys = docs × bands).
+
+    Use batch ``dedup_by_minhash`` when a canonical winner or verified
+    Jaccard matters; use this for "have I ingested something like this
+    before, ever".
+    """
+    from ballet_ray.functions.hashing import mix
+    from ballet_ray.stages.dedup import MinHasher, TokenMinHasher
+
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    if (text_col is None) == (tokens_col is None):
+        raise ValueError("pass exactly one of text_col / tokens_col")
+    r = num_perm // bands
+    n_shards = len(handles)
+    band_salt = np.array([0x5EED ^ (b * 0x9E37) for b in range(bands)], dtype=_U64)
+
+    def pass_batch(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return t
+        if tokens_col is not None:
+            hasher = TokenMinHasher(num_perm=num_perm, k=shingle_k, seed=seed,
+                                    tokens_col=tokens_col)
+            col = t.column(tokens_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            sig = hasher.signatures_from_flat(flat, offs)
+        else:
+            hasher = MinHasher(num_perm=num_perm, k=shingle_k, seed=seed,
+                               text_col=text_col)
+            sig = hasher.signatures(
+                [x or "" for x in t.column(text_col).to_pylist()]
+            )
+        sig = sig.astype(_U64)
+        keys = np.empty((bands, n), dtype=_U64)
+        for b in range(bands):
+            seg = sig[:, b * r : (b + 1) * r]
+            keys[b] = mix(*[seg[:, j] for j in range(r)], band_salt[b])
+        flatk = keys.ravel()                       # band-major
+        doc_idx = np.tile(np.arange(n), bands)
+        shard = (flatk % _U64(n_shards)).astype(np.int64)
+        fresh = np.zeros(len(flatk), dtype=bool)
+        futs, idxs = [], []
+        for s in range(n_shards):
+            sel = np.flatnonzero(shard == s)
+            if len(sel):
+                futs.append(handles[s].check_and_add.remote(flatk[sel]))
+                idxs.append(sel)
+        for sel, f in zip(idxs, ray.get(futs)):
+            fresh[sel] = f
+        stale_per_doc = np.bincount(doc_idx, weights=~fresh, minlength=n)
+        return t.filter(pa.array(stale_per_doc == 0))
+
+    return ds.map_batches(pass_batch, batch_format="pyarrow")
+
+
 def streaming_exact_dedup(ds, *, col: str, handles: list):
     """One streaming pass: keep rows whose ``col`` content was never seen
     by the index — across this dataset AND every earlier dataset the same

@@ -1,0 +1,85 @@
+"""Online MinHash-LSH near-dedup over the sharded Bloom index."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ballet_ray.stages.streaming_dedup import (
+    make_bloom_index,
+    streaming_minhash_dedup,
+)
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _base_text(seed, n=60):
+    rng = np.random.default_rng(seed)
+    return " ".join(f"w{x}" for x in rng.integers(0, 500, n))
+
+
+def test_near_dups_dropped_uniques_kept(ray_session):
+    idx = make_bloom_index(4, bits=1 << 20)
+    base = _base_text(1)
+    near = base.rsplit(" ", 3)[0] + " z1 z2 z3"  # ~95% shingle overlap
+    rows = [("a", base), ("b", near), ("c", _base_text(2)), ("d", _base_text(3))]
+    kept = streaming_minhash_dedup(
+        _docs(rows).repartition(1), handles=idx
+    ).to_pandas()
+    ids = set(kept["doc_id"])
+    assert "c" in ids and "d" in ids
+    # exactly one of the near-dup pair survives (first arrival)
+    assert len({"a", "b"} & ids) == 1
+
+
+def test_persistence_across_datasets(ray_session):
+    idx = make_bloom_index(4, bits=1 << 20)
+    day1 = [(f"d{i}", _base_text(10 + i)) for i in range(20)]
+    kept1 = streaming_minhash_dedup(_docs(day1).repartition(3), handles=idx).to_pandas()
+    assert len(kept1) == 20
+    # day 2: replays of day-1 docs plus fresh ones
+    day2 = [(f"r{i}", _base_text(10 + i)) for i in range(20)] + \
+           [(f"n{i}", _base_text(100 + i)) for i in range(5)]
+    kept2 = streaming_minhash_dedup(_docs(day2).repartition(3), handles=idx).to_pandas()
+    assert set(kept2["doc_id"]) == {f"n{i}" for i in range(5)}
+
+
+def test_within_batch_identical_pair(ray_session):
+    idx = make_bloom_index(2, bits=1 << 18)
+    t = _base_text(7)
+    kept = streaming_minhash_dedup(
+        _docs([("x", t), ("y", t)]).repartition(1), handles=idx
+    ).to_pandas()
+    assert len(kept) == 1
+
+
+def test_token_mode(ray_session):
+    idx = make_bloom_index(4, bits=1 << 20)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1000, 80).astype(np.int32)
+    near = base.copy(); near[-3:] = [1001, 1002, 1003]
+    other = rng.integers(2000, 3000, 80).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([base.tolist(), near.tolist(), other.tolist()],
+                           type=pa.list_(pa.int32())),
+    })
+    kept = streaming_minhash_dedup(
+        rd.from_arrow(t), handles=idx, text_col=None, tokens_col="tokens"
+    ).to_pandas()
+    ids = set(kept["doc_id"])
+    assert "c" in ids and len({"a", "b"} & ids) == 1
+
+
+def test_arg_validation(ray_session):
+    idx = make_bloom_index(2, bits=1 << 16)
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_minhash_dedup(_docs([("a", "x")]), handles=idx,
+                                num_perm=64, bands=7)
+    with pytest.raises(ValueError):
+        streaming_minhash_dedup(_docs([("a", "x")]), handles=idx,
+                                text_col=None, tokens_col=None)
