@@ -44,6 +44,7 @@ from ballet_ray.stages.dedup import (
     assign_clusters,
     dedup_by_minhash,
     duplicate_passages,
+    duplication_scores,
     exact_dedup,
     find_contaminated,
     minhash_lsh_pairs,
@@ -117,6 +118,7 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "duplication_scores",
     "streaming_minhash_dedup",
     "temperature_rates",
     "temperature_sample",

@@ -1118,6 +1118,15 @@ def duplicate_passages(
     (passage_key, id) pairs of every document containing a duplicated
     passage (dedup'd per doc×passage).
     """
+    wins = _passage_windows(ds, text_col=text_col, id_col=id_col, n=n,
+                            key=key, return_docs=return_docs)
+    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+
+
+def _passage_windows(ds, *, text_col: str, id_col: str, n: int, key: str,
+                     return_docs: bool):
+    """(window-key[, id]) rows for every overlapping n-word window — the
+    shared front of duplicate_passages / duplication_scores."""
     import pyarrow.compute as pc
 
     from ballet_ray.functions.partition import stable_hash_array
@@ -1155,8 +1164,85 @@ def duplicate_passages(
             out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
         return out
 
-    wins = ds.select_columns([id_col, text_col]).map_batches(windows, batch_format="pyarrow")
-    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+    return ds.select_columns([id_col, text_col]).map_batches(windows, batch_format="pyarrow")
+
+
+def duplication_scores(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", n: int = 8,
+    min_count: int = 2, key: str = "hash",
+):
+    """Per-document duplication fraction — the Dolma/RefinedWeb quality
+    signal "how much of this doc exists elsewhere in the corpus": for each
+    doc, the fraction of its DISTINCT ``n``-word windows that appear in at
+    least ``min_count`` distinct documents. 0 = fully unique, 1 = every
+    passage is shared. Docs shorter than ``n`` words have no windows and
+    emit no row.
+
+    Plan (text never shuffles; all exchanged rows are keys/ids):
+
+    1. the :func:`duplicate_passages` window pass → (window-key, id);
+    2. distinct (key, id) via one keyed count; distinct docs per key via a
+       second; keys at or above ``min_count`` become a __dup=1 flag table;
+    3. one LEFT join flags each (key, id) row, and one coarse grouped
+       reduction per id yields (n_windows, n_dup_windows, dup_frac).
+
+    Returns a Dataset (id, n_windows, n_dup_windows, dup_frac).
+    """
+    import pyarrow.compute as pc
+
+    from ballet_ray.functions.reduce import grouped_reduce
+    from ballet_ray.stages.joins import (
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+    )
+
+    wins = _passage_windows(ds, text_col=text_col, id_col=id_col, n=n,
+                            key=key, return_docs=True)
+    per_doc = wins.groupby(["k", id_col]).count().drop_columns(["count()"])
+    counts = per_doc.groupby("k").count()
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("count()"), min_count))
+        return pa.table({"k": t.column("k"),
+                         "__dup": pa.array(np.ones(len(t), np.int64))})
+
+    dup_keys = scrub_empty_blocks(
+        counts.map_batches(flag, batch_format="pyarrow"),
+        schema=pa.schema([
+            pa.field("k", pa.int64() if key == "hash" else pa.string()),
+            pa.field("__dup", pa.int64()),
+        ]),
+    )
+
+    if dup_keys.count() == 0:
+        def all_unique(t: pa.Table) -> pa.Table:
+            return t.append_column("__dup", pa.array(np.zeros(len(t), np.int64)))
+
+        flagged = per_doc.map_batches(all_unique, batch_format="pyarrow")
+    else:
+        flagged = hash_join(per_doc, dup_keys, on=("k",), how="left_outer",
+                            num_partitions=default_join_partitions(None))
+
+    def to_partials(t: pa.Table) -> pa.Table:
+        dup = pc.fill_null(t.column("__dup"), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_windows": pa.array(np.ones(len(t), np.int64)),
+            "n_dup_windows": dup.cast(pa.int64()),
+        })
+
+    scores = grouped_reduce(
+        flagged.map_batches(to_partials, batch_format="pyarrow"),
+        id_col, {"n_windows": "sum", "n_dup_windows": "sum"}, pre_combine=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t.column("n_windows").to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = t.column("n_dup_windows").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("dup_frac", pa.array(nd / np.maximum(nw, 1.0)))
+
+    return scores.map_batches(finish, batch_format="pyarrow")
 
 
 def _count_dup_keys(wins, *, id_col: str, min_count: int, return_docs: bool):
