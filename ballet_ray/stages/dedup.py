@@ -1169,7 +1169,7 @@ def _passage_windows(ds, *, text_col: str, id_col: str, n: int, key: str,
 
 def duplication_scores(
     ds, *, text_col: str = "text", id_col: str = "doc_id", n: int = 8,
-    min_count: int = 2, key: str = "hash",
+    min_count: int = 2, key: str = "hash", tokens_col: str | None = None,
 ):
     """Per-document duplication fraction — the Dolma/RefinedWeb quality
     signal "how much of this doc exists elsewhere in the corpus": for each
@@ -1197,8 +1197,15 @@ def duplication_scores(
         scrub_empty_blocks,
     )
 
-    wins = _passage_windows(ds, text_col=text_col, id_col=id_col, n=n,
-                            key=key, return_docs=True)
+    if tokens_col is not None:
+        # north-rule-native mode: Horner-hash windows over the canonical
+        # tokens column (no text materialization); keys are always hashes
+        key = "hash"
+        wins = _token_passage_windows(ds, tokens_col=tokens_col,
+                                      id_col=id_col, n=n, return_docs=True)
+    else:
+        wins = _passage_windows(ds, text_col=text_col, id_col=id_col, n=n,
+                                key=key, return_docs=True)
     per_doc = wins.groupby(["k", id_col]).count().drop_columns(["count()"])
     counts = per_doc.groupby("k").count()
 
@@ -1299,6 +1306,16 @@ def token_duplicate_passages(
     window in flight), finished with the splitmix64 mixer. Only (key[,
     id]) rows ever shuffle — the token payload stays in the map stage.
     """
+    wins = _token_passage_windows(ds, tokens_col=tokens_col, id_col=id_col,
+                                  n=n, return_docs=return_docs,
+                                  window_chunk=window_chunk)
+    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+
+
+def _token_passage_windows(ds, *, tokens_col: str, id_col: str, n: int,
+                           return_docs: bool, window_chunk: int = 1 << 20):
+    """(Horner-hash window key[, id]) rows over the flat token buffer —
+    the shared front of token_duplicate_passages / duplication_scores."""
     from ballet_ray.functions.hashing import splitmix64
 
     P = np.uint64(0x100000001B3)  # FNV prime, odd => full-period mod 2^64
@@ -1339,8 +1356,7 @@ def token_duplicate_passages(
             out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
         return out
 
-    wins = ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
-    return _count_dup_keys(wins, id_col=id_col, min_count=min_count, return_docs=return_docs)
+    return ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
 
 
 def remove_duplicate_spans(

@@ -117,19 +117,21 @@ def _normalize_side(schema: pa.Schema | None):
 
 
 def scrub_empty_blocks(ds, *, schema: pa.Schema | None = None):
-    """Drop schema-less zero-column blocks from a Dataset.
+    """Drop EMPTY blocks (zero rows — typed or schema-less) from a Dataset.
 
-    Ray's sort-based groupby emits them for sorted ranges containing no
-    groups; ``map_batches`` forwards them untouched (the fn never runs on a
-    block that yields no batches), and they poison ``Dataset.join``'s
-    per-partition Arrow tables ("No match ... for key field on right side").
-    Feed any ``groupby().map_groups()`` output through this before joining.
+    Ray 2.49's ``Dataset.join`` breaks when ANY input block is empty: the
+    aggregator's per-partition Arrow table loses the key field ("No match
+    or multiple matches for key field ..."). Sort-based groupby emits
+    schema-less empties for ranges with no groups, selective filters leave
+    typed empties, and ``map_batches`` forwards both untouched (the fn
+    never runs on a block that yields no batches). Feed any such dataset
+    through this before joining — and short-circuit the join entirely when
+    the result ``count()`` is 0 (a fully-empty side cannot be joined).
 
     Materializes ``ds`` (it is already the small aggregated side in every
     caller); the probe is one zero-CPU metadata task per block — block DATA
     never moves to the driver. If every block is empty, returns an empty
-    dataset of ``schema`` (pass it so joins see typed columns), else of
-    whatever non-empty blocks exist.
+    dataset of ``schema`` (or the input unchanged when no schema is known).
     """
     import ray.data as rd
 
@@ -140,8 +142,7 @@ def scrub_empty_blocks(ds, *, schema: pa.Schema | None = None):
 
     @ray.remote(num_cpus=0)
     def _probe(b):
-        ncols = b.num_columns if isinstance(b, pa.Table) else len(b.columns)
-        return ncols > 0
+        return len(b) > 0
 
     @ray.remote(num_cpus=0)
     def _to_arrow(b):
@@ -170,10 +171,22 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
     schema before the shuffle."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
-    left = left.map_batches(_normalize_side(_arrow_schema_or_none(left)), batch_format="pyarrow")
-    right = right.map_batches(_normalize_side(_arrow_schema_or_none(right)), batch_format="pyarrow")
-    out = left.join(
-        right,
+
+    def _prep(side):
+        # attach the pack map only when the side's schema is unknown (a
+        # pandas-block dataset can hide object-dtype lists) or actually has
+        # list columns: the map would turn any 0-row block schema-less
+        # (fn never runs on empty blocks), and Ray's join chokes on those
+        s = _arrow_schema_or_none(side)
+        needs_pack = s is None or any(
+            pa.types.is_list(f.type) or pa.types.is_large_list(f.type) for f in (s or [])
+        )
+        if needs_pack:
+            side = side.map_batches(_normalize_side(s), batch_format="pyarrow")
+        return side
+
+    out = _prep(left).join(
+        _prep(right),
         join_type=how,
         num_partitions=num_partitions,
         on=on,

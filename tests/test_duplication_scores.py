@@ -75,6 +75,31 @@ def test_partition_invariance(ray_session):
     )
 
 
+def test_token_mode_matches_text_mode(ray_session):
+    """Over word sequences expressed as token ids, the token-mode scores
+    must equal the text-mode scores of the equivalent documents."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(21)
+    rows = [rng.integers(0, 25, size=int(rng.integers(6, 18))).tolist()
+            for _ in range(30)]
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(30)],
+        "text": [" ".join(f"w{x}" for x in r) for r in rows],
+    })
+    t = pa.table({
+        "doc_id": pa.array(df["doc_id"]),
+        "tokens": pa.array(rows, type=pa.list_(pa.int32())),
+    })
+    n = 3
+    a = duplication_scores(rd.from_pandas(df).repartition(4), n=n) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = duplication_scores(rd.from_arrow(t).repartition(4), n=n,
+                           tokens_col="tokens") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_min_count_raises_bar(ray_session):
     shared = " ".join(f"s{j}" for j in range(8))
     df = pd.DataFrame({
