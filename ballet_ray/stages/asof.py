@@ -817,3 +817,74 @@ def asof_join_multi(
     if out is None:
         raise ValueError("horizons must be non-empty")
     return out
+
+
+def interval_join(
+    left, intervals, *, on: str, by: str, start_col: str = "start_ts",
+    end_col: str = "end_ts", value_cols: list[str], closed: str = "left",
+    **asof_kwargs,
+):
+    """Point-in-interval (validity-period) join: attach ``value_cols`` of
+    the interval ``[start, end)`` containing each left row's timestamp for
+    the same entity — price lists, campaign windows, session attributes,
+    slowly-changing dimensions.
+
+    Matching rule: the interval with the LATEST ``start_col`` <= ts wins
+    (a backward as-of join on the interval starts — reuses the skew-safe
+    co-partition machinery of :func:`asof_join` including hot-entity time
+    slicing), then values are masked null where that interval's end bound
+    excludes ts. Exact for non-overlapping intervals per entity (the
+    slowly-changing-dimension contract); with overlapping intervals only
+    the latest-starting candidate is considered (documented trade — a full
+    overlap join is a different, quadratic-in-overlap operator).
+
+    ``closed='left'`` matches ``start <= ts < end`` (default);
+    ``'both'`` matches ``start <= ts <= end``. Left rows with no
+    containing interval keep null values. Scale shape = asof_join's: one
+    co-partition union shuffle, vectorized per-bucket merge, interval
+    payload never fans out.
+    """
+    import pyarrow.compute as pc
+
+    from ballet_ray.pipeline import dataset_schema
+
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    END = "__ivl_end"
+    value_cols = list(value_cols)
+    left_names = set(dataset_schema(left).names)
+    if END in left_names:
+        raise ValueError(f"left side may not contain a column named {END}")
+    ts_type = dataset_schema(left).field(on).type
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in t.column_names:
+            if c in (start_col, end_col) or c == on:
+                continue
+            cols[c] = t.column(c)
+        cols[on] = t.column(start_col).cast(ts_type)
+        cols[END] = t.column(end_col).cast(ts_type)
+        return pa.table(cols)
+
+    right = intervals.map_batches(prep, batch_format="pyarrow")
+    joined = asof_join(left, right, on=on, by=by,
+                       right_cols=value_cols + [END], **asof_kwargs)
+
+    def mask(t: pa.Table) -> pa.Table:
+        ts = t.column(on).cast(ts_type)
+        end = t.column(END).cast(ts_type)
+        cmp = pc.less(ts, end) if closed == "left" else pc.less_equal(ts, end)
+        ok = pc.fill_null(pc.and_kleene(pc.is_valid(end), cmp), False)
+        cols = {}
+        for c in t.column_names:
+            if c == END:
+                continue
+            if c in value_cols:
+                col = t.column(c)
+                cols[c] = pc.if_else(ok, col, pa.nulls(len(t), type=col.type))
+            else:
+                cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return joined.map_batches(mask, batch_format="pyarrow")
