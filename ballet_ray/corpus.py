@@ -85,6 +85,7 @@ from ballet_ray.stages.similarity import (
 from ballet_ray.stages.streaming_dedup import (
     make_bloom_index,
     streaming_exact_dedup,
+    streaming_embedding_dedup,
     streaming_minhash_dedup,
 )
 from ballet_ray.stages.sketches import (
@@ -118,6 +119,7 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "streaming_embedding_dedup",
     "duplication_scores",
     "streaming_minhash_dedup",
     "temperature_rates",

@@ -73,6 +73,49 @@ def test_token_mode(ray_session):
     assert "c" in ids and len({"a", "b"} & ids) == 1
 
 
+def test_embedding_mode(ray_session):
+    from ballet_ray.stages.streaming_dedup import streaming_embedding_dedup
+
+    idx = make_bloom_index(4, bits=1 << 20)
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01       # tiny angle
+    far = rng.standard_normal(64)
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "embedding": pa.array([base.tolist(), near.tolist(), far.tolist()],
+                              type=pa.list_(pa.float32())),
+    })
+    kept = streaming_embedding_dedup(rd.from_arrow(t), handles=idx).to_pandas()
+    ids = set(kept["doc_id"])
+    assert "c" in ids and len({"a", "b"} & ids) == 1
+    # replay suppression
+    kept2 = streaming_embedding_dedup(rd.from_arrow(t), handles=idx).to_pandas()
+    assert len(kept2) == 0
+
+
+def test_embedding_mode_deterministic_across_batches(ray_session):
+    from ballet_ray.stages.streaming_dedup import streaming_embedding_dedup
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((40, 32))
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(40)]),
+        "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float64())),
+    })
+    # exact replicas shifted into a different partitioning must all dedup
+    idx = make_bloom_index(3, bits=1 << 20)
+    k1 = streaming_embedding_dedup(rd.from_arrow(t).repartition(2), handles=idx).count()
+    t2 = pa.table({
+        "doc_id": pa.array([f"r{i}" for i in range(40)]),
+        "embedding": t.column("embedding"),
+    })
+    k2 = streaming_embedding_dedup(rd.from_arrow(t2).repartition(7), handles=idx).count()
+    # random pairs collide on a band at ~1e-4 each (780 pairs => a rare,
+    # seed-deterministic drop is possible); replicas must ALL suppress
+    assert k1 >= 38 and k2 == 0
+
+
 def test_arg_validation(ray_session):
     idx = make_bloom_index(2, bits=1 << 16)
     import pytest
