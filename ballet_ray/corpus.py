@@ -29,6 +29,7 @@ Grouped by stage of a typical pipeline:
 
 from ballet_ray.stages.classifier import (
     DistributedLogReg,
+    calibrate_threshold,
     fit_text_logreg,
     quality_filter_by_model,
     score_text_logreg,
@@ -119,6 +120,7 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "calibrate_threshold",
     "streaming_embedding_dedup",
     "duplication_scores",
     "streaming_minhash_dedup",

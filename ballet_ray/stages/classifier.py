@@ -136,6 +136,22 @@ def score_text_logreg(ds, model: dict, *, output: str = "prob",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def calibrate_threshold(ds, model: dict, *, keep_rate: float,
+                        text_col: str | None = None, k: int = 4096) -> float:
+    """Probability threshold that keeps ~``keep_rate`` of the corpus under
+    a fitted text classifier — "keep the best 20%" without knowing the
+    score distribution up front. One streaming pass: scores feed the KLL
+    quantile sketch (exact below ``k`` docs, rank error ~1/k above);
+    nothing materializes. Use the result as
+    ``quality_filter_by_model(..., threshold=...)``."""
+    if not 0.0 < keep_rate <= 1.0:
+        raise ValueError("keep_rate must be in (0, 1]")
+    from ballet_ray.stages.sketches import approx_quantiles
+
+    scored = score_text_logreg(ds, model, output="__p", text_col=text_col)
+    return float(approx_quantiles(scored, "__p", [1.0 - keep_rate], k=k)[0])
+
+
 def quality_filter_by_model(ds, model: dict, *, threshold: float = 0.5,
                             text_col: str | None = None):
     """Keep documents the fitted classifier scores >= ``threshold`` —

@@ -90,6 +90,25 @@ def test_features_normalized_and_empty_safe():
     assert X[1].sum() == pytest.approx(1.0) or X[1].sum() == pytest.approx(0.0)
 
 
+def test_calibrate_threshold(ray_session):
+    from ballet_ray.stages.classifier import calibrate_threshold
+
+    df = _corpus(500, seed=6)
+    model = fit_text_logreg(rd.from_pandas(df).repartition(4), label_col="label",
+                            buckets=64, n_iter=5)
+    for rate in (0.2, 0.5):
+        thr = calibrate_threshold(rd.from_pandas(df).repartition(3), model,
+                                  keep_rate=rate)
+        kept = quality_filter_by_model(rd.from_pandas(df).repartition(3), model,
+                                       threshold=thr).count()
+        # discrete quantile: kept fraction within one sketch step of target
+        assert abs(kept / 500 - rate) < 0.05, (rate, kept)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        calibrate_threshold(rd.from_pandas(df), model, keep_rate=0.0)
+
+
 def test_model_persists(ray_session, tmp_path):
     from ballet_ray.state.persist import load_artifact, save_artifact
 
