@@ -171,11 +171,16 @@ class BpeEncoder:
     text_col=..., id_col=...), concurrency=N, batch_format="pyarrow")``."""
 
     def __init__(self, tokenizer_ref=None, tokenizer=None, *, text_col: str = "text",
-                 id_col: str = "doc_id", out_col: str = "bpe_tokens"):
+                 id_col: str = "doc_id", out_col: str = "bpe_tokens",
+                 memo_cap: int = 2_000_000):
         import ray
 
         self.tok = tokenizer if tokenizer is not None else ray.get(tokenizer_ref)
         self.text_col, self.id_col, self.out_col = text_col, id_col, out_col
+        # Zipf bounds the memo's GROWTH RATE, not its total over an
+        # unbounded stream (URLs/typos/hashes): reset at memo_cap so a
+        # long-lived actor's heap stays bounded (~100 MB at the default).
+        self.memo_cap = int(memo_cap)
         self._memo: dict = {}
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -192,6 +197,8 @@ class BpeEncoder:
             empty = pa.array([[]] * n, pa.list_(pa.int32()))
             return pa.table({self.id_col: t.column(self.id_col), self.out_col: empty,
                              "n_tok": pa.array(np.zeros(n, np.int32))})
+        if len(self._memo) > self.memo_cap:
+            self._memo = {}
         memo, enc = self._memo, self.tok.encode_word
         dwords = flat.dictionary.to_pylist()
         per_code = []

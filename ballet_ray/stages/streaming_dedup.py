@@ -239,6 +239,10 @@ def streaming_embedding_dedup(
     if planes % bands:
         raise ValueError("bands must divide planes")
     r = planes // bands
+    if r > 64:
+        raise ValueError(
+            f"planes/bands = {r} bits per band exceeds the uint64 band key; "
+            "use more bands or fewer planes")
     n_shards = len(handles)
     band_salt = np.array([0xE1B ^ (b * 0x85EB) for b in range(bands)], dtype=_U64)
 

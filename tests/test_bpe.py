@@ -112,3 +112,16 @@ def test_decode_roundtrip():
     text = "newest lower low widest"
     ids = [t for w in text.split(" ") for t in tok.encode_word(w)]
     assert tok.decode(ids) == text
+
+
+def test_encoder_memo_cap_resets_without_changing_output():
+    from ballet_ray.stages.bpe import BpeEncoder
+    import pyarrow as pa
+
+    tok = train_bpe(_ds(), num_merges=10)
+    enc = BpeEncoder(tokenizer=tok, memo_cap=2)  # force resets every batch
+    batch = pa.table({"doc_id": list(range(len(CORPUS))), "text": CORPUS})
+    out1 = enc(batch)
+    assert len(enc._memo) <= 6  # distinct words of the corpus
+    out2 = enc(batch)  # memo over cap -> reset happens, results identical
+    assert out1.equals(out2)

@@ -126,3 +126,14 @@ def test_arg_validation(ray_session):
     with pytest.raises(ValueError):
         streaming_minhash_dedup(_docs([("a", "x")]), handles=idx,
                                 text_col=None, tokens_col=None)
+
+
+def test_embedding_band_width_guard(ray_session):
+    import pytest
+
+    from ballet_ray.stages.streaming_dedup import streaming_embedding_dedup
+
+    idx = make_bloom_index(2, bits=1 << 16)
+    ds = rd.from_arrow(pa.table({"doc_id": ["a"], "embedding": [[0.1] * 8]}))
+    with pytest.raises(ValueError):
+        streaming_embedding_dedup(ds, handles=idx, planes=128, bands=1)
