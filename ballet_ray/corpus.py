@@ -71,6 +71,8 @@ from ballet_ray.stages.sampling import (
 )
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
+    assign_clusters,
+    cluster_embeddings,
     diversity_sample,
     embedding_near_dup_pairs,
     ivf_fit_centroids,
@@ -120,6 +122,8 @@ from ballet_ray.stages.text import (
 from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
+    "assign_clusters",
+    "cluster_embeddings",
     "calibrate_threshold",
     "streaming_embedding_dedup",
     "duplication_scores",

@@ -359,6 +359,48 @@ def ivf_fit_centroids(
     return cents
 
 
+def assign_clusters(ds, centroids: np.ndarray, *, embedding_col: str,
+                    out_col: str = "cluster"):
+    """Append ``out_col`` = nearest-centroid id (cosine, matching the
+    normalized :func:`ivf_fit_centroids` objective) to every row — one
+    broadcast of the (K, d) centroid matrix, one GEMM per batch, zero
+    shuffles. The public face of the assignment step IVF/SemDeDup use
+    internally; with a fitted k-means this is corpus topic clustering."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64)).astype(np.float32)
+    cref = ray.put(c)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t.append_column(out_col, pa.array([], pa.int32()))
+        m = _normalize(_emb_matrix(t, embedding_col, dtype=np.float32)
+                       .astype(np.float64)).astype(np.float32)
+        assign = np.argmax(m @ ray.get(cref).T, axis=1).astype(np.int32)
+        return t.append_column(out_col, pa.array(assign))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def cluster_embeddings(
+    ds, *, embedding_col: str, n_clusters: int = 256, out_col: str = "cluster",
+    sample_size: int = 8192, iters: int = 5, seed: int = 1754,
+):
+    """Corpus topic clustering: distributed k-means fit
+    (:func:`ivf_fit_centroids` — priority-sample init + Lloyd rounds whose
+    all-to-all carries only K (sum, count) rows) then one map-only
+    assignment pass. Returns ``(tagged_dataset, centroids)``.
+
+    The cluster column is the group key for cluster-balanced data mixing:
+    compose with ``sampling.temperature_sample(group_col=out_col)`` to
+    flatten topic skew, or ``groupby(out_col).count()`` for the topic
+    histogram. Deterministic for a given (input content, seed) —
+    independent of partitioning and cluster size."""
+    cents = ivf_fit_centroids(ds, embedding_col=embedding_col,
+                              n_centroids=n_clusters, sample_size=sample_size,
+                              iters=iters, seed=seed)
+    return assign_clusters(ds, cents, embedding_col=embedding_col,
+                           out_col=out_col), cents
+
+
 def ivf_knn(
     ds, queries: np.ndarray, centroids: np.ndarray, *, embedding_col: str,
     id_col: str, k: int = 10, nprobe: int = 8,

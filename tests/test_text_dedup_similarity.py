@@ -664,3 +664,36 @@ def test_text_scorers_cap_above_vocab_is_exact():
         a = fn(ds, max_vocab=None).to_pandas().sort_values("doc_id").reset_index(drop=True)
         b = fn(ds, max_vocab=10_000).to_pandas().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_embeddings_recovers_planted_blobs(ray_session):
+    """cluster_embeddings: three well-separated direction blobs come back
+    as three pure clusters; assignment is partitioning-independent."""
+    from ballet_ray.stages.similarity import assign_clusters, cluster_embeddings
+
+    rng = np.random.RandomState(7)
+    dirs = np.eye(16)[:3]  # three orthogonal topic directions
+    rows, labels = [], []
+    for b in range(3):
+        for _ in range(40):
+            v = dirs[b] * 5.0 + rng.standard_normal(16) * 0.05
+            rows.append(list(map(float, v)))
+            labels.append(b)
+    t = pa.table({"vec_id": list(range(120)), "embedding": rows})
+    ds = rd.from_arrow(t)
+
+    tagged, cents = cluster_embeddings(
+        ds.repartition(5), embedding_col="embedding", n_clusters=3,
+        sample_size=120, iters=4)
+    df = tagged.to_pandas().sort_values("vec_id")
+    assert cents.shape == (3, 16)
+    # each planted blob maps to exactly one cluster id, all three distinct
+    got = [set(df["cluster"][np.array(labels) == b]) for b in range(3)]
+    assert all(len(s) == 1 for s in got)
+    assert len(set().union(*got)) == 3
+
+    # assignment is a pure function of (content, centroids): repartitioning
+    # or re-tagging through assign_clusters gives identical labels
+    again = (assign_clusters(ds.repartition(11), cents, embedding_col="embedding")
+             .to_pandas().sort_values("vec_id"))
+    assert list(again["cluster"]) == list(df["cluster"])
