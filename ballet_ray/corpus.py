@@ -62,6 +62,7 @@ from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.report import corpus_report
 from ballet_ray.stages.sampling import (
     budget_sample,
+    cap_per_group,
     temperature_rates,
     temperature_sample,
     weighted_sample,
@@ -123,6 +124,7 @@ from ballet_ray.stages.windows import grouped_rank
 
 __all__ = [
     "assign_clusters",
+    "cap_per_group",
     "cluster_embeddings",
     "calibrate_threshold",
     "streaming_embedding_dedup",

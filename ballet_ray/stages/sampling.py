@@ -119,6 +119,51 @@ def stratified_sample(
     return parts.groupby(group_col).map_groups(merge, batch_format="pandas")
 
 
+def cap_per_group(
+    ds, *, group_col: str, key_col: str, cap: int, salt: str = "",
+    method: str = "siphash", broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+):
+    """Keep at most ``cap`` FULL rows per group — the RefinedWeb/C4
+    "≤ N documents per domain" rule — deterministically (the ``cap``
+    smallest hash priorities, the :func:`stratified_sample` winners) and
+    independent of partitioning, so a resumed run keeps the same rows.
+
+    ``key_col`` must uniquely identify rows (it is the sampling and
+    membership key — ``doc_id`` in the canonical tables).
+
+    Scale shape: the winner set is bounded by ``cap × groups`` (the LOSER
+    set is corpus-sized when a hot domain overflows — the inverse of
+    exact_dedup's trade, so this filters on winners). The winner pass
+    shuffles (group, key, priority) rows only; the payload is then either
+    filtered in place (winner ids broadcast, below ``broadcast_limit``)
+    or moved once through a distributed id join above it.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from ballet_ray.stages.joins import (
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+        semi_join_filter,
+    )
+
+    winners = stratified_sample(
+        ds, group_col=group_col, key_col=key_col, n=cap, salt=salt, method=method
+    ).materialize()
+    n_win = winners.count()
+    if n_win == ds.count():  # no group over cap — the filter is identity
+        return ds
+    if n_win <= broadcast_limit:
+        ids = winners.to_pandas()[key_col].to_numpy()
+        return semi_join_filter(ds, ids, key=key_col)
+    # distributed path: winners come out of a pandas map_groups, which can
+    # emit schema-less empty blocks that poison the join — scrub first
+    keys = scrub_empty_blocks(winners.select_columns([key_col]))
+    return hash_join(ds, keys, on=(key_col,),
+                     num_partitions=default_join_partitions(num_partitions))
+
+
 def hash_rate_filter(
     ds, *, key_col: str, rate: float | None = None, rates: dict | None = None,
     group_col: str | None = None, salt: str = "", method: str = "siphash",

@@ -147,3 +147,42 @@ def test_stratified_sample_siphash_deterministic_and_uniformish():
     pr = _sip_u64(df.doc_id.to_numpy(), "")
     exp = df.assign(p=pr).sort_values(["p", "doc_id"]).groupby("g").head(25)
     assert sorted(a.doc_id) == sorted(exp.doc_id)
+
+
+def test_cap_per_group_matches_stratified_winners_and_keeps_full_rows():
+    from ballet_ray.stages.sampling import cap_per_group
+
+    df = _docs(1200, seed=3)
+    ds = rd.from_pandas(df).repartition(7)
+    capped = cap_per_group(ds, group_col="g", key_col="doc_id", cap=40).to_pandas()
+    # winners are exactly the stratified_sample set, with the FULL row schema
+    win = stratified_sample(ds, group_col="g", key_col="doc_id", n=40).to_pandas()
+    assert sorted(capped.doc_id) == sorted(win.doc_id)
+    assert set(capped.columns) == set(df.columns)
+    assert (capped.groupby("g").size() <= 40).all()
+    # payload survives intact
+    merged = capped.merge(df, on="doc_id", suffixes=("", "_orig"))
+    assert (merged["v"] == merged["v_orig"]).all()
+    # partitioning-invariant
+    again = cap_per_group(rd.from_pandas(df), group_col="g", key_col="doc_id",
+                          cap=40).to_pandas()
+    assert sorted(again.doc_id) == sorted(capped.doc_id)
+
+
+def test_cap_per_group_identity_below_cap_and_join_path():
+    from ballet_ray.stages.sampling import cap_per_group
+
+    df = _docs(300, seed=4)
+    ds = rd.from_pandas(df).repartition(5)
+    # every group under the cap -> identity (all rows kept)
+    all_rows = cap_per_group(ds, group_col="g", key_col="doc_id", cap=1000).to_pandas()
+    assert sorted(all_rows.doc_id) == sorted(df.doc_id)
+    # distributed-join path (broadcast_limit=0 forces it) == broadcast path
+    bc = cap_per_group(ds, group_col="g", key_col="doc_id", cap=25).to_pandas()
+    jn = cap_per_group(ds, group_col="g", key_col="doc_id", cap=25,
+                       broadcast_limit=0).to_pandas()
+    assert sorted(jn.doc_id) == sorted(bc.doc_id)
+    import pytest
+
+    with pytest.raises(ValueError):
+        cap_per_group(ds, group_col="g", key_col="doc_id", cap=0)
