@@ -114,6 +114,7 @@ from ballet_ray.stages.text import (
     RegexRedactor,
     RegexTokenCount,
     WordRepetition,
+    extract_domain,
     hash_tokenize,
     tfidf_top_terms,
     unigram_logprob_scores,
@@ -126,6 +127,7 @@ __all__ = [
     "assign_clusters",
     "cap_per_group",
     "cluster_embeddings",
+    "extract_domain",
     "calibrate_threshold",
     "streaming_embedding_dedup",
     "duplication_scores",

@@ -218,6 +218,56 @@ def hash_tokenize(table: pa.Table, text_col: str = "text", vocab: int = 50_257) 
     return table.append_column("tokens", tokens).append_column("n_tok", n_tok)
 
 
+_URL_HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@\s]*@)?"
+                r"(?P<host>[^/?#:\s]+)")
+
+
+def extract_domain(table: pa.Table, url_col: str = "url",
+                   out_col: str = "domain", apex: bool = False) -> pa.Table:
+    """Append the lowercased host of a URL column — the group key the
+    per-domain cap (:func:`~ballet_ray.stages.sampling.cap_per_group`)
+    and per-domain stats need. Scheme, userinfo, port, path and query are
+    stripped; scheme-less inputs ("example.com/page") parse too. Rows that
+    don't parse get null. One Arrow ``extract_regex`` pass, no Python rows.
+
+    ``apex=True`` additionally reduces the host to its last two labels
+    ("news.bbc.co.uk" → "co.uk") — a NAIVE apex with no public-suffix
+    list (none ships in this environment), documented trade: multi-label
+    suffixes (.co.uk) group at the suffix. Use the default host grouping
+    when that matters.
+    """
+    col = table.column(url_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = pc.extract_regex(col, _URL_HOST_RE)
+    host = pc.utf8_lower(pc.struct_field(m, 0))
+    if apex:
+        # keep the substring after the second-to-last dot, if any
+        rev_parts = pc.split_pattern_regex(host, r"\.")
+
+        def last2(lst: pa.Array) -> pa.Array:
+            offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            flat = lst.flatten()
+            lens = np.diff(offs)
+            starts = offs[:-1] + np.maximum(lens - 2, 0)
+            counts = np.minimum(lens, 2)
+            out_offs = np.concatenate([[0], np.cumsum(counts)])
+            total = int(out_offs[-1])
+            take = (np.arange(total, dtype=np.int64)
+                    - np.repeat(out_offs[:-1], counts)
+                    + np.repeat(starts, counts))
+            picked = flat.take(pa.array(take))
+            joined = pa.ListArray.from_arrays(
+                pa.array(out_offs.astype(np.int32)), picked)
+            return pc.binary_join(joined, ".")
+
+        if isinstance(rev_parts, pa.ChunkedArray):
+            rev_parts = rev_parts.combine_chunks()
+        host = pc.if_else(pc.is_valid(host), last2(rev_parts), host)
+    return table.append_column(out_col, host)
+
+
 class WordRepetition(Transform):
     """Gopher-style within-document repetition signals over a text column
     (Rae et al. 2021 §A1.1 repetition filters): duplicate-word fraction

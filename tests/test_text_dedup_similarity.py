@@ -697,3 +697,31 @@ def test_cluster_embeddings_recovers_planted_blobs(ray_session):
     again = (assign_clusters(ds.repartition(11), cents, embedding_col="embedding")
              .to_pandas().sort_values("vec_id"))
     assert list(again["cluster"]) == list(df["cluster"])
+
+
+def test_extract_domain_host_apex_and_cap_recipe(ray_session):
+    from ballet_ray.stages.sampling import cap_per_group
+    from ballet_ray.stages.text import extract_domain
+
+    t = pa.table({"url": [
+        "https://www.example.com/path?q=1",
+        "http://user:pw@News.BBC.co.uk:8080/story",
+        "example.com/page",
+        "ftp://files.archive.org",
+        None,
+        "   ",
+    ]})
+    host = extract_domain(t).column("domain").to_pylist()
+    assert host == ["www.example.com", "news.bbc.co.uk", "example.com",
+                    "files.archive.org", None, None]
+    apex = extract_domain(t, apex=True, out_col="apex").column("apex").to_pylist()
+    assert apex == ["example.com", "co.uk", "example.com", "archive.org",
+                    None, None]
+
+    # the domain-cap recipe: extract -> cap_per_group over the host
+    urls = [f"https://site{i % 3}.org/p{i}" for i in range(90)]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(90)), "url": urls}))
+    tagged = ds.map_batches(extract_domain, batch_format="pyarrow")
+    capped = cap_per_group(tagged.repartition(4), group_col="domain",
+                           key_col="doc_id", cap=10).to_pandas()
+    assert (capped.groupby("domain").size() == 10).all() and len(capped) == 30
