@@ -63,6 +63,7 @@ from ballet_ray.stages.report import corpus_report
 from ballet_ray.stages.sampling import (
     budget_sample,
     cap_per_group,
+    filter_groups,
     temperature_rates,
     temperature_sample,
     weighted_sample,
@@ -128,6 +129,7 @@ __all__ = [
     "cap_per_group",
     "cluster_embeddings",
     "extract_domain",
+    "filter_groups",
     "calibrate_threshold",
     "streaming_embedding_dedup",
     "duplication_scores",

@@ -164,6 +164,79 @@ def cap_per_group(
                      num_partitions=default_join_partitions(num_partitions))
 
 
+def filter_groups(
+    ds, *, group_col: str, agg: str = "count", value_col: str | None = None,
+    min_value: float | None = None, max_value: float | None = None,
+    invert: bool = False, broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+):
+    """Keep (or with ``invert`` drop) every row of the GROUPS whose
+    aggregate passes ``[min_value, max_value]`` — the FineWeb-style
+    "drop whole domains below the quality bar / with fewer than N docs"
+    rule, as one operator: group-level statistics decide, row-level
+    content flows.
+
+    ``agg``: ``count`` (default; no ``value_col`` needed), or
+    ``sum | mean | min | max`` of ``value_col``. Rows with a null group
+    never pass.
+
+    Scale shape: the only all-to-all carries one partial row per
+    (batch, group) — the payload never shuffles; the passing-group set
+    (bounded by the distinct-group count) is broadcast below
+    ``broadcast_limit`` and joined distributed above it.
+    """
+    if agg not in ("count", "sum", "mean", "min", "max"):
+        raise ValueError("agg must be count/sum/mean/min/max")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"agg={agg!r} needs value_col")
+    if min_value is None and max_value is None:
+        raise ValueError("pass min_value and/or max_value")
+    from ballet_ray.functions.reduce import grouped_reduce
+    from ballet_ray.stages.joins import (
+        default_join_partitions,
+        hash_join,
+        scrub_empty_blocks,
+        semi_join_filter,
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        cols = {group_col: t.column(group_col),
+                "__one": pa.array(np.ones(len(t), np.int64))}
+        if value_col is not None:
+            cols["__val"] = t.column(value_col)
+        return pa.table(cols)
+
+    spec = {"__one": "sum"}
+    if agg in ("sum", "mean"):
+        spec["__val"] = "sum"
+    elif agg in ("min", "max"):
+        spec["__val"] = agg
+    stats = grouped_reduce(
+        ds.map_batches(partials, batch_format="pyarrow"), group_col, spec,
+        pre_combine=True,
+    ).to_pandas()
+    stats = stats[stats[group_col].notna()]
+    if agg == "count":
+        v = stats["__one"].astype(float)
+    elif agg == "mean":
+        v = stats["__val"].astype(float) / stats["__one"].astype(float)
+    else:
+        v = stats["__val"].astype(float)
+    ok = np.ones(len(stats), bool)
+    if min_value is not None:
+        ok &= (v >= min_value).to_numpy()
+    if max_value is not None:
+        ok &= (v <= max_value).to_numpy()
+    keep = stats.loc[~ok if invert else ok, [group_col]]
+    if len(keep) <= broadcast_limit:
+        return semi_join_filter(ds, keep[group_col].to_numpy(), key=group_col)
+    import ray.data as rd
+
+    return hash_join(ds, scrub_empty_blocks(rd.from_pandas(keep)),
+                     on=(group_col,),
+                     num_partitions=default_join_partitions(num_partitions))
+
+
 def hash_rate_filter(
     ds, *, key_col: str, rate: float | None = None, rates: dict | None = None,
     group_col: str | None = None, salt: str = "", method: str = "siphash",

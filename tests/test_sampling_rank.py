@@ -186,3 +186,46 @@ def test_cap_per_group_identity_below_cap_and_join_path():
 
     with pytest.raises(ValueError):
         cap_per_group(ds, group_col="g", key_col="doc_id", cap=0)
+
+
+def test_filter_groups_count_mean_invert_and_join_path():
+    from ballet_ray.stages.sampling import filter_groups
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(100),
+        "domain": (["big.org"] * 60 + ["mid.org"] * 30 + ["tiny.org"] * 8
+                   + [None] * 2),
+        "q": np.concatenate([np.full(60, 0.9), np.full(30, 0.2),
+                             np.full(8, 0.8), np.full(2, 1.0)]),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+
+    # count >= 10 keeps big+mid; null-group rows always drop
+    kept = filter_groups(ds, group_col="domain", agg="count",
+                         min_value=10).to_pandas()
+    assert set(kept.domain) == {"big.org", "mid.org"} and len(kept) == 90
+
+    # mean quality >= 0.5 keeps big+tiny
+    good = filter_groups(ds, group_col="domain", agg="mean", value_col="q",
+                         min_value=0.5).to_pandas()
+    assert set(good.domain) == {"big.org", "tiny.org"} and len(good) == 68
+
+    # invert drops those groups instead
+    bad = filter_groups(ds, group_col="domain", agg="mean", value_col="q",
+                        min_value=0.5, invert=True).to_pandas()
+    assert set(bad.domain) == {"mid.org"} and len(bad) == 30
+
+    # distributed-join path matches broadcast
+    jn = filter_groups(ds, group_col="domain", agg="count", min_value=10,
+                       broadcast_limit=0).to_pandas()
+    assert sorted(jn.doc_id) == sorted(kept.doc_id)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        filter_groups(ds, group_col="domain", agg="mean", value_col="q")
+    with pytest.raises(ValueError):
+        filter_groups(ds, group_col="domain", agg="median", value_col="q",
+                      min_value=1)
+    with pytest.raises(ValueError):
+        filter_groups(ds, group_col="domain", agg="sum", min_value=1)
