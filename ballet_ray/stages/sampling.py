@@ -137,7 +137,8 @@ def cap_per_group(
     exact_dedup's trade, so this filters on winners). The winner pass
     shuffles (group, key, priority) rows only; the payload is then either
     filtered in place (winner ids broadcast, below ``broadcast_limit``)
-    or moved once through a distributed id join above it.
+    or moved once through a distributed id join above it. When no group
+    exceeds the cap the result equals the input (every row wins).
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
@@ -151,9 +152,10 @@ def cap_per_group(
     winners = stratified_sample(
         ds, group_col=group_col, key_col=key_col, n=cap, salt=salt, method=method
     ).materialize()
+    # No identity shortcut: comparing against ds.count() would execute a
+    # non-materialized upstream for a whole extra pass, and the membership
+    # filter is already exact (under-cap groups keep every row).
     n_win = winners.count()
-    if n_win == ds.count():  # no group over cap — the filter is identity
-        return ds
     if n_win <= broadcast_limit:
         ids = winners.to_pandas()[key_col].to_numpy()
         return semi_join_filter(ds, ids, key=key_col)
