@@ -196,13 +196,18 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
 
 
 def semi_join_filter(ds, keys, *, key: str, invert: bool = False):
-    """Keep (or drop) rows whose key is in the broadcast key set."""
+    """Keep (or drop) rows whose key is in the broadcast key set.
+
+    Membership is pandas' C hash table (`pd.Index.get_indexer`), NOT
+    np.isin — np.isin on object (string) keys sort-merges with per-element
+    Python compares, re-sorting the broadcast set for EVERY batch
+    (measured seconds/batch at a 10^5-key set)."""
     arr = np.asarray(list(keys) if not isinstance(keys, np.ndarray) else keys)
-    ref = ray.put(arr)
+    ref = ray.put(pd.unique(arr))  # get_indexer needs a unique index
 
     def flt(t: pa.Table) -> pa.Table:
-        kset = ray.get(ref)
-        mask = np.isin(t.column(key).to_numpy(zero_copy_only=False), kset)
+        idx = pd.Index(ray.get(ref))
+        mask = idx.get_indexer(t.column(key).to_numpy(zero_copy_only=False)) >= 0
         if invert:
             mask = ~mask
         return t.filter(pa.array(mask))
