@@ -1005,15 +1005,47 @@ def winnow_similarity_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
         )
         return pa.table({"fp": flat, id_col: ids})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
+    # coarse-partition bucket kernel (the minhash/dedup pattern): the
+    # fingerprint space is corpus-scale, so a per-fp map_groups would pay
+    # Ray's per-group frame plumbing for every DISTINCT fingerprint.
+    # Hash-partition fps and emit all of a partition's pairs in one pass.
+    n_parts = 64
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ballet_ray.functions.partition import stable_hash_array
+
+        h = stable_hash_array(t.column("fp").to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
             return pd.DataFrame({"id_a": [], "id_b": []})
-        iu = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+        df = df.sort_values(["fp", id_col], kind="mergesort")
+        f = df["fp"].to_numpy()
+        ids = df[id_col].to_numpy()
+        # distinct (fp, id): consecutive after the sort
+        keep = np.concatenate([[True], (f[1:] != f[:-1]) | (ids[1:] != ids[:-1])])
+        f, ids = f[keep], ids[keep]
+        new = np.concatenate([[True], f[1:] != f[:-1]])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(f)]])
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2 or m > max_bucket:
+                continue
+            iu = np.triu_indices(m, 1)
+            a_out.append(ids[s:e][iu[0]])
+            b_out.append(ids[s:e][iu[1]])
+        if not a_out:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out)})
 
     pairs = (fps.map_batches(explode, batch_format="pyarrow")
-             .groupby("fp").map_groups(bucket_pairs, batch_format="pandas"))
+             .map_batches(add_part, batch_format="pyarrow")
+             .groupby("__part").map_groups(part_pairs, batch_format="pandas"))
     counted = pairs.groupby(["id_a", "id_b"]).count()
 
     def threshold(t: pa.Table) -> pa.Table:

@@ -788,23 +788,43 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
 
     cnt = ds.groupby([group_col, value_col]).count()
 
-    def ranks(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(value_col).reset_index(drop=True)
-        c = g["count()"].to_numpy(dtype=np.int64)
-        prior = np.concatenate([[0], np.cumsum(c)[:-1]])
-        n = int(c.sum())
-        return pd.DataFrame(
-            {
-                group_col: g[group_col],
-                value_col: g[value_col],
-                "rank": prior + 1,
-                "percent_rank": prior / (n - 1) if n > 1 else np.zeros(len(g)),
-            }
-        )
+    # coarse-partition rank scan: hash-partition GROUPS, rank a whole
+    # partition's groups in one vectorized pass (a per-group map_groups
+    # pays Ray's per-group frame plumbing for every distinct group)
+    n_parts = 64
+
+    def add_part(t) -> "pa.Table":
+        import pyarrow as pa
+
+        from ballet_ray.functions.partition import stable_hash_array
+
+        h = stable_hash_array(t.column(group_col).to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def ranks_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [group_col, value_col, "rank", "percent_rank"]
+        if not len(df):
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        g = df[group_col].to_numpy()
+        c = df["count()"].to_numpy(dtype=np.int64)
+        new = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(new)
+        run_lens = np.diff(np.concatenate([starts, [len(g)]]))
+        excl = np.concatenate([[0], np.cumsum(c)[:-1]])
+        prior = excl - np.repeat(excl[starts], run_lens)
+        totals = np.add.reduceat(c, starts)
+        n_rep = np.repeat(totals, run_lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pct = np.where(n_rep > 1, prior / (n_rep - 1), 0.0)
+        return pd.DataFrame({group_col: g, value_col: df[value_col].to_numpy(),
+                             "rank": prior + 1, "percent_rank": pct})
 
     from ballet_ray.stages.joins import default_join_partitions, scrub_empty_blocks
 
-    ranked = cnt.groupby(group_col).map_groups(ranks, batch_format="pandas")
+    ranked = (cnt.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__part").map_groups(ranks_part, batch_format="pandas"))
     # pandas map_groups can emit schema-less empty blocks (empty sorted
     # ranges) that poison the join aggregator — scrub before joining
     ranked = scrub_empty_blocks(ranked)
