@@ -229,3 +229,36 @@ def test_filter_groups_count_mean_invert_and_join_path():
                       min_value=1)
     with pytest.raises(ValueError):
         filter_groups(ds, group_col="domain", agg="sum", min_value=1)
+
+
+def test_cap_and_filter_groups_property_vs_pandas():
+    """Property check vs a pandas reference over randomized shapes:
+    many/few groups, string/int keys, caps spanning under/over."""
+    from ballet_ray.stages.sampling import cap_per_group, filter_groups
+    from ballet_ray.functions.partition import stable_hash_array
+
+    for seed, n_groups, n, cap in [(0, 3, 200, 5), (1, 50, 400, 3),
+                                   (2, 200, 600, 2), (3, 7, 100, 1000)]:
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "doc_id": [f"k{i}" for i in range(n)],
+            "g": [f"g{x}" for x in rng.integers(0, n_groups, n)],
+            "v": rng.normal(size=n),
+        })
+        ds = rd.from_pandas(df).repartition(5)
+
+        got = cap_per_group(ds, group_col="g", key_col="doc_id",
+                            cap=cap).to_pandas()
+        prio = stable_hash_array(df["doc_id"].to_numpy())
+        exp = (df.assign(__p=prio).sort_values(["__p", "doc_id"])
+               .groupby("g").head(cap))
+        assert sorted(got.doc_id) == sorted(exp.doc_id), (seed, cap)
+
+        # nudge off the exact boundary: the median IS one group's mean, and
+        # distributed summation differs from pandas in the last ulp there
+        thr = float(df.groupby("g")["v"].mean().median()) - 1e-9
+        keep = filter_groups(ds, group_col="g", agg="mean", value_col="v",
+                             min_value=thr).to_pandas()
+        exp_groups = set(df.groupby("g")["v"].mean().loc[lambda s: s >= thr].index)
+        assert set(keep.g) == exp_groups, seed
+        assert len(keep) == df.g.isin(exp_groups).sum(), seed
