@@ -67,6 +67,34 @@ def ensure_ingest_corpus() -> str:
     return INGEST_DIR
 
 
+DOMAIN_DIR = "/tmp/bench_domain_corpus"
+
+
+def ensure_domain_corpus() -> str:
+    """1M-doc (doc_id, url) table over 200k Zipf-ranked domains — the
+    hottest domain owns ~10% of rows, a long tail appears once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(DOMAIN_DIR) and len(os.listdir(DOMAIN_DIR)) >= 16:
+        return DOMAIN_DIR
+    import numpy as np
+
+    os.makedirs(DOMAIN_DIR, exist_ok=True)
+    N, SHARDS, N_DOMAINS = 1_000_000, 16, 200_000
+    per = N // SHARDS
+    ranks = np.arange(1, N_DOMAINS + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / (1.0 / ranks).sum()
+    for s in range(SHARDS):
+        rng = np.random.RandomState(1754 + s)
+        dom = rng.choice(N_DOMAINS, size=per, p=probs)
+        urls = [f"https://site{d}.example.org/p/{s}/{i}" for i, d in enumerate(dom)]
+        ids = [f"d{s:02d}_{i:07d}" for i in range(per)]
+        pq.write_table(pa.table({"doc_id": ids, "url": urls}),
+                       os.path.join(DOMAIN_DIR, f"part-{s:02d}.parquet"))
+    return DOMAIN_DIR
+
+
 def headline_pipeline(corpus_dir: str):
     import ray.data as rd
 
@@ -310,6 +338,31 @@ def run_bench() -> dict:
             qtimes["ingest_1m_docs"] = -1.0
         if gen_s > 1:
             print(f"# ingest corpus generated in {gen_s:.1f}s", file=sys.stderr)
+
+        # domain curation over 1M docs / 200k Zipf domains: extract_domain
+        # -> filter_groups(count >= 5) -> cap_per_group(100), consumed by a
+        # streaming count — the coarse-partition group-kernel path
+        tq = time.time()
+        dom_dir = ensure_domain_corpus()
+        gen_s = round(time.time() - tq, 3)
+        try:
+            from ballet_ray.stages.sampling import cap_per_group, filter_groups
+            from ballet_ray.stages.text import extract_domain
+
+            tagged = rd.read_parquet(dom_dir).map_batches(
+                extract_domain, batch_format="pyarrow").materialize()
+            tq = time.time()
+            alive = filter_groups(tagged, group_col="domain", agg="count",
+                                  min_value=5)
+            n = cap_per_group(alive, group_col="domain", key_col="doc_id",
+                              cap=100).count()
+            qtimes["domain_cap_1m_docs"] = round(time.time() - tq, 3)
+            print(f"# domain curation kept {n} rows", file=sys.stderr)
+        except Exception as e:  # one flaky stage must not sink the record
+            print(f"# domain bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            qtimes["domain_cap_1m_docs"] = -1.0
+        if gen_s > 1:
+            print(f"# domain corpus generated in {gen_s:.1f}s", file=sys.stderr)
 
     ray.shutdown()
     return {
