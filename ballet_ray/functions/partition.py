@@ -25,6 +25,25 @@ import pyarrow as pa
 BUCKET_COL = "__bucket"
 
 
+def default_coarse_parts(requested: int | None = None) -> int:
+    """Partition count for the coarse GROUP kernels (stratified/weighted
+    sample merge, ts-features entities, winnow fp buckets, grouped_rank):
+    enough tasks to use the cluster, floor 64 so one task never holds more
+    than ~1/64 of a pruned group table. Unlike join aggregators (capped at
+    32 actors — joins.default_join_partitions), these are plain groupby
+    shuffle partitions: more is safe, and the result is partition-count
+    independent (the group hash decides placement, never the winners)."""
+    if requested is not None:
+        return requested
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        cpus = 32
+    return max(64, 2 * cpus)
+
+
 def stable_hash_array(values) -> np.ndarray:
     """Deterministic uint64 hash of an arbitrary array-like (vectorized)."""
     arr = np.asarray(values)

@@ -568,7 +568,9 @@ def extract_ts_features(
     # slices — a per-entity map_groups pays ~300 µs of per-group frame
     # plumbing, which dominates at a corpus-scale entity count.
     feat_cols = [f"{value_col}_{f}" for f in features]
-    n_parts = 64
+    from ballet_ray.functions.partition import default_coarse_parts
+
+    n_parts = default_coarse_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         from ballet_ray.functions.partition import stable_hash_array

@@ -115,7 +115,9 @@ def stratified_sample(
     # many groups in ONE vectorized pandas pass (sort + groupby.head is
     # C-level). A per-group map_groups pays Ray's ~60-80 µs/group combine
     # — 16 s for 200k domains, unusable at a web-scale group count.
-    n_parts = 64
+    from ballet_ray.functions.partition import default_coarse_parts
+
+    n_parts = default_coarse_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         from ballet_ray.functions.partition import stable_hash_array
@@ -492,7 +494,9 @@ def weighted_sample(
     # coarse-partition merge (see stratified_sample): hash-partition the
     # GROUPS, reduce each partition's groups in one vectorized pandas pass
     gcol = group_col or "__g"
-    n_parts = 64
+    from ballet_ray.functions.partition import default_coarse_parts
+
+    n_parts = default_coarse_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         from ballet_ray.functions.partition import stable_hash_array

@@ -1009,7 +1009,9 @@ def winnow_similarity_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
     # fingerprint space is corpus-scale, so a per-fp map_groups would pay
     # Ray's per-group frame plumbing for every DISTINCT fingerprint.
     # Hash-partition fps and emit all of a partition's pairs in one pass.
-    n_parts = 64
+    from ballet_ray.functions.partition import default_coarse_parts
+
+    n_parts = default_coarse_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         from ballet_ray.functions.partition import stable_hash_array

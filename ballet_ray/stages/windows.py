@@ -791,7 +791,9 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
     # coarse-partition rank scan: hash-partition GROUPS, rank a whole
     # partition's groups in one vectorized pass (a per-group map_groups
     # pays Ray's per-group frame plumbing for every distinct group)
-    n_parts = 64
+    from ballet_ray.functions.partition import default_coarse_parts
+
+    n_parts = default_coarse_parts()
 
     def add_part(t) -> "pa.Table":
         import pyarrow as pa
