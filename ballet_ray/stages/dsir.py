@@ -76,6 +76,11 @@ def _gram_buckets(
     col = t.column(text_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        # an all-None block arrives null-typed, which split_pattern has no
+        # kernel for; null texts contribute no grams (same as a null row
+        # inside a string-typed block)
+        return np.empty(0, np.int64), np.empty(0, np.int64), len(t)
     words = pc.split_pattern(col, " ")
     n = len(words)
     flat = words.flatten()
@@ -159,7 +164,9 @@ def dsir_log_weights(
     def score(t: pa.Table) -> pa.Table:
         lam = ray.get(lref)
         b, d, n = _gram_buckets(t, text_col=text_col, buckets=buckets, ngmax=ngmax, method=method)
-        logw = np.bincount(d, weights=lam[b], minlength=n)
+        # astype: bincount with EMPTY weights (a block of all-empty texts)
+        # returns int64, which would flip the logw column's schema
+        logw = np.bincount(d, weights=lam[b], minlength=n).astype(np.float64)
         if round_to is not None:
             logw = np.round(logw, round_to)
         return pa.table({id_col: t.column(id_col), "logw": pa.array(logw)})

@@ -791,7 +791,10 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         logp = np.log(lam * mle + (1.0 - lam) * p2)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         pair_doc = doc_idx[:-1][valid]
-        tot = np.bincount(pair_doc, weights=logp[valid], minlength=n)
+        # astype: bincount with an EMPTY weights array returns int64 (a
+        # block of only single-word docs has no valid pairs) — the divide
+        # below needs a float out buffer
+        tot = np.bincount(pair_doc, weights=logp[valid], minlength=n).astype(np.float64)
         npairs = np.maximum(lens - 1, 0)
         mean = np.divide(tot, npairs, out=np.zeros_like(tot), where=npairs > 0)
         out_tot, out_mean, out_ppl = tot, mean, np.exp(-mean)

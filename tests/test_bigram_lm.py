@@ -112,3 +112,17 @@ def test_property_matches_brute(docs, parts):
               for j in range(len(w) - 1)]
         tot = float(np.sum(ls)) if ls else 0.0
         assert got.loc[i, "logprob"] == pytest.approx(tot, abs=1e-10)
+
+
+def test_block_of_single_word_docs_regression():
+    """bincount with an empty weights array returns int64 — a block whose
+    docs are all single words (no valid pairs) must not crash the divide
+    or flip the logprob schema (found by hypothesis)."""
+    ds = rd.from_items(
+        [{"doc_id": f"d{i}", "text": t}
+         for i, t in enumerate(["ccc", "bb", "bb e ccc", "e e a"])]
+    ).repartition(2)  # block 0 = two single-word docs
+    got = bigram_logprob_scores(ds, round_to=None).to_pandas()
+    assert len(got) == 4 and got["logprob"].dtype == np.float64
+    single = got.set_index("doc_id").loc[["d0", "d1"]]
+    assert (single["logprob"] == 0.0).all() and (single["ppl"] == 1.0).all()

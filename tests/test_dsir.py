@@ -156,3 +156,21 @@ def test_property_matches_brute(raw, tgt, parts):
     for i, t in raw_rows:
         exp = sum(lam[_bucket31(g)] for g in _grams(t))
         assert got[i] == pytest.approx(exp, abs=1e-10)
+
+
+def test_block_of_null_texts_schema_regression():
+    """A block of all-NULL texts yields no grams at all; the logw column
+    must stay float64 (empty-weights bincount returns int64 and would
+    flip the schema). Empty STRINGS are different: split("") gives one
+    ""-gram, which scores normally."""
+    import pandas as pd
+    import ray.data as rd
+
+    raw = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["e0", "e1", "d0", "d1"],
+        "text": pd.array([None, None, "a b a", "b c"], dtype="string"),
+    })).repartition(2)  # block 0 = the two null docs
+    tgt = rd.from_items([{"doc_id": "t0", "text": "a b c"}])
+    got = dsir_log_weights(raw, tgt).to_pandas().set_index("doc_id")
+    assert len(got) == 4 and got["logw"].dtype == np.float64
+    assert got.loc["e0", "logw"] == 0.0 and got.loc["e1", "logw"] == 0.0
