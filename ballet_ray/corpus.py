@@ -73,7 +73,7 @@ from ballet_ray.stages.sampling import (
 )
 from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 from ballet_ray.stages.similarity import (
-    assign_clusters,
+    assign_topic_clusters,
     cluster_embeddings,
     diversity_sample,
     embedding_near_dup_pairs,
@@ -165,7 +165,7 @@ __all__ = [
     "BpeEncoder",
     "BpeTokenizer",
     "apply_bpe",
-    "assign_clusters",
+    "assign_topic_clusters",
     "bigram_logprob_scores",
     "bm25_top_terms",
     "budget_sample",

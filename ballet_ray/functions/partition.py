@@ -44,6 +44,22 @@ def default_coarse_parts(requested: int | None = None) -> int:
     return max(64, 2 * cpus)
 
 
+def hash_backend() -> str:
+    """Identity of the vectorized hash :func:`stable_hash_array` resolves
+    to in this environment. Persisted hash-derived state (Bloom bitsets,
+    fitted split/sample artifacts) is stamped with this tag so a restore
+    under a DIFFERENT backend — whose hashes do not line up bit-for-bit —
+    fails loudly instead of silently losing replay suppression or leaking
+    test rows into train (the r4 md5→siphash default flip was breaking in
+    exactly this way)."""
+    try:
+        import polars  # noqa: F401
+
+        return "polars-siphash-v0"
+    except Exception:
+        return "pandas-hasharray-v0"
+
+
 def stable_hash_array(values) -> np.ndarray:
     """Deterministic uint64 hash of an arbitrary array-like (vectorized)."""
     arr = np.asarray(values)

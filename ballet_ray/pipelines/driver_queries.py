@@ -2737,7 +2737,59 @@ LIMIT 50
 """
 
 
+# ORDER IS THE CERTIFICATION INTERFACE: the round driver snapshots only the
+# FIRST 50 entries of this dict into CORRECTNESS_r{N}.json (insertion order).
+# Rounds 2-4 certified the same leading 50; the 46 queries added since are
+# therefore listed FIRST so round 5 records them. The long-certified 50
+# follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "poly_lineitem": q_poly_lineitem,
+    "fourier_events": q_fourier_events,
+    "diff_events": q_diff_events,
+    "rare_label_docs": q_rare_label_docs,
+    "outlier_trim_orders": q_outlier_trim_orders,
+    "math_combo_lineitem": q_math_combo_lineitem,
+    "sum_encode_lang": q_sum_encode_lang,
+    "catboost_encode_priority": q_catboost_encode_priority,
+    "cumsum_events": q_cumsum_events,
+    "ts_features_events": q_ts_features_events,
+    "dfs_customer_orders": q_dfs_customer_orders,
+    "dfs_two_hop_customer": q_dfs_two_hop_customer,
+    "dtree_disc_orders": q_dtree_disc_orders,
+    "dtree_encode_priority": q_dtree_encode_priority,
+    "glmm_encode_priority": q_glmm_encode_priority,
+    "ts_features_full_events": q_ts_features_full_events,
+    "chunk_docs": q_chunk_docs,
+    "pack_docs": q_pack_docs,
+    "hash_split_docs": q_hash_split_docs,
+    "redact_docs": q_redact_docs,
+    "vocab_top_docs": q_vocab_top_docs,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "pca_embeddings": q_pca_embeddings,
+    "logreg_quality_docs": q_logreg_quality_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "percent_rank_orders": q_percent_rank_orders,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "duplicate_passages_docs": q_duplicate_passages_docs,
+    "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
+    "remove_spans_docs": q_remove_spans_docs,
+    "bm25_top_terms_docs": q_bm25_top_terms_docs,
+    "contamination_docs": q_contamination_docs,
+    "shuffle_index_docs": q_shuffle_index_docs,
+    "gopher_filter_docs": q_gopher_filter_docs,
+    "approx_top_events": q_approx_top_events,
+    "curriculum_index_docs": q_curriculum_index_docs,
+    "diversity_sample_embeddings": q_diversity_sample_embeddings,
+    "corpus_divergence_docs": q_corpus_divergence_docs,
+    "ewm_events": q_ewm_events,
+    "hopping_window_events": q_hopping_window_events,
+    "window_distinct_users": q_window_distinct_users,
+    "window_join_events": q_window_join_events,
+    "dsir_logw_docs": q_dsir_logw_docs,
+    "dsir_resample_docs": q_dsir_resample_docs,
+    "bigram_logprob_docs": q_bigram_logprob_docs,
+    # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2788,52 +2840,6 @@ QUERIES = {
     "loo_encode_priority": q_loo_encode_priority,
     "jamesstein_encode_priority": q_jamesstein_encode_priority,
     "normalize_lineitem": q_normalize_lineitem,
-    "poly_lineitem": q_poly_lineitem,
-    "fourier_events": q_fourier_events,
-    "diff_events": q_diff_events,
-    "rare_label_docs": q_rare_label_docs,
-    "outlier_trim_orders": q_outlier_trim_orders,
-    "math_combo_lineitem": q_math_combo_lineitem,
-    "sum_encode_lang": q_sum_encode_lang,
-    "catboost_encode_priority": q_catboost_encode_priority,
-    "cumsum_events": q_cumsum_events,
-    "ts_features_events": q_ts_features_events,
-    "dfs_customer_orders": q_dfs_customer_orders,
-    "dfs_two_hop_customer": q_dfs_two_hop_customer,
-    "dtree_disc_orders": q_dtree_disc_orders,
-    "dtree_encode_priority": q_dtree_encode_priority,
-    "glmm_encode_priority": q_glmm_encode_priority,
-    "ts_features_full_events": q_ts_features_full_events,
-    "chunk_docs": q_chunk_docs,
-    "pack_docs": q_pack_docs,
-    "hash_split_docs": q_hash_split_docs,
-    "redact_docs": q_redact_docs,
-    "vocab_top_docs": q_vocab_top_docs,
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-    "pca_embeddings": q_pca_embeddings,
-    "logreg_quality_docs": q_logreg_quality_docs,
-    "stratified_sample_docs": q_stratified_sample_docs,
-    "mixture_sample_docs": q_mixture_sample_docs,
-    "percent_rank_orders": q_percent_rank_orders,
-    "corr_matrix_lineitem": q_corr_matrix_lineitem,
-    "duplicate_passages_docs": q_duplicate_passages_docs,
-    "token_duplicate_passages_docs": q_token_duplicate_passages_docs,
-    "remove_spans_docs": q_remove_spans_docs,
-    "bm25_top_terms_docs": q_bm25_top_terms_docs,
-    "contamination_docs": q_contamination_docs,
-    "shuffle_index_docs": q_shuffle_index_docs,
-    "gopher_filter_docs": q_gopher_filter_docs,
-    "approx_top_events": q_approx_top_events,
-    "curriculum_index_docs": q_curriculum_index_docs,
-    "diversity_sample_embeddings": q_diversity_sample_embeddings,
-    "corpus_divergence_docs": q_corpus_divergence_docs,
-    "ewm_events": q_ewm_events,
-    "hopping_window_events": q_hopping_window_events,
-    "window_distinct_users": q_window_distinct_users,
-    "window_join_events": q_window_join_events,
-    "dsir_logw_docs": q_dsir_logw_docs,
-    "dsir_resample_docs": q_dsir_resample_docs,
-    "bigram_logprob_docs": q_bigram_logprob_docs,
 }
 
 ORACLE_SQL = {

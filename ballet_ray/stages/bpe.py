@@ -88,6 +88,8 @@ def train_bpe(ds, *, text_col: str = "text", num_merges: int = 1000,
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         flat = pc.split_pattern(col, " ").flatten().dictionary_encode()
         codes = flat.indices.to_numpy(zero_copy_only=False)
         if not len(codes):
@@ -100,7 +102,7 @@ def train_bpe(ds, *, text_col: str = "text", num_merges: int = 1000,
                  .map_batches(word_counts, batch_format="pyarrow")
                  .groupby("term").sum("tf").materialize())
     if counts_ds.count() > max_words:
-        counts = counts_ds.sort("sum(tf)", descending=True).limit(max_words).to_pandas()
+        counts = counts_ds.sort(["sum(tf)", "term"], descending=[True, False]).limit(max_words).to_pandas()
     else:
         counts = counts_ds.to_pandas()
 
@@ -187,6 +189,8 @@ class BpeEncoder:
         col = t.column(self.text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()

@@ -128,6 +128,143 @@ def decode_bmp(b: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG (stdlib zlib: inflate + per-row unfilter — no codec library needed)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (8-bit truecolor, filter 0 rows,
+    one zlib-compressed IDAT)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)  # filter byte 0 per row
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters 0–4. Rows with sequential dependencies (sub /
+    average / paeth) fall back to a per-byte loop; none / up stay
+    vectorized — encoders overwhelmingly emit those for synthetic data."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:]
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # up
+            out[y] = cur + prev  # uint8 add wraps mod 256, per spec
+        elif f == 1:  # sub: recon[x] = raw[x] + recon[x-bpp], per byte lane
+            lanes = cur.reshape(-1, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0, dtype=np.uint8).ravel()
+        elif f == 3:  # average
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                o[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                o[x] = (int(cur[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3) uint8 RGB.
+
+    Supports the common still-image profile: 8-bit depth, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Alpha is dropped, gray broadcast to 3 channels, palettes resolved
+    through PLTE. Interlaced (Adam7) and 16-bit files raise ``ValueError``
+    (rare profiles; re-encode upstream)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack_from(">I", b, pos)
+        cid = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    px = _unfilter(raw[: h * (1 + stride)], h, stride, channels).reshape(h, w, channels)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 6:
+        return px[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # ctype == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    return plte[px[:, :, 0]]
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM16)
 # ---------------------------------------------------------------------------
 
@@ -238,18 +375,24 @@ def detect_mime(payload: bytes) -> str | None:
             return "image/x-ppm"
     if payload[:2] == b"BM":
         return "image/bmp"
+    if payload[:8] == _PNG_SIG:
+        return "image/png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """PPM or BMP bytes → (H, W, 3) uint8 (magic-byte dispatch)."""
+    """PPM, BMP or PNG bytes → (H, W, 3) uint8 (magic-byte dispatch)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise ValueError("unknown image format (supported here: PPM P6, 24-bit BMP)")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError(
+        "unknown image format (supported here: PPM P6, 24-bit BMP, 8-bit PNG)"
+    )
 
 
 def image_features(img: np.ndarray, out_dim: int) -> np.ndarray:

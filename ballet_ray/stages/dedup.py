@@ -1558,7 +1558,9 @@ def remove_duplicate_lines(
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return pc.split_pattern(pc.fill_null(col, ""), "\n")
+        return pc.split_pattern(
+            pc.fill_null(pc.cast(col, pa.string()), ""), "\n"
+        )
 
     def keys(t: pa.Table) -> pa.Table:
         lines = _line_lists(t)

@@ -52,6 +52,8 @@ def corpus_report(
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         lens = np.diff(words.offsets.to_numpy(zero_copy_only=False))
         return pa.table({"words": pa.array(lens.astype(np.int64))})
@@ -81,6 +83,8 @@ def corpus_report(
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         return pa.table({"w": pc.split_pattern(col, " ").flatten()})
 
     words_ds = ds.select_columns([text_col]).map_batches(flat_words, batch_format="pyarrow")

@@ -359,8 +359,8 @@ def ivf_fit_centroids(
     return cents
 
 
-def assign_clusters(ds, centroids: np.ndarray, *, embedding_col: str,
-                    out_col: str = "cluster"):
+def assign_topic_clusters(ds, centroids: np.ndarray, *, embedding_col: str,
+                          out_col: str = "cluster"):
     """Append ``out_col`` = nearest-centroid id (cosine, matching the
     normalized :func:`ivf_fit_centroids` objective) to every row — one
     broadcast of the (K, d) centroid matrix, one GEMM per batch, zero
@@ -380,6 +380,12 @@ def assign_clusters(ds, centroids: np.ndarray, *, embedding_col: str,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+#: Backward-compat alias — the centroid tagger used to be exported as
+#: ``assign_clusters``, which collided with the connected-components
+#: ``dedup.assign_clusters`` when both were re-exported from ``corpus``.
+assign_clusters = assign_topic_clusters
+
+
 def cluster_embeddings(
     ds, *, embedding_col: str, n_clusters: int = 256, out_col: str = "cluster",
     sample_size: int = 8192, iters: int = 5, seed: int = 1754,
@@ -397,8 +403,8 @@ def cluster_embeddings(
     cents = ivf_fit_centroids(ds, embedding_col=embedding_col,
                               n_centroids=n_clusters, sample_size=sample_size,
                               iters=iters, seed=seed)
-    return assign_clusters(ds, cents, embedding_col=embedding_col,
-                           out_col=out_col), cents
+    return assign_topic_clusters(ds, cents, embedding_col=embedding_col,
+                                 out_col=out_col), cents
 
 
 def ivf_knn(

@@ -34,6 +34,16 @@ State persists for the lifetime of the actors: pass the same
 ``handles`` to successive datasets to dedup a multi-day ingest, and
 :meth:`BloomShard.state` / ``restore`` round-trip the bitsets through
 any store for job-level resume.
+
+Retry hazard (and why retries are disabled): the shards are MUTATED as a
+side effect of the map stage. If Ray re-executed a batch (task retry,
+lost-object reconstruction, speculative re-run), the replayed batch's
+hashes would already be set in the filters and every row in it would be
+silently dropped. All three streaming passes therefore run their
+map_batches with ``max_retries=0`` / ``retry_exceptions=False``
+(``_NO_RETRY``): a worker loss fails the job loudly instead of corrupting
+the output, and job-level resume goes through the checkpointed
+``state()``/``restore()`` blobs, which snapshot BEFORE the failed pass.
 """
 
 from __future__ import annotations
@@ -44,6 +54,10 @@ import pyarrow as pa
 import ray
 
 _U64 = np.uint64
+
+# Side-effecting stages must never be re-executed (see module docstring):
+# a replayed batch finds its own hashes already set and drops every row.
+_NO_RETRY = {"max_retries": 0, "retry_exceptions": False}
 
 
 def _probes(h: np.ndarray, k: int, bits: int) -> np.ndarray:
@@ -94,12 +108,37 @@ class _BloomCore:
         return fresh
 
     def state(self) -> bytes:
+        """Snapshot the bitset, stamped with the hash backend that wrote
+        it (header ``BLM2`` + 24-byte backend tag) — a restore under a
+        different backend must fail loudly, not silently stop suppressing
+        replays (the hashes would no longer line up bit-for-bit)."""
+        from ballet_ray.functions.partition import hash_backend
+
+        tag = hash_backend().encode()[:24].ljust(24, b"\0")
         with self._lock:
-            return self.words.tobytes()
+            return b"BLM2" + tag + self.words.tobytes()
 
     def restore(self, blob: bytes) -> None:
+        from ballet_ray.functions.partition import hash_backend
+
+        if blob[:4] != b"BLM2":
+            raise ValueError(
+                "BloomShard.restore: blob has no hash-backend stamp (written "
+                "by a pre-stamp build, or not a BloomShard state blob). "
+                "Hash defaults changed md5->siphash across builds; an "
+                "unstamped bitset cannot be trusted to match this build's "
+                "hashes — re-ingest instead of restoring."
+            )
+        tag = blob[4:28].rstrip(b"\0").decode()
+        here = hash_backend()
+        if tag != here:
+            raise ValueError(
+                f"BloomShard.restore: state was written under hash backend "
+                f"{tag!r} but this environment resolves to {here!r}; the "
+                f"bitsets are incompatible — re-ingest."
+            )
         with self._lock:
-            self.words = np.frombuffer(blob, dtype=_U64).copy()
+            self.words = np.frombuffer(blob[28:], dtype=_U64).copy()
 
 
 @ray.remote
@@ -210,7 +249,7 @@ def streaming_minhash_dedup(
         stale_per_doc = np.bincount(doc_idx, weights=~fresh, minlength=n)
         return t.filter(pa.array(stale_per_doc == 0))
 
-    return ds.map_batches(pass_batch, batch_format="pyarrow")
+    return ds.map_batches(pass_batch, batch_format="pyarrow", **_NO_RETRY)
 
 
 def streaming_embedding_dedup(
@@ -279,7 +318,7 @@ def streaming_embedding_dedup(
         stale_per_doc = np.bincount(doc_idx, weights=~fresh, minlength=n)
         return t.filter(pa.array(stale_per_doc == 0))
 
-    return ds.map_batches(pass_batch, batch_format="pyarrow")
+    return ds.map_batches(pass_batch, batch_format="pyarrow", **_NO_RETRY)
 
 
 def streaming_exact_dedup(ds, *, col: str, handles: list):
@@ -308,4 +347,4 @@ def streaming_exact_dedup(ds, *, col: str, handles: list):
             keep[sel] = f
         return t.filter(pa.array(keep))
 
-    return ds.map_batches(pass_batch, batch_format="pyarrow")
+    return ds.map_batches(pass_batch, batch_format="pyarrow", **_NO_RETRY)

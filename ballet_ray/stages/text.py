@@ -285,6 +285,8 @@ class WordRepetition(Transform):
         col = table.column(c)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()
@@ -343,6 +345,8 @@ def doc_term_counts(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()
@@ -452,7 +456,7 @@ def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
     ctf_total = stats.aggregate(_agg.Sum("ctf", alias_name="t"))["t"]
     df_floor = 0
     if max_vocab is not None and n_terms > max_vocab:
-        df_pdf = stats.sort("df", descending=True).limit(max_vocab).to_pandas()
+        df_pdf = stats.sort(["df", "term"], descending=[True, False]).limit(max_vocab).to_pandas()
         df_floor = int(df_pdf["df"].min())
     else:
         df_pdf = stats.to_pandas()
@@ -470,6 +474,8 @@ def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()
@@ -544,7 +550,7 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
     total = float(counts_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
     denom = total + alpha * vocab
     if max_vocab is not None and vocab > max_vocab:
-        counts = counts_ds.sort("sum(tf)", descending=True).limit(max_vocab).to_pandas()
+        counts = counts_ds.sort(["sum(tf)", "term"], descending=[True, False]).limit(max_vocab).to_pandas()
     else:
         counts = counts_ds.to_pandas()
     logp = dict(zip(counts["term"], np.log((counts["sum(tf)"].to_numpy(np.float64) + alpha) / denom)))
@@ -558,6 +564,8 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()
@@ -613,6 +621,8 @@ class NgramRepetition(Transform):
         col = table.column(c)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         nrows = len(words)
         flat = words.flatten().dictionary_encode()
@@ -712,7 +722,7 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
     total = float(uni_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
     denom = total + alpha * vocab
     if max_vocab is not None and vocab > max_vocab:
-        uni = uni_ds.sort("sum(tf)", descending=True).limit(max_vocab).to_pandas()
+        uni = uni_ds.sort(["sum(tf)", "term"], descending=[True, False]).limit(max_vocab).to_pandas()
     else:
         uni = uni_ds.to_pandas()
     uni_c = dict(zip(uni["term"], uni["sum(tf)"].to_numpy(np.float64)))
@@ -721,6 +731,8 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         flat = words.flatten()
         if len(flat) < 2:
@@ -741,7 +753,7 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
              .map_batches(bigram_counts, batch_format="pyarrow")
              .groupby("bg").sum("n").materialize())
     if max_bigrams is not None and bi_ds.count() > max_bigrams:
-        bi = bi_ds.sort("sum(n)", descending=True).limit(max_bigrams).to_pandas()
+        bi = bi_ds.sort(["sum(n)", "bg"], descending=[True, False]).limit(max_bigrams).to_pandas()
     else:
         bi = bi_ds.to_pandas()
     # a corpus of single-word docs has NO bigrams; the empty dataset loses
@@ -757,6 +769,8 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten()
@@ -917,6 +931,8 @@ def winnow_fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
         col = t.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
         words = pc.split_pattern(col, " ")
         n = len(words)
         flat = words.flatten().dictionary_encode()

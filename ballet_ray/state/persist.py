@@ -30,9 +30,15 @@ def save_artifact(obj, path: str) -> str:
     """Pickle ``obj`` into a versioned envelope at ``path`` (atomic)."""
     from ballet_ray import __version__ as engine_version
 
+    from ballet_ray.functions.partition import hash_backend
+
     env = {
         "format": _FORMAT,
         "engine_version": engine_version,
+        # hash-derived fits (splits, samples, shuffle orders) only
+        # reproduce under the backend that wrote them; load_artifact
+        # surfaces a mismatch instead of silently changing memberships
+        "hash_backend": hash_backend(),
         "class": f"{type(obj).__module__}.{type(obj).__qualname__}",
         "payload": obj,
     }
@@ -57,6 +63,18 @@ def load_artifact(path: str, *, expect_class: str | None = None):
         raise ValueError(
             f"artifact holds {env['class']}, expected *{expect_class}"
         )
+    saved_backend = env.get("hash_backend")
+    if saved_backend is not None:
+        from ballet_ray.functions.partition import hash_backend
+
+        here = hash_backend()
+        if saved_backend != here:
+            raise ValueError(
+                f"artifact was fitted under hash backend {saved_backend!r} "
+                f"but this environment resolves to {here!r}; hash-derived "
+                f"state (splits/samples/shuffle orders) will not reproduce "
+                f"— refit instead of loading."
+            )
     return env["payload"]
 
 

@@ -207,12 +207,27 @@ def run_bench() -> dict:
     qtimes = {}
     if os.environ.get("BENCH_SKIP_QUERIES"):
         query_subset = {}
+
+    # per-query entries are best-of-2 like the headline: the r4 driver
+    # record's single-shot entries landed in interference windows and
+    # contradicted the same session's controlled measurements by 2-4x
+    # (chunk_pack 40.5s recorded vs 13.2s measured); min-over-repetitions
+    # is the standard cost estimator under external time-sharing noise
+    q_trials = 1 if os.environ.get("BENCH_SINGLE_TRIAL") else 2
+
+    def best_time(fn, trials=q_trials) -> float:
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        return round(best, 3)
+
     for name, fn in query_subset.items():
-        tq = time.time()
-        res = fn(sf_dir)
-        # force full execution
-        res.count()
-        qtimes[name] = round(time.time() - tq, 3)
+        # force full execution each trial (count() consumes the stream)
+        qtimes[name] = best_time(lambda fn=fn: fn(sf_dir).count())
 
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         # token-level near-dedup on the canonical tokens column (no text
@@ -226,7 +241,6 @@ def run_bench() -> dict:
             ids = [f"{d}:{s}" for d, s in zip(t.column("doc_id").to_pylist(), ts)]
             return pa.table({"seq_id": pa.array(ids), "tokens": t.column("tokens")})
 
-        tq = time.time()
         # prune at the read: limit() has no parquet pushdown (a plain
         # read .limit(100k) decoded 2.4M rows / 2.5 GB before dropping 96%
         # of them — measured 14 s of a 45 s run), so list just enough
@@ -239,17 +253,19 @@ def run_bench() -> dict:
         )
         rows_per_shard = CORPUS_ROWS // len(shard_files)
         need = -(-100_000 // rows_per_shard)  # ceil
-        seqs = (
-            rd.read_parquet(shard_files[:need], columns=["doc_id", "event_ts", "tokens"])
-            .limit(100_000)
-            # limit() collapses to few blocks — re-spread for parallel
-            # signing; 2 blocks per CPU (Ray bundles small adjacent blocks
-            # into one task: at 1 block/CPU only half the cores signed)
-            .repartition(2 * num_cpus)
-            .map_batches(add_seq_id, batch_format="pyarrow")
-        )
-        token_minhash_lsh_pairs(seqs, id_col="seq_id", est_threshold=0.9).count()
-        qtimes["token_minhash_100k_seqs"] = round(time.time() - tq, 3)
+        def run_token_minhash():
+            seqs = (
+                rd.read_parquet(shard_files[:need], columns=["doc_id", "event_ts", "tokens"])
+                .limit(100_000)
+                # limit() collapses to few blocks — re-spread for parallel
+                # signing; 2 blocks per CPU (Ray bundles small adjacent blocks
+                # into one task: at 1 block/CPU only half the cores signed)
+                .repartition(2 * num_cpus)
+                .map_batches(add_seq_id, batch_format="pyarrow")
+            )
+            token_minhash_lsh_pairs(seqs, id_col="seq_id", est_threshold=0.9).count()
+
+        qtimes["token_minhash_100k_seqs"] = best_time(run_token_minhash)
 
         # sequence shaping on the full canonical corpus: context-window
         # chunking (stride < max_len → ~1.3x token expansion) piped into
@@ -257,14 +273,20 @@ def run_bench() -> dict:
         # path, zero shuffle end to end
         from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
 
-        tq = time.time()
-        corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"])
-        chunked = chunk_sequences(corpus, max_len=512, stride=384)
-        packed = pack_sequences(chunked, max_len=2048)
         from ray.data.aggregate import Count, Sum
 
-        agg = packed.aggregate(Count(alias_name="packs"), Sum("n_tok", alias_name="toks"))
-        qtimes["chunk_pack_4m_rows"] = round(time.time() - tq, 3)
+        pack_agg = {}
+
+        def run_chunk_pack():
+            corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"])
+            chunked = chunk_sequences(corpus, max_len=512, stride=384)
+            packed = pack_sequences(chunked, max_len=2048)
+            pack_agg.update(
+                packed.aggregate(Count(alias_name="packs"), Sum("n_tok", alias_name="toks"))
+            )
+
+        qtimes["chunk_pack_4m_rows"] = best_time(run_chunk_pack)
+        agg = pack_agg
         print(
             f"# chunk+pack: {agg['packs']} packs, {agg['toks']} tokens, "
             f"{round(agg['toks']/qtimes['chunk_pack_4m_rows']/1e6,1)} Mtok/s",
@@ -293,12 +315,14 @@ def run_bench() -> dict:
         keys4m = rd.read_parquet(corpus_dir, columns=["doc_id", "event_ts"]).map_batches(
             add_seq_key, batch_format="pyarrow"
         ).materialize()
-        tq = time.time()
-        global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:").count()
-        qtimes["shuffle_index_4m_rows"] = round(time.time() - tq, 3)
-        tq = time.time()
-        global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:", method="md5").count()
-        qtimes["shuffle_index_4m_rows_md5"] = round(time.time() - tq, 3)
+        qtimes["shuffle_index_4m_rows"] = best_time(
+            lambda: global_shuffle_index(keys4m, key_col="seq_key", salt="epoch0:").count()
+        )
+        qtimes["shuffle_index_4m_rows_md5"] = best_time(
+            lambda: global_shuffle_index(
+                keys4m, key_col="seq_key", salt="epoch0:", method="md5"
+            ).count()
+        )
         # release the 4M-row materialized key table before the ingest job —
         # holding it pressures the object store under the next stage's reads
         del keys4m
@@ -328,11 +352,17 @@ def run_bench() -> dict:
             vocab=50_257, min_words=20, max_len=128, stride=None, pack_len=1024,
             files_per_part=2, sep_token=None,
         )
-        tq = time.time()
-        try:
+
+        def run_ingest_clean():
+            # fresh output dir per trial: every trial measures the clean
+            # (non-replay) path with a cold Bloom index
+            if os.path.isdir(out_dir):
+                _sh.rmtree(out_dir)
             with _cl.redirect_stdout(_io.StringIO()):
                 run_ingest(args)
-            qtimes["ingest_1m_docs"] = round(time.time() - tq, 3)
+
+        try:
+            qtimes["ingest_1m_docs"] = best_time(run_ingest_clean)
         except Exception as e:  # one flaky stage must not sink the record
             print(f"# ingest bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             qtimes["ingest_1m_docs"] = -1.0
@@ -351,13 +381,16 @@ def run_bench() -> dict:
 
             tagged = rd.read_parquet(dom_dir).map_batches(
                 extract_domain, batch_format="pyarrow").materialize()
-            tq = time.time()
-            alive = filter_groups(tagged, group_col="domain", agg="count",
-                                  min_value=5)
-            n = cap_per_group(alive, group_col="domain", key_col="doc_id",
-                              cap=100).count()
-            qtimes["domain_cap_1m_docs"] = round(time.time() - tq, 3)
-            print(f"# domain curation kept {n} rows", file=sys.stderr)
+            kept = {}
+
+            def run_domain_cap():
+                alive = filter_groups(tagged, group_col="domain", agg="count",
+                                      min_value=5)
+                kept["n"] = cap_per_group(alive, group_col="domain",
+                                          key_col="doc_id", cap=100).count()
+
+            qtimes["domain_cap_1m_docs"] = best_time(run_domain_cap)
+            print(f"# domain curation kept {kept['n']} rows", file=sys.stderr)
         except Exception as e:  # one flaky stage must not sink the record
             print(f"# domain bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             qtimes["domain_cap_1m_docs"] = -1.0

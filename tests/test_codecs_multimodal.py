@@ -156,3 +156,124 @@ def test_unknown_format_stub_behavior():
     fs = FrameSampler(use_fake=False)
     with pytest.raises(NotImplementedError):
         fs._extract(b"mp4 bytes", 0, 100)
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 5: stdlib-zlib decode, reference ballet has no counterpart —
+# this is the multimodal scale path's most common real-corpus format)
+# ---------------------------------------------------------------------------
+
+
+def _build_png(img: np.ndarray, filters: list[int], ctype: int = 2,
+               plte: np.ndarray | None = None) -> bytes:
+    """Hand-encode a PNG using the given per-row filter cycle — exercises
+    every unfilter path, not just the filter-0 rows encode_png emits."""
+    import struct
+    import zlib
+
+    from ballet_ray.stages.codecs import _PNG_SIG, _png_chunk
+
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w * c).astype(np.int32)
+    rows, prev = [], np.zeros(w * c, np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa_ <= pb and pa_ <= pc_ else (b if pb <= pc_ else cc)
+
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y]
+        enc = np.zeros(w * c, np.int32)
+        for x in range(w * c):
+            left = cur[x - c] if x >= c else 0
+            ul = prev[x - c] if x >= c else 0
+            if f == 0:
+                enc[x] = cur[x]
+            elif f == 1:
+                enc[x] = cur[x] - left
+            elif f == 2:
+                enc[x] = cur[x] - prev[x]
+            elif f == 3:
+                enc[x] = cur[x] - ((left + prev[x]) >> 1)
+            else:
+                enc[x] = cur[x] - paeth(left, prev[x], ul)
+        rows.append(bytes([f]) + bytes((enc % 256).astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(b"".join(rows))) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_and_mime():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    b = cd.encode_png(img)
+    assert cd.detect_mime(b) == "image/png"
+    assert np.array_equal(cd.decode_png(b), img)
+    assert np.array_equal(cd.decode_image(b), img)
+
+
+def test_png_all_filter_types():
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (10, 7, 3)).astype(np.uint8)
+    assert np.array_equal(cd.decode_png(_build_png(img, [0, 1, 2, 3, 4])), img)
+
+
+def test_png_color_types():
+    rng = np.random.RandomState(5)
+    g = rng.randint(0, 256, (6, 5, 1)).astype(np.uint8)
+    assert np.array_equal(
+        cd.decode_png(_build_png(g, [2, 1], ctype=0)), np.repeat(g, 3, axis=2)
+    )
+    rgba = rng.randint(0, 256, (6, 5, 4)).astype(np.uint8)
+    assert np.array_equal(
+        cd.decode_png(_build_png(rgba, [4, 3], ctype=6)), rgba[:, :, :3]
+    )
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (8, 9, 1)).astype(np.uint8)
+    assert np.array_equal(
+        cd.decode_png(_build_png(idx, [0, 1], ctype=3, plte=pal)), pal[idx[:, :, 0]]
+    )
+
+
+def test_png_unsupported_profiles_raise():
+    import struct
+    import zlib
+
+    from ballet_ray.stages.codecs import _PNG_SIG, _png_chunk
+
+    with pytest.raises(ValueError):
+        cd.decode_png(b"not a png")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    b16 = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\0" * 26)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="depth"):
+        cd.decode_png(b16)
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    bi = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", zlib.compress(b"\0" * 14)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlaced"):
+        cd.decode_png(bi)
+
+
+def test_png_through_featurize_and_resize():
+    t = synthetic_image_table(6, width=16, height=12, fmt="png")
+    feats = featurize_media(rd.from_arrow(t), out_dim=16, batch_size=3).to_pandas()
+    assert len(feats) == 6 and all(len(f) == 16 for f in feats["media_feat"])
+    small = resize_media(rd.from_arrow(t), width=8, height=6, batch_size=3).to_pandas()
+    for p in small["payload"]:
+        img = cd.decode_png(bytes(p))
+        assert img.shape == (6, 8, 3)
+    # featurization of the PNG equals featurization of the same pixels PPM
+    tp = synthetic_image_table(6, width=16, height=12, fmt="ppm")
+    fp = featurize_media(rd.from_arrow(tp), out_dim=16, batch_size=3).to_pandas()
+    a = np.stack([np.asarray(x) for x in feats.sort_values("media_id")["media_feat"]])
+    b = np.stack([np.asarray(x) for x in fp.sort_values("media_id")["media_feat"]])
+    assert np.allclose(a, b)
