@@ -353,7 +353,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     est_threshold: float = 0.5,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     max_bucket: int = 5000,
     num_partitions: int | None = None,
     broadcast_docs: int = 200_000,
@@ -374,8 +374,11 @@ def minhash_lsh_pairs(
     projected = ds.select_columns([id_col, text_col])
     # signatures are consumed twice (band explode + verify join): drop the
     # text payload, then materialize only (id, minhash) — 512 B/doc, not the
-    # corpus. concurrency=None runs task-based (MinHasher init is two tiny
-    # arrays — cheaper to rebuild per task than to spin an actor pool).
+    # corpus. concurrency=None (the default) runs task-based: MinHasher init
+    # is two tiny arrays — cheaper to rebuild per task than to spin an actor
+    # pool, and a fixed pool can reserve every CPU of a small cluster and
+    # starve an upstream shuffle (observed deadlock at num_cpus=4 behind a
+    # line-dedup join). Pass an int only when signing cost dominates.
     if concurrency is None:
         mk = dict(num_perm=num_perm, k=shingle_k, text_col=text_col)
         signed_src = projected.map_batches(
@@ -633,18 +636,27 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     max_bucket: int = 5000,
 ):
     """Near-dup pairs whose 64-bit simhash Hamming distance <= max_hamming.
     Bucket by each of 4 16-bit bands (pigeonhole: distance<=3 ⇒ at least one
-    band equal), verify distance within buckets (vectorized popcount)."""
-    signed = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    band equal), verify distance within buckets (vectorized popcount).
+    ``concurrency=None`` (default) signs task-based — same rationale as
+    :func:`minhash_lsh_pairs` (a fixed actor pool can starve an upstream
+    shuffle on a small cluster)."""
+    if concurrency is None:
+        signed = ds.map_batches(
+            lambda t, _tc=text_col: SimHasher(text_col=_tc)(t),
+            batch_format="pyarrow",
+        )
+    else:
+        signed = ds.map_batches(
+            SimHasher,
+            fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -811,7 +823,12 @@ def assign_clusters(
     if edges.count() <= driver_edges_threshold:
         import ray.data as _rdata
 
-        labels_df = _unionfind_labels(edges.to_pandas(), id_col)
+        edges_df = edges.to_pandas()
+        # a fully-empty pair set can arrive schema-less (no id_a/id_b cols)
+        if len(edges_df) == 0 or "id_a" not in edges_df.columns:
+            labels_df = pd.DataFrame({id_col: [], "cluster_rep": []})
+        else:
+            labels_df = _unionfind_labels(edges_df, id_col)
         if len(labels_df) == 0:
             labels_df = pd.DataFrame({id_col: [], "cluster_rep": []})
         return _rdata.from_pandas(labels_df)
@@ -921,7 +938,10 @@ def dedup_by_minhash(
         batch_format="pyarrow",
     )
     if resolve == "broadcast":
-        losers = loser_ds.to_pandas()[id_col].to_numpy()
+        losers_df = loser_ds.to_pandas()
+        if id_col not in losers_df.columns:  # no dups at all: schema-less empty
+            return ds
+        losers = losers_df[id_col].to_numpy()
         from ballet_ray.stages.joins import semi_join_filter
 
         return semi_join_filter(ds, losers, key=id_col, invert=True)

@@ -159,8 +159,13 @@ def scrub_empty_blocks(ds, *, schema: pa.Schema | None = None):
     return rd.from_arrow_refs([_to_arrow.remote(r) for r in kept])
 
 
-def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partitions: int = 32):
+def hash_join(left, right, *, on, right_on=None, how: str = "inner",
+              num_partitions: int | None = None):
     """Large-large equi-join via Ray Data's hash-partitioned Dataset.join.
+
+    ``num_partitions=None`` sizes the aggregator-actor count to the cluster
+    via :func:`default_join_partitions` — a hard-coded count larger than
+    the CPU total deadlocks the streaming executor on small clusters.
 
     List-typed payload columns (e.g. the canonical ``tokens:list<int32>``)
     are transparently binary-packed around the join — Acero rejects list
@@ -169,6 +174,7 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
     schema probe can MISS list columns (pack is a no-op relabel otherwise).
     Schema-less empty blocks on either side are conformed to the side's
     schema before the shuffle."""
+    num_partitions = default_join_partitions(num_partitions)
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (tuple(right_on) if right_on else None)
 

@@ -44,6 +44,18 @@ map_batches with ``max_retries=0`` / ``retry_exceptions=False``
 (``_NO_RETRY``): a worker loss fails the job loudly instead of corrupting
 the output, and job-level resume goes through the checkpointed
 ``state()``/``restore()`` blobs, which snapshot BEFORE the failed pass.
+
+Probe hazard (the plan-level twin of the retry hazard): the lazy Dataset
+chain these stages return must be EXECUTED EXACTLY ONCE. Anything that
+partially executes the plan a first time — ``ds.schema(fetch_if_missing=
+True)`` / a ``limit(1)`` peek, a FeatureEngineeringPipeline fit's schema
+probe, ``hash_join``'s side-schema probe, or simply consuming the dataset
+twice — inserts the probed blocks' hashes, after which the real execution
+sees them as already-present and silently drops those docs (behind a join
+barrier the probe runs EVERY upstream block, suppressing the entire
+corpus). Place the streaming-dedup stage LAST, immediately before the one
+consuming ``write_parquet``/``materialize``/aggregate, with all fits,
+probes and joins upstream of it — the pattern ``jobs/run.py`` follows.
 """
 
 from __future__ import annotations

@@ -39,12 +39,13 @@ def ensure_corpus() -> str:
     return CORPUS_DIR
 
 
-INGEST_DIR = "/tmp/bench_ingest_corpus"
+INGEST_DIR = "/tmp/bench_ingest_corpus_v2"
 
 
 def ensure_ingest_corpus() -> str:
     """1M-doc deterministic text corpus (60 words from a 5k vocab per doc,
-    20% exact duplicates of the first 50k ids) for the ingest bench."""
+    20% exact duplicates of the first 50k ids, a web/books source mix) for
+    the ingest and curate benches. Readers prune to the columns they need."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -62,7 +63,8 @@ def ensure_ingest_corpus() -> str:
         base = np.where(rng.rand(per) < 0.2, ids % 50_000, ids)
         texts = [" ".join(words[np.random.RandomState(int(b)).randint(0, 5000, 60)])
                  for b in base]
-        pq.write_table(pa.table({"doc_id": ids, "text": texts}),
+        src = np.where(ids % 5 == 0, "books", "web")
+        pq.write_table(pa.table({"doc_id": ids, "text": texts, "source": src}),
                        os.path.join(INGEST_DIR, f"part-{s:02d}.parquet"))
     return INGEST_DIR
 
@@ -396,6 +398,55 @@ def run_bench() -> dict:
             qtimes["domain_cap_1m_docs"] = -1.0
         if gen_s > 1:
             print(f"# domain corpus generated in {gen_s:.1f}s", file=sys.stderr)
+
+        # composed curation flagship (jobs/run.py --mode curate) over 250k
+        # docs (4 of the corpus's 16 shards — sized so best-of-2 stays
+        # within the bench budget): corpus-wide line dedup -> Gopher fused
+        # quality filter -> streaming MinHash near-dedup (sharded Bloom
+        # index, placed last per the probe-hazard contract) -> unigram-LM
+        # perplexity filter (keep best 90%) -> temperature mixture over the
+        # source column -> deterministic global shuffle index -> tokenize ->
+        # resumable chunk+pack. Fresh output dir per trial so every trial
+        # measures the clean (non-replay) path.
+        from jobs.run import run_curate
+
+        curate_in = [
+            os.path.join(ingest_dir, f"part-{s:02d}.parquet") for s in range(4)
+        ]
+        curate_out = "/tmp/bench_curate_out"
+        curate_args = _ap.Namespace(
+            input=curate_in, out=curate_out, dedup="streaming", ppl_keep=0.9,
+            lm="unigram", quality_model=None, quality_threshold=0.5,
+            mix="temperature", mix_group="source", alpha=0.3, mix_total=None,
+            target=None, dsir_k=None, stop_after=None, rows_per_shard=100_000,
+            bloom_shards=8, bloom_bits=1 << 27, vocab=50_257, min_words=20,
+            max_len=128, stride=None, pack_len=1024, files_per_part=2,
+            sep_token=None,
+        )
+        curate_summary = {}
+
+        def run_curate_clean():
+            if os.path.isdir(curate_out):
+                _sh.rmtree(curate_out)
+            buf = _io.StringIO()
+            with _cl.redirect_stdout(buf):
+                run_curate(curate_args)
+            curate_summary.update(json.loads(buf.getvalue().strip().splitlines()[-1]))
+
+        try:
+            qtimes["curate_250k_docs"] = best_time(run_curate_clean)
+            st = curate_summary.get("stages", {})
+            print(
+                "# curate: "
+                + " -> ".join(
+                    f"{k}:{v.get('rows_out', v.get('packs', '?'))}"
+                    for k, v in st.items()
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:  # one flaky stage must not sink the record
+            print(f"# curate bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            qtimes["curate_250k_docs"] = -1.0
 
     ray.shutdown()
     return {

@@ -86,12 +86,11 @@ def run_ingest(args) -> None:
 
     ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
     docs_in = ds.count()
-    deduped = streaming_exact_dedup(ds, col="text", handles=handles)
 
     pipe = FeatureEngineeringPipeline(
         [Feature("text", QualityScore()), Feature("text", WordRepetition())]
     )
-    scored = pipe.fit_transform(deduped)
+    scored = pipe.fit_transform(ds)
 
     min_words = args.min_words
 
@@ -112,9 +111,17 @@ def run_ingest(args) -> None:
             ["doc_id", "tokens", "n_tok"]
         )
 
-    kept = scored.map_batches(keep, batch_format="pyarrow").map_batches(
-        tokenize, batch_format="pyarrow"
+    # the stateful Bloom stage goes LAST, immediately before the one
+    # consuming write: any earlier placement lets a downstream schema
+    # probe (ds.schema(fetch_if_missing=True), a pipeline fit, hash_join's
+    # _prep) execute the lazy insert chain a first time, after which the
+    # real execution sees every hash as already-present and silently
+    # suppresses the whole corpus. Quality-filter-then-dedup also shrinks
+    # what the index must absorb.
+    deduped = streaming_exact_dedup(
+        scored.map_batches(keep, batch_format="pyarrow"), col="text", handles=handles
     )
+    kept = deduped.map_batches(tokenize, batch_format="pyarrow")
     # intermediate tokens parquet = the pack phase's resume substrate
     if os.path.isdir(tokens_dir):
         import shutil
@@ -164,6 +171,372 @@ def run_ingest(args) -> None:
     print(json.dumps(summary))
 
 
+def _stage_done(manifest_dir: str, name: str):
+    p = os.path.join(manifest_dir, f"stage-{name}.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _stage_mark(manifest_dir: str, name: str, info: dict) -> None:
+    os.makedirs(manifest_dir, exist_ok=True)
+    tmp = os.path.join(manifest_dir, f".stage-{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, os.path.join(manifest_dir, f"stage-{name}.json"))
+
+
+def _fresh_dir(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+
+def _write_stage(ds, path: str) -> int:
+    """Materialize a stage's output as partitioned parquet; returns rows."""
+    import ray.data as rd
+
+    _fresh_dir(path)
+    ds.write_parquet(path)
+    os.makedirs(path, exist_ok=True)  # empty stream writes nothing
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        return 0
+    return rd.read_parquet(path, columns=["doc_id"]).count()
+
+
+def run_curate(args) -> None:
+    """The composed curation flagship — what a 100-TB corpus user actually
+    runs, chaining the individually-oracled stages end to end:
+
+      clean   line dedup (corpus-wide boilerplate removal) → near-dedup
+              (batch MinHash-LSH cluster dedup by default — deterministic
+              canonical winner; ``--dedup streaming`` switches to the
+              sharded-Bloom online index with state checkpointed under
+              <out>/bloom_state for append-only ingest) → Gopher fused
+              quality filter; the mixing group column is re-joined through
+              one narrow (id, group) hash join.
+      lm      corpus-self-trained LM fluency filter: keep the best
+              --ppl-keep quantile by unigram mean log-prob (default;
+              vocab-bounded model table) or bigram perplexity
+              (``--lm bigram``, CCNet-style); optional ``--quality-model``
+              artifact applies the fastText-shape classifier filter on
+              top.
+      mix     temperature-flattened mixture over the group column
+              (default), DSIR importance resampling toward --target, or
+              passthrough.
+      tokens  deterministic global shuffle index (epoch order reproducible
+              across runs/partitionings) + hash tokenization to the
+              canonical (doc_id, tokens, n_tok, shuffle_idx) shape.
+      pack    resumable context-window chunk + best-fit packing
+              (CheckpointedPack manifests).
+
+    Every stage materializes partitioned parquet under <out>/<stage>/ and
+    records a lineage manifest under <out>/manifests/; re-running the same
+    command skips completed stages, so a failed run resumes at the first
+    unfinished stage and a resumed run's final packs are byte-identical to
+    a clean run's (all selection is hash-priority deterministic).
+    ``--stop-after <stage>`` checkpoints a partial run on purpose.
+    """
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ballet_ray.feature import Feature
+    from ballet_ray.pipeline import FeatureEngineeringPipeline
+    from ballet_ray.stages.joins import hash_join
+    from ballet_ray.stages.text import QualityScore, WordRepetition, hash_tokenize
+
+    t0 = time.time()
+    out = args.out
+    man = os.path.join(out, "manifests")
+    group_col = args.mix_group
+    stages_summary: dict[str, dict] = {}
+    order = ["clean", "lm", "mix", "tokens", "pack"]
+    stop_ix = order.index(args.stop_after) if args.stop_after else len(order) - 1
+
+    def finish():
+        summary = {
+            "mode": "curate",
+            "stages": stages_summary,
+            "stopped_after": order[stop_ix],
+            "wall_s_total": round(time.time() - t0, 3),
+        }
+        print(json.dumps(summary))
+
+    # ---- clean ----------------------------------------------------------
+    clean_dir = os.path.join(out, "clean")
+    info = _stage_done(man, "clean")
+    if info is None:
+        ts = time.time()
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        docs_in = ds.count()
+        from ballet_ray.stages.dedup import remove_duplicate_lines
+
+        cleaned = remove_duplicate_lines(
+            ds, text_col="text", id_col="doc_id"
+        ).select_columns(["doc_id", "text"])
+
+        restored = False
+        # batch dedup modes are STATELESS transforms — safe anywhere in the
+        # chain, so they run early (dedup-then-score, fewer docs scored)
+        if args.dedup == "minhash":
+            from ballet_ray.stages.dedup import dedup_by_minhash
+
+            cleaned = dedup_by_minhash(
+                cleaned, text_col="text", id_col="doc_id", resolve="broadcast"
+            )
+        elif args.dedup == "exact":
+            from ballet_ray.stages.dedup import exact_dedup
+
+            cleaned = exact_dedup(cleaned, col="text", id_col="doc_id")
+
+        pipe = FeatureEngineeringPipeline(
+            [Feature("text", QualityScore()), Feature("text", WordRepetition())]
+        )
+        scored = pipe.fit_transform(cleaned)
+        min_words = args.min_words
+
+        def keep(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(
+                    pc.greater_equal(t.column("words"), min_words),
+                    pc.less_equal(t.column("dup_word_frac"), 0.6),
+                ),
+                pc.less_equal(t.column("top_word_frac"), 0.13),
+            )
+            return t.filter(m).select(["doc_id", "text"])
+
+        kept = scored.map_batches(keep, batch_format="pyarrow")
+        if group_col:
+            meta = rd.read_parquet(args.input, columns=["doc_id", group_col])
+            kept = hash_join(kept, meta, on="doc_id")
+        if args.dedup == "streaming":
+            # the stateful Bloom stage goes LAST, immediately before the one
+            # consuming write: any earlier placement lets a downstream probe
+            # (pipeline fit's schema fetch, hash_join's _prep) execute the
+            # lazy insert chain once, after which the real run sees every
+            # hash as already-present and suppresses the entire corpus.
+            from ballet_ray.stages.streaming_dedup import (
+                make_bloom_index,
+                streaming_minhash_dedup,
+            )
+
+            state_dir = os.path.join(out, "bloom_state")
+            handles = make_bloom_index(args.bloom_shards, bits=args.bloom_bits)
+            if os.path.isdir(state_dir):
+                blobs = [
+                    open(os.path.join(state_dir, f"shard-{s}.bin"), "rb").read()
+                    for s in range(args.bloom_shards)
+                    if os.path.exists(os.path.join(state_dir, f"shard-{s}.bin"))
+                ]
+                if len(blobs) == args.bloom_shards:
+                    ray.get([h.restore.remote(b) for h, b in zip(handles, blobs)])
+                    restored = True
+            kept = streaming_minhash_dedup(
+                kept, handles=handles, id_col="doc_id", text_col="text"
+            )
+        rows = _write_stage(kept, clean_dir)
+        if args.dedup == "streaming":
+            state_dir = os.path.join(out, "bloom_state")
+            os.makedirs(state_dir, exist_ok=True)
+            for s, blob in enumerate(ray.get([h.state.remote() for h in handles])):
+                tmp = os.path.join(state_dir, f".shard-{s}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, os.path.join(state_dir, f"shard-{s}.bin"))
+        info = {"docs_in": int(docs_in), "rows_out": int(rows),
+                "bloom_restored": restored, "wall_s": round(time.time() - ts, 3)}
+        _stage_mark(man, "clean", info)
+    else:
+        info = {**info, "resumed": True}
+    stages_summary["clean"] = info
+    if stop_ix == 0:
+        return finish()
+
+    # ---- lm (perplexity + optional classifier filter) --------------------
+    lm_dir = os.path.join(out, "lm")
+    info = _stage_done(man, "lm")
+    if info is None:
+        ts = time.time()
+        ds = rd.read_parquet(clean_dir)
+        thr = None
+        if stages_summary["clean"]["rows_out"] == 0:
+            rows = _write_stage(ds, lm_dir)
+        elif args.ppl_keep < 1.0:
+            from ballet_ray.stages.sketches import approx_quantiles
+
+            # unigram default: its model table is vocab-bounded (one tiny
+            # term groupby + broadcast), so the stage's cost is two streaming
+            # scans at ANY corpus size. --lm bigram upgrades to the CCNet-
+            # style interpolated model — Zipfian real text keeps the bigram
+            # table tractable, but its term-keyed groupby is the one part of
+            # this job whose exchange grows with corpus size (a uniform-
+            # random stress corpus makes nearly every bigram distinct).
+            if args.lm == "bigram":
+                from ballet_ray.stages.text import bigram_logprob_scores
+
+                scores = bigram_logprob_scores(
+                    ds, text_col="text", id_col="doc_id", round_to=None
+                ).select_columns(["doc_id", "ppl"]).materialize()
+                thr = float(approx_quantiles(scores, "ppl", [args.ppl_keep])[0])
+                winners = scores.map_batches(
+                    lambda t, thr=thr: t.filter(
+                        pc.less_equal(t.column("ppl"), thr)),
+                    batch_format="pyarrow",
+                )
+            else:
+                from ballet_ray.stages.text import unigram_logprob_scores
+
+                scores = unigram_logprob_scores(
+                    ds, text_col="text", id_col="doc_id", round_to=None
+                ).select_columns(["doc_id", "mean_logprob"]).materialize()
+                thr = float(
+                    approx_quantiles(scores, "mean_logprob",
+                                     [1.0 - args.ppl_keep])[0])
+                winners = scores.map_batches(
+                    lambda t, thr=thr: t.filter(
+                        pc.greater_equal(t.column("mean_logprob"), thr)),
+                    batch_format="pyarrow",
+                )
+            filtered = hash_join(ds, winners, on="doc_id")
+            if args.quality_model:
+                from ballet_ray.state.persist import load_artifact
+                from ballet_ray.stages.classifier import quality_filter_by_model
+
+                model = load_artifact(args.quality_model)
+                filtered = quality_filter_by_model(
+                    filtered, model, threshold=args.quality_threshold
+                )
+            rows = _write_stage(filtered, lm_dir)
+        else:
+            rows = _write_stage(ds, lm_dir)
+        info = {"rows_out": int(rows), "lm_threshold": thr,
+                "wall_s": round(time.time() - ts, 3)}
+        _stage_mark(man, "lm", info)
+    else:
+        info = {**info, "resumed": True}
+    stages_summary["lm"] = info
+    if stop_ix == 1:
+        return finish()
+
+    # ---- mix -------------------------------------------------------------
+    mix_dir = os.path.join(out, "mix")
+    info = _stage_done(man, "mix")
+    if info is None:
+        ts = time.time()
+        ds = rd.read_parquet(lm_dir)
+        if stages_summary["lm"]["rows_out"] == 0 or args.mix == "none":
+            rows = _write_stage(ds, mix_dir)
+        elif args.mix == "temperature":
+            from ballet_ray.stages.sampling import temperature_sample
+
+            mixed = temperature_sample(
+                ds, group_col=group_col, key_col="doc_id", alpha=args.alpha,
+                target_total=args.mix_total, salt="curate",
+            )
+            rows = _write_stage(mixed, mix_dir)
+        elif args.mix == "dsir":
+            from ballet_ray.stages.dsir import dsir_resample
+
+            if not args.target:
+                raise SystemExit("--mix dsir requires --target")
+            target = rd.read_parquet(args.target, columns=["doc_id", "text"])
+            k = args.dsir_k or max(1, stages_summary["lm"]["rows_out"] // 2)
+            sel = dsir_resample(
+                ds, target, k=k, text_col="text", id_col="doc_id"
+            ).select_columns(["doc_id"])
+            rows = _write_stage(hash_join(ds, sel, on="doc_id"), mix_dir)
+        else:
+            raise SystemExit(f"unknown --mix {args.mix}")
+        info = {"rows_out": int(rows), "wall_s": round(time.time() - ts, 3)}
+        _stage_mark(man, "mix", info)
+    else:
+        info = {**info, "resumed": True}
+    stages_summary["mix"] = info
+    if stop_ix == 2:
+        return finish()
+
+    # ---- tokens (global shuffle order + tokenize) --------------------------
+    # Deterministic sharded layout: shard = shuffle_idx range, ONE sorted
+    # file per shard written inside the task (tmp + atomic rename). The
+    # file count and every file's contents depend only on (input, salt,
+    # rows_per_shard) — never on block boundaries or scheduling — so a
+    # resumed run's packs are identical to a clean run's, and each shard
+    # is an independent resume unit for the pack phase.
+    tokens_dir = os.path.join(out, "tokens")
+    info = _stage_done(man, "tokens")
+    if info is None:
+        import math
+
+        import pyarrow.parquet as _pq
+
+        ts = time.time()
+        rows = 0
+        n_mix = stages_summary["mix"]["rows_out"]
+        if n_mix > 0:
+            from ballet_ray.stages.sampling import global_shuffle_index
+
+            _fresh_dir(tokens_dir)
+            ds = rd.read_parquet(mix_dir, columns=["doc_id", "text"])
+            ordered = global_shuffle_index(ds, key_col="doc_id", salt="curate")
+            vocab = args.vocab
+            P = max(1, math.ceil(n_mix / args.rows_per_shard))
+
+            def tokenize(t: pa.Table) -> pa.Table:
+                out_t = hash_tokenize(t, text_col="text", vocab=vocab).select(
+                    ["doc_id", "tokens", "n_tok", "shuffle_idx"]
+                )
+                idx = out_t.column("shuffle_idx").to_numpy(zero_copy_only=False)
+                part = (idx * P // n_mix).astype("int64")
+                return out_t.append_column("__part", pa.array(part))
+
+            def write_part(t: pa.Table) -> pa.Table:
+                part = int(t.column("__part")[0].as_py())
+                t = t.sort_by("shuffle_idx").drop_columns(["__part"])
+                tmp = os.path.join(tokens_dir, f".part-{part:05d}.tmp")
+                _pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(tokens_dir, f"part-{part:05d}.parquet"))
+                return pa.table({"n": pa.array([len(t)], type=pa.int64())})
+
+            counts = (
+                ordered.map_batches(tokenize, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(write_part, batch_format="pyarrow")
+            )
+            rows = int(sum(sum(b["n"].to_pylist()) for b in
+                           counts.iter_batches(batch_format="pyarrow")))
+        else:
+            _fresh_dir(tokens_dir)
+        info = {"rows_out": int(rows), "wall_s": round(time.time() - ts, 3)}
+        _stage_mark(man, "tokens", info)
+    else:
+        info = {**info, "resumed": True}
+    stages_summary["tokens"] = info
+    if stop_ix == 3:
+        return finish()
+
+    # ---- pack (natively resumable per partition) ---------------------------
+    from ballet_ray.state.checkpoint import CheckpointedPack
+
+    ts = time.time()
+    if stages_summary["tokens"]["rows_out"] > 0:
+        pack_summary = CheckpointedPack(
+            os.path.join(out, "packs"), max_len=args.max_len, stride=args.stride,
+            pack_len=args.pack_len, files_per_part=args.files_per_part,
+            sep_token=args.sep_token,
+        ).run(tokens_dir)
+    else:
+        pack_summary = {"partitions_total": 0, "partitions_processed": 0,
+                        "partitions_resumed": 0, "packs": 0, "tokens_out": 0}
+    pack_summary["wall_s"] = round(time.time() - ts, 3)
+    stages_summary["pack"] = pack_summary
+    finish()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -174,7 +547,43 @@ def main() -> None:
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=None)
-    ap.add_argument("--mode", choices=["backfill", "pack", "ingest"], default="backfill")
+    ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate"],
+                    default="backfill")
+    ap.add_argument("--dedup", choices=["minhash", "exact", "streaming", "none"],
+                    default="minhash",
+                    help="curate mode: near-dedup strategy (minhash = batch "
+                         "LSH cluster dedup, deterministic; streaming = "
+                         "sharded-Bloom online index with checkpointed state)")
+    ap.add_argument("--ppl-keep", type=float, default=0.9,
+                    help="curate mode: keep the best this-fraction of docs by "
+                         "LM score (1.0 disables the filter)")
+    ap.add_argument("--lm", choices=["unigram", "bigram"], default="unigram",
+                    help="curate mode: perplexity-filter model (unigram = "
+                         "vocab-bounded model table, scale-safe default; "
+                         "bigram = CCNet-style interpolated model)")
+    ap.add_argument("--quality-model", default=None,
+                    help="curate mode: path to a persisted fit_text_logreg "
+                         "artifact; applies the classifier filter after the "
+                         "perplexity filter")
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
+    ap.add_argument("--mix", choices=["temperature", "dsir", "none"],
+                    default="temperature")
+    ap.add_argument("--mix-group", default="source",
+                    help="curate mode: mixture group column (re-joined from "
+                         "the input after dedup)")
+    ap.add_argument("--alpha", type=float, default=0.3)
+    ap.add_argument("--mix-total", type=float, default=None)
+    ap.add_argument("--target", default=None,
+                    help="curate mode: DSIR target-domain parquet")
+    ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--stop-after", choices=["clean", "lm", "mix", "tokens"],
+                    default=None,
+                    help="curate mode: checkpoint a partial run after this "
+                         "stage (a rerun resumes from the next one)")
+    ap.add_argument("--rows-per-shard", type=int, default=100_000,
+                    help="curate mode: rows per deterministic token shard "
+                         "file (bounds the per-task working set; the file "
+                         "layout depends only on this and the row count)")
     ap.add_argument("--bloom-shards", type=int, default=4)
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
@@ -205,6 +614,11 @@ def main() -> None:
 
     if args.mode == "ingest":
         run_ingest(args)
+        ray.shutdown()
+        return
+
+    if args.mode == "curate":
+        run_curate(args)
         ray.shutdown()
         return
 

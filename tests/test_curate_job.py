@@ -1,0 +1,133 @@
+"""Composed curation flagship job (jobs/run.py --mode curate): line dedup
+→ near-dedup → Gopher filter → bigram-ppl filter → mixture sampling →
+global shuffle index → tokenize → resumable chunk+pack, with per-stage
+lineage manifests. A clean run and a stop-after/resumed run must produce
+byte-identical packs (every selection is hash-priority deterministic and
+the token shard layout depends only on row count + rows_per_shard)."""
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(ids, seed=3):
+    rng_words = [f"w{j}" for j in range(80)]
+    rows = []
+    for i in ids:
+        rng = np.random.RandomState(seed + i)
+        text = " ".join(rng.choice(rng_words, 40))
+        rows.append({"doc_id": i, "text": text,
+                     "source": "web" if i % 3 else "books"})
+    return pd.DataFrame(rows)
+
+
+def _run(inp, out, *extra):
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input", inp,
+         "--out", out, "--num-cpus", "4", "--max-len", "16", "--pack-len", "64",
+         "--rows-per-shard", "20", *extra],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _pack_digest(out_dir):
+    import pyarrow.parquet as pq
+
+    ex = os.path.join(out_dir, "packs", "examples")
+    files = sorted(os.listdir(ex))
+    h = hashlib.sha256()
+    for f in files:
+        t = pq.read_table(os.path.join(ex, f))
+        for c in sorted(t.column_names):
+            h.update(str(t.column(c).to_pylist()).encode())
+    return files, h.hexdigest()
+
+
+@pytest.mark.slow
+def test_curate_clean_vs_resumed_identical(tmp_path):
+    inp = tmp_path / "docs.parquet"
+    # plant exact dups (same text, new ids) so the dedup stages bite
+    base = _docs(range(60))
+    dups = base.head(6).assign(doc_id=lambda d: d.doc_id + 1000)
+    pd.concat([base, dups]).to_parquet(inp)
+
+    out_a = str(tmp_path / "a")
+    s_a = _run(str(inp), out_a)
+    st = s_a["stages"]
+    assert st["clean"]["docs_in"] == 66
+    # the 6 planted dup ids lose to their originals (min-id winner)
+    assert 0 < st["clean"]["rows_out"] <= 60
+    assert st["lm"]["rows_out"] <= st["clean"]["rows_out"]
+    assert st["lm"]["lm_threshold"] is not None
+    assert 0 < st["mix"]["rows_out"] <= st["lm"]["rows_out"]
+    assert st["tokens"]["rows_out"] == st["mix"]["rows_out"]
+    assert st["pack"]["packs"] > 0
+
+    # pure resume: every stage skipped, zero pack work
+    s_a2 = _run(str(inp), out_a)
+    assert all(s_a2["stages"][k].get("resumed") for k in
+               ("clean", "lm", "mix", "tokens"))
+    assert s_a2["stages"]["pack"]["partitions_processed"] == 0
+    assert s_a2["wall_s_total"] < 5
+
+    # interrupted run (checkpoint after lm) + rerun == clean run's packs
+    out_b = str(tmp_path / "b")
+    s_b1 = _run(str(inp), out_b, "--stop-after", "lm")
+    assert s_b1["stopped_after"] == "lm"
+    assert "mix" not in s_b1["stages"]
+    s_b2 = _run(str(inp), out_b)
+    assert s_b2["stages"]["clean"].get("resumed")
+    assert s_b2["stages"]["lm"].get("resumed")
+    assert "resumed" not in s_b2["stages"]["mix"]
+
+    files_a, dig_a = _pack_digest(out_a)
+    files_b, dig_b = _pack_digest(out_b)
+    assert files_a == files_b
+    assert dig_a == dig_b
+
+
+@pytest.mark.slow
+def test_curate_dsir_mix(tmp_path):
+    inp = tmp_path / "docs.parquet"
+    _docs(range(40)).to_parquet(inp)
+    target = tmp_path / "target.parquet"
+    _docs(range(500, 520), seed=9).to_parquet(target)
+
+    out = str(tmp_path / "out")
+    s = _run(str(inp), out, "--mix", "dsir", "--target", str(target),
+             "--dsir-k", "10", "--dedup", "none", "--ppl-keep", "1.0")
+    st = s["stages"]
+    assert st["lm"]["rows_out"] == st["clean"]["rows_out"]  # ppl filter off
+    assert st["mix"]["rows_out"] == 10
+    assert st["pack"]["tokens_out"] > 0
+
+
+@pytest.mark.slow
+def test_curate_streaming_no_probe_loss(tmp_path):
+    """Streaming (sharded-Bloom) dedup mode with every doc unique and
+    quality-passing: clean rows_out must equal docs_in EXACTLY. Guards the
+    probe-suppression bug — with the Bloom stage upstream of the pipeline
+    fit / meta hash_join, their schema probes executed the lazy insert
+    chain once and the real run suppressed the whole corpus (kept = 0,
+    which then crashed the meta join on an all-empty left side)."""
+    rows = [{"doc_id": i, "text": " ".join(f"u{i}w{j}" for j in range(40)),
+             "source": "web"} for i in range(50)]
+    inp = tmp_path / "in.parquet"
+    pd.DataFrame(rows).to_parquet(inp)
+    out = str(tmp_path / "out")
+    s = _run(str(inp), out, "--dedup", "streaming", "--ppl-keep", "1.0",
+             "--mix", "none")
+    st = s["stages"]
+    assert st["clean"]["docs_in"] == 50
+    assert st["clean"]["rows_out"] == 50
+    assert st["mix"]["rows_out"] == 50
+    assert st["pack"]["tokens_out"] > 0

@@ -59,3 +59,19 @@ def test_ingest_incremental(tmp_path):
     s3 = _run(str(day2), out)
     assert s3["bloom_restored"] is True
     assert 0 < s3["docs_kept"] <= 20
+
+
+@pytest.mark.slow
+def test_ingest_no_probe_loss(tmp_path):
+    """Every doc unique and quality-passing -> docs_kept must equal docs_in
+    EXACTLY. Guards the probe-suppression bug: when the stateful Bloom
+    stage sat upstream of the pipeline fit, the fit's schema probe
+    (ds.schema(fetch_if_missing=True) -> limit(1) execution) inserted some
+    blocks' hashes a first time and the real run silently dropped them."""
+    rows = [{"doc_id": i, "text": " ".join(f"u{i}w{j}" for j in range(40))}
+            for i in range(50)]
+    inp = tmp_path / "in.parquet"
+    pd.DataFrame(rows).to_parquet(inp)
+    s = _run(str(inp), str(tmp_path / "out"))
+    assert s["docs_in"] == 50
+    assert s["docs_kept"] == 50
