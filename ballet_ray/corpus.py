@@ -93,6 +93,15 @@ from ballet_ray.stages.streaming_dedup import (
     streaming_embedding_dedup,
     streaming_minhash_dedup,
 )
+from ballet_ray.stages.dedup import hamming_pairs
+from ballet_ray.stages.image_hash import (
+    ImageHasher,
+    dhash64,
+    image_hashes,
+    image_near_dup_pairs,
+    phash64,
+    streaming_image_dedup,
+)
 from ballet_ray.stages.sketches import (
     CountMinSketch,
     approx_distinct,
@@ -134,6 +143,13 @@ __all__ = [
     "streaming_embedding_dedup",
     "duplication_scores",
     "streaming_minhash_dedup",
+    "ImageHasher",
+    "dhash64",
+    "phash64",
+    "hamming_pairs",
+    "image_hashes",
+    "image_near_dup_pairs",
+    "streaming_image_dedup",
     "temperature_rates",
     "temperature_sample",
     "fit_text_logreg",

@@ -1232,6 +1232,68 @@ SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine FROM embeddings
 """
 
 
+def _render_embedding_images(sf_dir: str, brightness: int, id_offset: int):
+    """Deterministic PNG image table derived from the embeddings table:
+    each 64-dim vector min-max-scales into [30, 220] grayscale (headroom
+    so brightness shifts never clip), reshapes 8×8, upsamples ×4 and
+    encodes through the stdlib-zlib PNG codec — real binary payloads with
+    no external data or image libraries."""
+    from ballet_ray.stages.codecs import encode_png
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        if id_offset:
+            ids = pc.add(ids, pa.scalar(id_offset))
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        e = flat.reshape(len(t), 64)
+        lo, hi = e.min(axis=1, keepdims=True), e.max(axis=1, keepdims=True)
+        # quantize FIRST, shift after: floor(x + b) can differ from
+        # floor(x) + b by one ulp-rounding step, which would leave planted
+        # clones at Hamming 1 instead of the oracle's exact 0
+        px = ((e - lo) / np.maximum(hi - lo, 1e-9) * 190 + 30).astype(np.uint8)
+        px = px + np.uint8(brightness)
+        payloads = [
+            encode_png(
+                np.repeat(np.repeat(p.reshape(8, 8), 4, axis=0), 4, axis=1)[..., None]
+                .repeat(3, axis=2)
+            )
+            for p in px
+        ]
+        return pa.table({"vec_id": ids, "payload": pa.array(payloads, type=pa.binary())})
+
+    return emb.map_batches(render, batch_format="pyarrow")
+
+
+def q_image_near_dup_docs(sf_dir: str):
+    """Image near-dedup (decode → perceptual dhash → banded Hamming
+    pairs): the rendered corpus unioned with a +10-brightness clone of
+    every image (vec_id + 100000). dhash compares ADJACENT area-mean cells,
+    so a non-clipping constant brightness shift preserves every comparison
+    exactly — each planted pair sits at Hamming distance 0, while distinct
+    embeddings render to effectively random 56-bit-plus patterns whose
+    pairwise distances never reach max_hamming. Recall for the planted
+    pairs is therefore exact and the result SQL-oracle-able."""
+    from ballet_ray.stages.image_hash import image_near_dup_pairs
+
+    base = _render_embedding_images(sf_dir, 0, 0)
+    clones = _render_embedding_images(sf_dir, 10, 100000)
+    pairs = image_near_dup_pairs(
+        base.union(clones), id_col="vec_id", media_col="payload", max_hamming=3
+    )
+    return pairs.select_columns(["id_a", "id_b", "hamming"])
+
+
+SQL_IMAGE_NEAR_DUPS = """
+SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM embeddings
+"""
+
+
 def q_minhash_cluster_dedup_docs(sf_dir: str):
     """End-to-end near-dedup: LSH pairs → connected components → keep one
     representative per cluster (rows-only: LSH-dependent)."""
@@ -2743,6 +2805,7 @@ LIMIT 50
 # therefore listed FIRST so round 5 records them. The long-certified 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "image_near_dup_docs": q_image_near_dup_docs,
     "poly_lineitem": q_poly_lineitem,
     "fourier_events": q_fourier_events,
     "diff_events": q_diff_events,
@@ -2843,6 +2906,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "image_near_dup_docs": SQL_IMAGE_NEAR_DUPS,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_orders": SQL_TOPK_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -657,26 +657,54 @@ def simhash_pairs(
             batch_format="pyarrow",
             concurrency=concurrency,
         )
+    return hamming_pairs(
+        signed, id_col=id_col, hash_col="simhash",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def hamming_pairs(
+    signed,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 5000,
+    bands: int = 4,
+):
+    """Near-dup pairs over ANY 64-bit signature column (simhash, image
+    dhash/phash, …) whose Hamming distance <= ``max_hamming``.
+
+    Bucket each row by its ``bands`` equal-width bit bands (pigeonhole:
+    distance < bands ⇒ at least one band equal, so recall is EXACT for
+    ``max_hamming <= bands - 1`` and probabilistic above), then verify
+    the true distance within buckets with a vectorized popcount. Shared
+    kernel of :func:`simhash_pairs` and image near-dup
+    (``stages/image_hash.py``)."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    band_mask = np.uint64((1 << width) - 1)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sig = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sig = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         parts = []
-        for b in range(4):
-            band = ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        for b in range(bands):
+            band = ((sig >> np.uint64(width * b)) & band_mask).astype(np.int64)
             parts.append(
                 pa.table(
                     {
                         id_col: pa.array(ids),
                         "band": pa.array(np.full(len(ids), b, dtype=np.int32)),
                         "band_val": pa.array(band),
-                        "simhash": pa.array(sig.astype(np.int64)),
+                        "__sig": pa.array(sig.astype(np.int64)),
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    exploded = signed.select_columns([id_col, "simhash"]).map_batches(explode, batch_format="pyarrow")
+    exploded = signed.select_columns([id_col, hash_col]).map_batches(explode, batch_format="pyarrow")
 
     from ballet_ray.stages.joins import default_join_partitions
 
@@ -698,7 +726,7 @@ def simhash_pairs(
         band = t.column("band").to_numpy(zero_copy_only=False)
         bval = t.column("band_val").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        sigs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sigs = t.column("__sig").to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.lexsort((bval, band))
         band, bval, ids, sigs = band[order], bval[order], ids[order], sigs[order]
         boundary = np.zeros(n, dtype=bool)
