@@ -245,10 +245,17 @@ class OrdinalEncoder(FittedTransform):
         return [("cats", c) for c in cols]
 
     def bind_fit_results(self, cols, results):
-        self.fitted_ = {
-            c: {v: i for i, v in enumerate(sorted(k for k in results[("cats", c)] if k is not None))}
-            for c in cols
-        }
+        from ballet_ray.state.fitstate import HashedCategoryCounts
+
+        self.fitted_ = {}
+        for c in cols:
+            r = results[("cats", c)]
+            if isinstance(r, HashedCategoryCounts):  # cardinality auto-gate
+                self.fitted_[c] = r
+            else:
+                self.fitted_[c] = {
+                    v: i for i, v in enumerate(sorted(k for k in r if k is not None))
+                }
 
     def fit_table(self, table, cols):
         self.fitted_ = {}
@@ -257,11 +264,21 @@ class OrdinalEncoder(FittedTransform):
             self.fitted_[c] = {v: i for i, v in enumerate(vals)}
 
     def transform_table(self, table, cols):
+        from ballet_ray.state.fitstate import HashedCategoryCounts
+
         self._check_fitted()
         out = {}
         for c in cols:
             mapping = self.fitted_[c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
+            if isinstance(mapping, HashedCategoryCounts):
+                # hashed mode (auto-gated unbounded cardinality): code =
+                # hash % space; unknowns indistinguishable, nulls -> unknown
+                codes = mapping.codes(vals)
+                nulls = pd.isna(vals)
+                codes[nulls] = self.unknown_value
+                out[f"{c}_code"] = pa.array(codes)
+                continue
             # hash-map lookup vectorized in C (pd.Series.map), not a Python
             # generator per row
             codes = (
@@ -323,9 +340,15 @@ class CountEncoder(FittedTransform):
         return [("cats", c) for c in cols]
 
     def bind_fit_results(self, cols, results):
+        from ballet_ray.state.fitstate import HashedCategoryCounts
+
         self.fitted_ = {}
         for c in cols:
-            counts = dict(results[("cats", c)])
+            r = results[("cats", c)]
+            if isinstance(r, HashedCategoryCounts):  # cardinality auto-gate
+                self.fitted_[c] = r
+                continue
+            counts = dict(r)
             if self.normalize:
                 total = sum(counts.values()) or 1
                 counts = {k: v / total for k, v in counts.items()}
@@ -342,11 +365,24 @@ class CountEncoder(FittedTransform):
             self.fitted_[c] = d
 
     def transform_table(self, table, cols):
+        from ballet_ray.state.fitstate import HashedCategoryCounts
+
         self._check_fitted()
         out = {}
         for c in cols:
             m = self.fitted_[c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
+            if isinstance(m, HashedCategoryCounts):
+                # hashed mode: bucket counts (collisions overestimate the
+                # rare tail); nulls -> unknown; normalize over total rows
+                enc = m.lookup(vals).astype(np.float64)
+                if self.normalize:
+                    enc = enc / max(float(m.counts.sum()), 1.0)
+                enc[pd.isna(vals)] = self.unknown
+                if not self.normalize:
+                    enc = enc.astype(np.int64)
+                out[f"{c}_count"] = pa.array(enc)
+                continue
             enc = pd.Series(vals).map(m).fillna(self.unknown).to_numpy(dtype=np.float64)
             if not self.normalize:
                 enc = enc.astype(np.int64)
@@ -374,21 +410,36 @@ class TargetEncoder(FittedTransform):
         ]
 
     def bind_fit_results(self, cols, results):
+        from ballet_ray.state.fitstate import HashedGroupedStats
+
+        maps = {}
+        for c in cols:
+            r = results[("grouped_moments", self.target_col, c)]
+            if isinstance(r, HashedGroupedStats):  # cardinality auto-gate
+                maps[c] = r
+            else:
+                maps[c] = {g: st["mean"] for g, st in r.items()}
         self.fitted_ = {
             "global": results[("moments", self.target_col)]["mean"],
-            "maps": {
-                c: {g: st["mean"] for g, st in results[("grouped_moments", self.target_col, c)].items()}
-                for c in cols
-            },
+            "maps": maps,
         }
 
     def transform_table(self, table, cols):
+        from ballet_ray.state.fitstate import HashedGroupedStats
+
         self._check_fitted()
         out = {}
         g = self.fitted_["global"]
         for c in cols:
             m = self.fitted_["maps"][c]
             vals = table.column(c).to_numpy(zero_copy_only=False)
+            if isinstance(m, HashedGroupedStats):
+                # hashed mode: per-bucket target means (collisions blend the
+                # rare tail); empty buckets and nulls -> global mean
+                enc = m.lookup_mean(vals, g)
+                enc[pd.isna(vals)] = g
+                out[f"{c}_tmean"] = pa.array(enc)
+                continue
             out[f"{c}_tmean"] = pa.array(
                 pd.Series(vals).map(m).fillna(g).to_numpy(dtype=np.float64)
             )

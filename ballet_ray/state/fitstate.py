@@ -17,19 +17,130 @@ Request kinds
 ("quantile", col, (q...))     → tuple of quantile values
 ("cats", col)                 → {value: count} (driver-side dict; assumed small)
 ("grouped_moments", col, by)  → {group: {count, mean, std0, min, max}}
+
+Cardinality auto-gate
+---------------------
+The two category-keyed kinds build a DRIVER-side map whose size is the
+column's cardinality — fine for real categorical columns, a memory bomb
+for an id-like column fed to a category encoder by mistake. Before
+servicing them the planner probes every distinct category column's
+cardinality with ONE shared KMV-sketch pass (±3%, the shuffle carries one
+≤1k-value sketch per block); columns estimated above
+``MAX_DRIVER_CATEGORIES`` (default 1M, env
+``BALLET_RAY_MAX_DRIVER_CATEGORIES``) switch to a HASHED fit — category
+statistics aggregate into a fixed ``HASHED_SPACE``-bucket array (8 MB,
+independent of cardinality) and the transform looks rows up by hash — and
+a loud warning names the column. Hashed-mode semantics are those of a
+HashingEncoder: rare-tail collisions blend statistics, unknown categories
+are indistinguishable from collisions, nulls map to the encoder's unknown
+value. Encoders that support the fallback: Ordinal/Count/Target; others
+keep the documented small-cardinality assumption (HashingEncoder is the
+manual escape hatch).
 """
 
 from __future__ import annotations
 
 import math
+import os
+import warnings
 
 import numpy as np
 
 from ray.data.aggregate import AbsMax, Count, Max, Mean, Min, Quantile, Std, Sum
 
+MAX_DRIVER_CATEGORIES = int(os.environ.get("BALLET_RAY_MAX_DRIVER_CATEGORIES", 1_000_000))
+HASHED_SPACE = 1 << 20
+
+
+def _bucket_idx(vals: np.ndarray, space: int) -> np.ndarray:
+    """hash % space, tolerating nulls in object columns (null rows get a
+    garbage bucket; every caller overwrites them afterwards)."""
+    import pandas as pd
+
+    from ballet_ray.functions.partition import stable_hash_array
+
+    if vals.dtype == object:
+        mask = pd.isna(vals)
+        if mask.any():
+            vals = vals.copy()
+            vals[mask] = ""
+    return (stable_hash_array(vals) % np.uint64(space)).astype(np.int64)
+
+
+class HashedCategoryCounts:
+    """Fixed-size hashed-bucket category counts — the auto-gate fallback
+    for ``("cats", col)`` above MAX_DRIVER_CATEGORIES. ``counts[b]`` sums
+    the train counts of every category hashing to bucket ``b``."""
+
+    def __init__(self, space: int, counts: np.ndarray):
+        self.space = space
+        self.counts = counts  # int64[space]
+
+    def lookup(self, vals: np.ndarray) -> np.ndarray:
+        return self.counts[_bucket_idx(vals, self.space)]
+
+    def codes(self, vals: np.ndarray) -> np.ndarray:
+        """HashingEncoder-style codes: hash % space (no rank order)."""
+        return _bucket_idx(vals, self.space)
+
+
+class HashedGroupedStats:
+    """Fixed-size hashed-bucket (sum, count) of a target per category —
+    the auto-gate fallback for ``("grouped_moments", target, by)``."""
+
+    def __init__(self, space: int, sums: np.ndarray, counts: np.ndarray):
+        self.space = space
+        self.sums = sums      # float64[space]
+        self.counts = counts  # int64[space]
+
+    def lookup_mean(self, vals: np.ndarray, default: float) -> np.ndarray:
+        idx = _bucket_idx(vals, self.space)
+        n = self.counts[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = self.sums[idx] / n
+        return np.where(n > 0, m, default)
+
 
 def _alias(kind: str, col: str, extra: str = "") -> str:
     return f"__fit::{kind}::{col}::{extra}"
+
+
+def _np_partial_fn(block, fn):
+    import pyarrow as pa
+
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(
+        block, preserve_index=False
+    )
+    return fn(t)
+
+
+_np_partial = None
+_pair_sum = None
+
+
+def _remotes():
+    """Lazy ray.remote wrappers (module import must not touch Ray)."""
+    global _np_partial, _pair_sum
+    if _np_partial is None:
+        import ray
+
+        _np_partial = ray.remote(num_cpus=1)(_np_partial_fn)
+        _pair_sum = ray.remote(num_cpus=0)(lambda a, b: a + b)
+    return _np_partial, _pair_sum
+
+
+def _tree_sum(refs):
+    """Pairwise tree-reduce of numpy-array object refs: the driver receives
+    ONE array, never the per-block stream."""
+    import ray
+
+    _, pair = _remotes()
+    while len(refs) > 1:
+        refs = [
+            pair.remote(refs[i], refs[i + 1]) if i + 1 < len(refs) else refs[i]
+            for i in range(0, len(refs), 2)
+        ]
+    return ray.get(refs[0])
 
 
 class FitPlanner:
@@ -83,6 +194,14 @@ class FitPlanner:
 
         row = ds.aggregate(*global_aggs) if global_aggs else {}
 
+        # cardinality auto-gate: one shared KMV pass over every distinct
+        # category column of the O(cardinality) request kinds
+        cat_cols = sorted(
+            {r[1] for r in requests if r[0] == "cats"}
+            | {r[2] for r in requests if r[0] == "grouped_moments"}
+        )
+        card = self._probe_cardinalities(ds, cat_cols) if cat_cols else {}
+
         for req in requests:
             kind, col = req[0], req[1]
             if kind in ("moments", "moments3"):
@@ -98,14 +217,136 @@ class FitPlanner:
             elif kind == "quantile":
                 results[req] = tuple(row.get(_alias("q", col, str(q))) for q in req[2])
             elif kind == "cats":
-                results[req] = self._category_counts(ds, col)
+                if card.get(col, 0) > MAX_DRIVER_CATEGORIES:
+                    self._warn_gate(col, card[col])
+                    results[req] = self._hashed_category_counts(ds, col)
+                else:
+                    results[req] = self._category_counts(ds, col)
             elif kind == "grouped_moments":
-                results[req] = self._grouped_moments(ds, col, req[2])
+                if card.get(req[2], 0) > MAX_DRIVER_CATEGORIES:
+                    self._warn_gate(req[2], card[req[2]])
+                    results[req] = self._hashed_grouped_stats(ds, col, req[2])
+                else:
+                    results[req] = self._grouped_moments(ds, col, req[2])
             elif kind == "yj_grid":
                 results[req] = self._yj_grid(ds, col, req[2])
             else:
                 raise ValueError(f"unknown fit request kind: {kind}")
         return results
+
+    @staticmethod
+    def _warn_gate(col: str, est: float) -> None:
+        warnings.warn(
+            f"category column {col!r} has ~{est:.0f} distinct values "
+            f"(> MAX_DRIVER_CATEGORIES={MAX_DRIVER_CATEGORIES}); switching "
+            f"this encoder's fit to the fixed-size HASHED path "
+            f"(HashingEncoder semantics: {HASHED_SPACE} buckets, rare-tail "
+            f"collisions blend statistics, unknowns are indistinguishable). "
+            f"Raise BALLET_RAY_MAX_DRIVER_CATEGORIES to force the exact "
+            f"driver-map fit.",
+            stacklevel=3,
+        )
+
+    @staticmethod
+    def _probe_cardinalities(ds, cols: list[str], k: int = 1024) -> dict:
+        """Approximate distinct count of every column in ONE narrow pass:
+        per-block KMV partials per column, per-block combine, one grouped
+        merge — the driver receives one ≤k-value sketch per column."""
+        import pyarrow as pa
+
+        from ballet_ray.stages.sketches import _kmv_estimate, _kmv_sketch
+
+        def partial(t: pa.Table) -> pa.Table:
+            data = {"g": pa.array([0], type=pa.int8())}
+            for c in cols:
+                vals = t.column(c).to_numpy(zero_copy_only=False)
+                data[c] = pa.array([_kmv_sketch(vals, k).astype(np.uint64).tobytes()])
+            return pa.table(data)
+
+        def merge_col(blobs) -> bytes:
+            merged = np.array([], dtype=np.uint64)
+            for blob in blobs:
+                sk = np.frombuffer(blob, dtype=np.uint64)
+                merged = np.unique(np.concatenate([merged, sk]))[:k]
+            return merged.tobytes()
+
+        def combine(t: pa.Table) -> pa.Table:
+            data = {"g": pa.array([0], type=pa.int8())}
+            for c in cols:
+                data[c] = pa.array([merge_col(t.column(c).to_pylist())])
+            return pa.table(data)
+
+        import pandas as pd
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({c: [merge_col(g[c])] for c in cols})
+
+        parts = ds.select_columns(cols).map_batches(partial, batch_format="pyarrow")
+        combined = parts.map_batches(combine, batch_format="pyarrow")
+        out = combined.groupby("g").map_groups(final, batch_format="pandas").take(1)
+        return {
+            c: _kmv_estimate(np.frombuffer(out[0][c], dtype=np.uint64), k)
+            for c in cols
+        }
+
+    @staticmethod
+    def _hashed_category_counts(ds, col: str) -> "HashedCategoryCounts":
+        """Bucket-array category counts: per-block bincount partials over
+        hash % HASHED_SPACE, summed by a tree of pairwise array adds — the
+        driver receives ONE 8 MB array regardless of cardinality."""
+        import pyarrow as pa
+
+        import ray
+
+        from ballet_ray.functions.partition import stable_hash_array
+
+        space = HASHED_SPACE
+
+        def partial(t: pa.Table):
+            vals = t.column(col).to_numpy(zero_copy_only=False)
+            import pandas as pd
+
+            mask = ~pd.isna(vals)
+            idx = (stable_hash_array(vals[mask]) % np.uint64(space)).astype(np.int64)
+            return np.bincount(idx, minlength=space).astype(np.int64)
+
+        np_partial, _ = _remotes()
+        refs = [
+            np_partial.remote(b, partial)
+            for b in ds.select_columns([col]).materialize().get_internal_block_refs()
+        ]
+        counts = _tree_sum(refs)
+        return HashedCategoryCounts(space, counts)
+
+    @staticmethod
+    def _hashed_grouped_stats(ds, col: str, by: str) -> "HashedGroupedStats":
+        """Bucket-array (sum, count) of ``col`` per hashed ``by`` bucket."""
+        import pyarrow as pa
+
+        from ballet_ray.functions.partition import stable_hash_array
+
+        space = HASHED_SPACE
+
+        def partial(t: pa.Table):
+            import pandas as pd
+
+            g = t.column(by).to_numpy(zero_copy_only=False)
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = (~pd.isna(g)) & ~np.isnan(x)
+            idx = (stable_hash_array(g[mask]) % np.uint64(space)).astype(np.int64)
+            sums = np.bincount(idx, weights=x[mask], minlength=space)
+            cnts = np.bincount(idx, minlength=space).astype(np.int64)
+            return np.concatenate([sums, cnts.astype(np.float64)])
+
+        np_partial, _ = _remotes()
+        refs = [
+            np_partial.remote(b, partial)
+            for b in ds.select_columns([by, col]).materialize().get_internal_block_refs()
+        ]
+        both = _tree_sum(refs)
+        return HashedGroupedStats(
+            space, both[:space], both[space:].astype(np.int64)
+        )
 
     @staticmethod
     def _yj_grid(ds, col: str, lambdas: tuple) -> dict:
