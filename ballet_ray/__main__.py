@@ -30,6 +30,15 @@ def _env_flag(name: str) -> bool:
 
 
 def _load_config(spec: str) -> dict:
+    # a ballet.yml path, or a project directory containing one, routes
+    # through the project facade (reference `ballet validate` loads the
+    # project from cwd; ballet_ray/project.py parses the same YAML shape)
+    if spec.endswith((".yml", ".yaml")) or (
+        os.path.isdir(spec) and os.path.isfile(os.path.join(spec, "ballet.yml"))
+    ):
+        from ballet_ray.project import Project
+
+        return Project.from_path(spec).validate_config()
     if os.path.exists(spec):
         mod_name = "_ballet_ray_cli_config"
         s = importlib.util.spec_from_file_location(mod_name, spec)
@@ -67,11 +76,7 @@ def cmd_validate(args) -> int:
     from ballet_ray.exc import BalletRayError
     from ballet_ray.validation.main import validate
 
-    try:
-        cfg = _load_config(args.config)
-    except (ImportError, OSError, SystemExit) as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    from ballet_ray.project import ConfigurationError
 
     import ray
 
@@ -79,6 +84,13 @@ def cmd_validate(args) -> int:
         ncpu = os.environ.get("BALLET_RAY_NUM_CPUS")
         kw = {"num_cpus": int(ncpu)} if ncpu else {}
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+
+    # after ray.init: both config forms may build Dataset read plans
+    try:
+        cfg = _load_config(args.config)
+    except (ImportError, OSError, SystemExit, ConfigurationError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     try:
         report = validate(
             cfg,
