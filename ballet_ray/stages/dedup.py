@@ -1571,6 +1571,7 @@ def remove_duplicate_spans(
 def remove_duplicate_lines(
     ds, *, text_col: str = "text", id_col: str = "doc_id",
     normalize: bool = True, min_chars: int = 1, num_partitions: int | None = None,
+    carry_cols: tuple = (),
 ):
     """Corpus-wide exact LINE dedup (the C4 / RefinedWeb / Dolma text-side
     counterpart of :func:`remove_duplicate_spans`): every line whose
@@ -1592,7 +1593,10 @@ def remove_duplicate_lines(
     3. per-doc aggregation of loser line numbers (Arrow list offsets);
     4. left join + rewrite — drop loser lines, ``binary_join`` the rest.
 
-    Output: (id, text, n_lines, n_removed).
+    Output: (id, text, n_lines, n_removed, *carry_cols) — ``carry_cols``
+    ride the payload side of the one id-keyed join untouched, so callers
+    that need extra columns downstream (e.g. a mixture group column)
+    avoid a second corpus-wide re-join.
     """
     from ballet_ray.stages.joins import (
         default_join_partitions,
@@ -1674,7 +1678,8 @@ def remove_duplicate_lines(
         pa.field(id_col, _id_arrow_type(ds, id_col)),
         pa.field("__offs", pa.list_(pa.int32())),
     ]))
-    joined = _join_or_null_offs(ds.select_columns([id_col, text_col]),
+    payload_cols = [id_col, text_col, *carry_cols]
+    joined = _join_or_null_offs(ds.select_columns(payload_cols),
                                 per_doc, id_col, num_partitions)
 
     def rewrite(t: pa.Table) -> pa.Table:
@@ -1695,12 +1700,15 @@ def remove_duplicate_lines(
         rebuilt = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(offsets), new_flat), "\n"
         )
-        return pa.table({
+        out = {
             id_col: t.column(id_col),
             text_col: rebuilt,
             "n_lines": pa.array(kept_per_row.astype(np.int32)),
             "n_removed": pa.array((lens - kept_per_row).astype(np.int32)),
-        })
+        }
+        for c in carry_cols:
+            out[c] = t.column(c)
+        return pa.table(out)
 
     return joined.map_batches(rewrite, batch_format="pyarrow")
 

@@ -272,13 +272,16 @@ def run_curate(args) -> None:
     info = _stage_done(man, "clean")
     if info is None:
         ts = time.time()
-        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        carry = [group_col] if group_col else []
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text", *carry])
         docs_in = ds.count()
         from ballet_ray.stages.dedup import remove_duplicate_lines
 
+        # the group column rides the payload side of line dedup's one
+        # id-keyed join (carry_cols) — no second corpus-wide meta re-join
         cleaned = remove_duplicate_lines(
-            ds, text_col="text", id_col="doc_id"
-        ).select_columns(["doc_id", "text"])
+            ds, text_col="text", id_col="doc_id", carry_cols=tuple(carry)
+        ).select_columns(["doc_id", "text", *carry])
 
         restored = False
         # batch dedup modes are STATELESS transforms — safe anywhere in the

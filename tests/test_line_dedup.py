@@ -130,3 +130,23 @@ def test_min_chars_keeps_short_lines(ray_session):
     assert got.loc["a", "text"] == "ok\nlong shared line"
     assert got.loc["b", "text"] == "ok"
     _check(df, got.reset_index(), min_chars=5)
+
+
+def test_carry_cols_ride_the_join(ray_session):
+    # extra columns requested via carry_cols survive the id-keyed join
+    # untouched, including on docs that lose lines
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": ["shared line\nalpha", "shared line\nbeta", "gamma"],
+        "source": ["web", "books", "web"],
+        "weight": [0.5, 1.5, 2.0],
+    })
+    got = remove_duplicate_lines(
+        rd.from_pandas(df).repartition(3), carry_cols=("source", "weight")
+    ).to_pandas().set_index("doc_id")
+    assert set(got.columns) >= {"text", "n_lines", "n_removed", "source", "weight"}
+    for did in ("a", "b", "c"):
+        assert got.loc[did, "source"] == df.set_index("doc_id").loc[did, "source"]
+        assert got.loc[did, "weight"] == df.set_index("doc_id").loc[did, "weight"]
+    assert got.loc["b", "n_removed"] == 1
+    _check(df[["doc_id", "text"]], got.reset_index()[["doc_id", "text", "n_removed"]])
