@@ -15,7 +15,7 @@ Grouped by stage of a typical pipeline:
 - quality:        QualityScore, WordRepetition, NgramRepetition, LangId,
                   unigram_logprob_scores, tfidf_top_terms, RegexTokenCount,
                   TokenStats, DistributedLogReg (model-based filter)
-- scrub:          RegexRedactor (PII_PATTERNS)
+- scrub:          RegexRedactor (PII_PATTERNS), HtmlToText (HTML_ENTITIES)
 - dedup:          exact_dedup, minhash_lsh_pairs, token_minhash_lsh_pairs,
                   simhash_pairs, ngram_jaccard_pairs, dedup_by_minhash,
                   assign_clusters, embedding_near_dup_pairs, semantic_dedup
@@ -113,8 +113,10 @@ from ballet_ray.stages.sketches import (
     count_min,
 )
 from ballet_ray.stages.text import (
+    HTML_ENTITIES,
     PII_PATTERNS,
     Fingerprint,
+    HtmlToText,
     bigram_logprob_scores,
     bm25_top_terms,
     corpus_divergence,
@@ -161,6 +163,8 @@ __all__ = [
     "approx_distinct_per_group_hll",
     "winnow_similarity_pairs",
     "PCA",
+    "HTML_ENTITIES",
+    "HtmlToText",
     "PII_PATTERNS",
     "DistributedLogReg",
     "Fingerprint",

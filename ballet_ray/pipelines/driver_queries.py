@@ -2197,6 +2197,85 @@ FROM s1
 """
 
 
+# deterministic HTML shell wrapped around each document for the
+# strip_html oracle — single-quote-free so it drops into a SQL literal
+_PAGE_PRE = (
+    '<html><head><title>t</title><script type="text/javascript">'
+    "var x = 1 < 2;</script><style>p { color: red; }</style></head>"
+    "<body><h1>Heading &amp; more</h1><!-- hidden comment --><p>"
+)
+_PAGE_POST = (
+    '</p><div class="foot">&copy; footer&nbsp;&lt;end&gt;</div></body></html>'
+)
+
+
+def q_strip_html_docs(sf_dir: str):
+    """HTML → text extraction (HtmlToText, the web-ingest first stage).
+    Corpus text is plain words, so both sides wrap each doc in the same
+    deterministic HTML shell (script/style blocks, comment, entities,
+    block + inline tags), then strip it with the identical RE2 chain."""
+    from ballet_ray.stages.text import HtmlToText
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        page = pc.binary_join_element_wise(
+            _PAGE_PRE, pc.cast(t.column("text"), pa.string()), _PAGE_POST, "")
+        return pa.table({"doc_id": t.column("doc_id"), "page": page})
+
+    pages = ds.map_batches(wrap, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline([Feature("page", HtmlToText())])
+    return pipe.fit_transform(pages).select_columns(
+        ["doc_id", "page_text", "page_n_tags"])
+
+
+def _sql_strip_html() -> str:
+    from ballet_ray.stages.text import HTML_BLOCK_TAG_RE, HTML_ENTITIES
+
+    drop = "p"
+    for tag in ("script", "style", "noscript", "template"):
+        drop = (f"regexp_replace({drop}, '(?is)<{tag}\\b[^>]*>.*?</{tag}>'"
+                ", '', 'g')")
+    ent = "t"
+    for pat, repl in HTML_ENTITIES:
+        sql_repl = repl.replace("'", "''")
+        ent = f"replace({ent}, '{pat}', '{sql_repl}')"
+    return f"""
+WITH page AS (
+    SELECT doc_id, '{_PAGE_PRE}' || text || '{_PAGE_POST}' AS p
+    FROM documents
+), s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(p, '(?s)<[^>]*>')) AS page_n_tags,
+           {drop} AS t
+    FROM page
+), s2 AS (
+    SELECT doc_id, page_n_tags,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '(?s)<!--.*?-->', '', 'g'),
+               '{HTML_BLOCK_TAG_RE}', E'\\n', 'g'),
+               '(?s)<[^>]*>', '', 'g') AS t
+    FROM s1
+), s3 AS (
+    SELECT doc_id, page_n_tags, {ent} AS t
+    FROM s2
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(t,
+           '[ \\t\\r\\f\\v]+', ' ', 'g'),
+           ' ?\\n ?', E'\\n', 'g'),
+           '\\n{{3,}}', E'\\n\\n', 'g'),
+           '^\\s+', '', 'g'),
+           '\\s+$', '', 'g') AS page_text,
+       page_n_tags
+FROM s3
+"""
+
+
+SQL_STRIP_HTML_DOCS = _sql_strip_html()
+
+
 def q_semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + within-cell cosine pruning, min-id
     keeper) over the embeddings unioned with exact-duplicate clones
@@ -2805,6 +2884,7 @@ LIMIT 50
 # therefore listed FIRST so round 5 records them. The long-certified 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "strip_html_docs": q_strip_html_docs,
     "image_near_dup_docs": q_image_near_dup_docs,
     "poly_lineitem": q_poly_lineitem,
     "fourier_events": q_fourier_events,
@@ -2906,6 +2986,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "strip_html_docs": SQL_STRIP_HTML_DOCS,
     "image_near_dup_docs": SQL_IMAGE_NEAR_DUPS,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_orders": SQL_TOPK_ORDERS,

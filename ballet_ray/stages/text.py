@@ -104,6 +104,88 @@ class RegexRedactor(Transform):
         return [x for c in cols for x in (f"{c}_redacted", f"{c}_n_redactions")]
 
 
+#: named HTML entities decoded by :class:`HtmlToText` — a fixed
+#: plain-substring set so DuckDB's ``replace()`` mirrors it exactly.
+#: ``&amp;`` is decoded LAST ("&amp;lt;" must render "&lt;", not "<").
+#: Numeric entities other than ``&#39;`` are left verbatim: decoding an
+#: arbitrary ``&#NNN;`` needs a computed character, which neither an RE2
+#: replacement string nor a single SQL expression can produce.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+#: tags whose open/close boundaries become newlines (paragraph structure
+#: survives the strip); everything else strips to "".
+HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|th|td|table|blockquote|section|"
+    r"article|header|footer|nav|aside|pre|form|hr|dt|dd|dl|figure|"
+    r"figcaption)\b[^>]*>"
+)
+
+#: elements dropped WITH their content (RE2 has no backreferences, so one
+#: pattern per tag rather than ``</\1>``)
+HTML_DROP_CONTENT_TAGS = ("script", "style", "noscript", "template")
+
+
+class HtmlToText(Transform):
+    """HTML → text extraction (the first stage of every web-crawl ingest:
+    the trafilatura/justext step reduced to its deterministic core).
+
+    A fixed RE2 replacement chain — identical semantics in pyarrow's and
+    DuckDB's regex engines (both RE2: no lookarounds, no backrefs), so the
+    whole stage is SQL-oracle-checkable:
+
+    1. drop ``<script>/<style>/<noscript>/<template>`` elements WITH content;
+    2. drop comments ``<!-- ... -->``;
+    3. block-level tags (:data:`HTML_BLOCK_TAG_RE`) → newline;
+    4. every remaining tag → ``""``;
+    5. decode the fixed named-entity set (:data:`HTML_ENTITIES`, ``&amp;``
+       last);
+    6. collapse horizontal whitespace to one space, tighten newlines (max
+       one blank line), trim both ends.
+
+    Outputs ``{c}_text`` (extracted text) and ``{c}_n_tags`` (tag count in
+    the raw input). Stateless and vectorized — runs as a plain
+    ``map_batches`` stage; at 100 TB it is embarrassingly parallel (no
+    shuffle, no state, no driver traffic).
+    """
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = pc.cast(table.column(c), pa.string())
+            n_tags = pc.count_substring_regex(col, pattern=r"(?s)<[^>]*>")
+            for tag in HTML_DROP_CONTENT_TAGS:
+                col = pc.replace_substring_regex(
+                    col, pattern=rf"(?is)<{tag}\b[^>]*>.*?</{tag}>",
+                    replacement="")
+            col = pc.replace_substring_regex(
+                col, pattern=r"(?s)<!--.*?-->", replacement="")
+            col = pc.replace_substring_regex(
+                col, pattern=HTML_BLOCK_TAG_RE, replacement="\n")
+            col = pc.replace_substring_regex(
+                col, pattern=r"(?s)<[^>]*>", replacement="")
+            for ent, ch in HTML_ENTITIES:
+                col = pc.replace_substring(col, pattern=ent, replacement=ch)
+            col = pc.replace_substring_regex(
+                col, pattern=r"[ \t\r\f\v]+", replacement=" ")
+            col = pc.replace_substring_regex(
+                col, pattern=r" ?\n ?", replacement="\n")
+            col = pc.replace_substring_regex(
+                col, pattern=r"\n{3,}", replacement="\n\n")
+            col = pc.replace_substring_regex(
+                col, pattern=r"^\s+", replacement="")
+            col = pc.replace_substring_regex(
+                col, pattern=r"\s+$", replacement="")
+            out[f"{c}_text"] = col
+            out[f"{c}_n_tags"] = pc.cast(n_tags, pa.int64())
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [x for c in cols for x in (f"{c}_text", f"{c}_n_tags")]
+
+
 class QualityScore(Transform):
     """Cheap document-quality heuristics: word count, mean word length,
     alpha ratio, and a composite score. Formulas kept SQL-expressible:
