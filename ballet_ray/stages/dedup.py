@@ -1571,7 +1571,7 @@ def remove_duplicate_spans(
 def remove_duplicate_lines(
     ds, *, text_col: str = "text", id_col: str = "doc_id",
     normalize: bool = True, min_chars: int = 1, num_partitions: int | None = None,
-    carry_cols: tuple = (),
+    carry_cols: tuple = (), unit: str = "line",
 ):
     """Corpus-wide exact LINE dedup (the C4 / RefinedWeb / Dolma text-side
     counterpart of :func:`remove_duplicate_spans`): every line whose
@@ -1597,7 +1597,16 @@ def remove_duplicate_lines(
     ride the payload side of the one id-keyed join untouched, so callers
     that need extra columns downstream (e.g. a mixture group column)
     avoid a second corpus-wide re-join.
+
+    ``unit="paragraph"`` dedups blank-line-separated paragraphs instead of
+    single lines (the Dolma/RefinedWeb paragraph-level variant — catches
+    multi-line boilerplate blocks a per-line pass would only trim line by
+    line): split key becomes ``"\\n\\n"``, rejoin mirrors it, everything
+    else (first-occurrence rule, plan shape, carry_cols) is identical.
     """
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f"unit must be 'line' or 'paragraph', got {unit!r}")
+    sep = "\n" if unit == "line" else "\n\n"
     from ballet_ray.stages.joins import (
         default_join_partitions,
         hash_join,
@@ -1611,7 +1620,7 @@ def remove_duplicate_lines(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         return pc.split_pattern(
-            pc.fill_null(pc.cast(col, pa.string()), ""), "\n"
+            pc.fill_null(pc.cast(col, pa.string()), ""), sep
         )
 
     def keys(t: pa.Table) -> pa.Table:
@@ -1698,7 +1707,7 @@ def remove_duplicate_lines(
         kept_per_row = cs[row_starts + lens] - cs[row_starts]
         offsets = np.concatenate([[0], np.cumsum(kept_per_row)]).astype(np.int32)
         rebuilt = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), new_flat), "\n"
+            pa.ListArray.from_arrays(pa.array(offsets), new_flat), sep
         )
         out = {
             id_col: t.column(id_col),

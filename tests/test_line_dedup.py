@@ -150,3 +150,55 @@ def test_carry_cols_ride_the_join(ray_session):
         assert got.loc[did, "weight"] == df.set_index("doc_id").loc[did, "weight"]
     assert got.loc["b", "n_removed"] == 1
     _check(df[["doc_id", "text"]], got.reset_index()[["doc_id", "text", "n_removed"]])
+
+
+def _brute_unit(df, sep, *, min_chars=1):
+    seen = set()
+    out = {}
+    for _, row in df.sort_values("doc_id").iterrows():
+        kept, removed = [], 0
+        for u in row["text"].split(sep):
+            key = u.strip().lower()
+            if len(key) < min_chars:
+                kept.append(u)
+                continue
+            if key in seen:
+                removed += 1
+            else:
+                seen.add(key)
+                kept.append(u)
+        out[row["doc_id"]] = (sep.join(kept), removed)
+    return out
+
+
+def test_paragraph_unit(ray_session):
+    block = "Cookie notice line one.\nBy continuing you agree."
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "text": [
+            f"{block}\n\nunique alpha par\nstill alpha",
+            f"{block}\n\nunique beta par",
+            "unique gamma only",
+        ],
+    })
+    got = remove_duplicate_lines(
+        rd.from_pandas(df).repartition(3), unit="paragraph"
+    ).to_pandas().set_index("doc_id")
+    expect = _brute_unit(df, "\n\n")
+    for did, (text, removed) in expect.items():
+        assert got.loc[did, "text"] == text, did
+        assert got.loc[did, "n_removed"] == removed, did
+    # the multi-line block survives in a, vanishes whole from b
+    assert block in got.loc["a", "text"] and block not in got.loc["b", "text"]
+    # line mode would NOT remove it as one unit: keys differ
+    got_line = remove_duplicate_lines(
+        rd.from_pandas(df).repartition(3), unit="line"
+    ).to_pandas().set_index("doc_id")
+    assert got_line.loc["b", "n_removed"] == 2
+
+
+def test_unit_validation(ray_session):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        remove_duplicate_lines(rd.from_items([{"doc_id": "a", "text": "x"}]),
+                               unit="sentence")
