@@ -2276,6 +2276,67 @@ FROM s3
 SQL_STRIP_HTML_DOCS = _sql_strip_html()
 
 
+def q_dedup_lines_docs(sf_dir: str):
+    """Corpus-wide exact line dedup (remove_duplicate_lines: global first
+    occurrence by (doc_id, line_no) wins). Corpus text is single-line, so
+    both sides first explode each doc into one word per line plus one
+    corpus-wide banner line — heavy cross-doc duplication, exercising the
+    certain-loser combiner, the winner resolution, and the rebuild."""
+    from ballet_ray.stages.dedup import remove_duplicate_lines
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            "the shared banner line\n",
+            pc.replace_substring(pc.cast(t.column("text"), pa.string()),
+                                 pattern=" ", replacement="\n"),
+            "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    out = remove_duplicate_lines(
+        ds.map_batches(explode, batch_format="pyarrow"))
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "n_lines": pc.cast(t.column("n_lines"), pa.int64()),
+            "n_removed": pc.cast(t.column("n_removed"), pa.int64()),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+SQL_DEDUP_LINES_DOCS = """
+WITH src AS (
+    SELECT doc_id,
+           split('the shared banner line' || chr(10) ||
+                 replace(text, ' ', chr(10)), chr(10)) AS arr
+    FROM documents
+), ln AS (
+    SELECT doc_id,
+           unnest(arr) AS line,
+           unnest(generate_series(0, len(arr) - 1)) AS line_no
+    FROM src
+), marked AS (
+    SELECT doc_id, line, line_no,
+           CASE WHEN len(lower(trim(line))) < 1 THEN TRUE
+                WHEN row_number() OVER (PARTITION BY lower(trim(line))
+                                        ORDER BY doc_id, line_no) = 1 THEN TRUE
+                ELSE FALSE END AS keep
+    FROM ln
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                FILTER (WHERE keep), '') AS text,
+       count(*) FILTER (WHERE keep) AS n_lines,
+       count(*) FILTER (WHERE NOT keep) AS n_removed
+FROM marked
+GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup (k-means cells + within-cell cosine pruning, min-id
     keeper) over the embeddings unioned with exact-duplicate clones
@@ -2885,6 +2946,7 @@ LIMIT 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
     "strip_html_docs": q_strip_html_docs,
+    "dedup_lines_docs": q_dedup_lines_docs,
     "image_near_dup_docs": q_image_near_dup_docs,
     "poly_lineitem": q_poly_lineitem,
     "fourier_events": q_fourier_events,
@@ -2987,6 +3049,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "strip_html_docs": SQL_STRIP_HTML_DOCS,
+    "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
     "image_near_dup_docs": SQL_IMAGE_NEAR_DUPS,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_orders": SQL_TOPK_ORDERS,

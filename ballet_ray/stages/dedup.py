@@ -33,6 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ballet_ray.functions.hashing import mix
 from ballet_ray.functions.partition import stable_hash_array
@@ -116,20 +117,229 @@ _H128_KEY_A = "0123456789123456"
 _H128_KEY_B = "6543219876543210"
 
 
-def _join_or_null_offs(payload, per_doc, id_col: str, num_partitions: int):
-    """Left-join the aggregated loser-offset table onto the payload; when
-    NO doc has losers (per_doc empty after scrubbing) skip the join — Ray's
-    join operator sends no shards from a zero-row side, leaving aggregators
-    with schema-less right partitions — and append a null ``__offs``."""
-    from ballet_ray.stages.joins import hash_join
+#: per-doc offset table sizes under this broadcast via ``ray.put`` (one
+#: copy per node) instead of an id-keyed payload shuffle
+_OFFS_BROADCAST_MAX = 128 << 20
+#: loser (id, off) rows under this aggregate on the driver (one bounded
+#: pull, multithreaded polars groupby; documented in SCALING.md) instead
+#: of a second coarse groupby shuffle
+_DRIVER_AGG_MAX = 256 << 20
 
-    if per_doc.count() == 0:  # metadata-only: per_doc is materialized
+#: per-worker-process cache of broadcast offset indexes (ref hex → built
+#: lookup), so the pd.Index is constructed once per worker, not per batch
+_BCAST_OFFS_MEMO: dict = {}
+
+
+def _block_winner_mask(k: np.ndarray, ids: np.ndarray,
+                       off: np.ndarray) -> np.ndarray:
+    """True where a (k, id, off) row is its own block's (id, off)-minimal
+    occurrence of k.
+
+    Combiner before the key exchange: a row that is not even its block's
+    first occurrence of k can never be the GLOBAL first occurrence, so it
+    is a loser regardless of every other block and skips the k-shuffle —
+    only one candidate per (k, block) enters the exchange. On
+    boilerplate-heavy corpora this cuts the wide stage's rows by the mean
+    within-block duplication factor. ``np.unique`` codes keep the lexsort
+    in pure-int space while preserving the id ORDER the first-occurrence
+    rule is defined on (sorted uniques → order-preserving ranks)."""
+    if len(k) == 0:
+        return np.zeros(0, dtype=bool)
+    _, codes = np.unique(ids, return_inverse=True)
+    order = np.lexsort((off, codes, k))
+    k_s = k[order]
+    first = np.empty(len(k_s), dtype=bool)
+    first[0] = True
+    first[1:] = k_s[1:] != k_s[:-1]
+    w = np.zeros(len(k), dtype=bool)
+    w[order[first]] = True
+    return w
+
+
+def _losers_from_keyed(keyed, *, id_col: str, kparts: int):
+    """(k, id, off, w) rows → loser (id, off) rows.
+
+    Certain losers (``w`` False, see :func:`_block_winner_mask`) bypass
+    the key exchange entirely; block-winner candidates resolve the global
+    first occurrence per k with one coarse-partition sort pass. ``keyed``
+    is materialized so the two branches read the same single execution."""
+    keyed = keyed.materialize()
+
+    def cand(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("w")).select(["k", id_col, "off"])
+
+    def certain(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t.column("w"))).select([id_col, "off"])
+
+    def part_by_k(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__part", pa.array((k % np.uint64(kparts)).astype(np.int64)))
+
+    def losers_part(t: pa.Table) -> pa.Table:
+        # global first occurrence per k among the block winners; int-code
+        # lexsort (np.unique ranks preserve id order), Arrow output so the
+        # downstream exchange ships ~20 B/row instead of pandas objects
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        id_arr = t.column(id_col)
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        off = t.column("off").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({id_col: id_arr, "off": t.column("off")})
+        _, codes = np.unique(
+            id_arr.to_numpy(zero_copy_only=False), return_inverse=True)
+        order = np.lexsort((off, codes, k))
+        k_s = k[order]
+        dup = np.empty(len(k_s), dtype=bool)
+        dup[0] = False
+        dup[1:] = k_s[1:] == k_s[:-1]
+        sel = order[dup]
+        return pa.table({id_col: id_arr.take(pa.array(sel)),
+                         "off": pa.array(off[sel])})
+
+    cand_losers = (
+        keyed.map_batches(cand, batch_format="pyarrow")
+        .map_batches(part_by_k, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pyarrow")
+    )
+    return cand_losers.union(keyed.map_batches(certain, batch_format="pyarrow"))
+
+
+def _dataset_to_arrow_table(ds) -> pa.Table:
+    """Pull a (small, size-gated) materialized Dataset to one Arrow table."""
+    blocks = ray.get(ds.get_internal_block_refs())
+    tables = [b if isinstance(b, pa.Table)
+              else pa.Table.from_pandas(b, preserve_index=False)
+              for b in blocks]
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def _flat_offs_from_losers_tbl(tbl: pa.Table, id_col: str):
+    """Driver-side per-doc aggregation of loser (id, off) rows via one
+    multithreaded polars groupby: (ids, bounds, flat) where doc ids[i]'s
+    offsets are flat[bounds[i]:bounds[i+1]] (ascending)."""
+    import polars as pl
+
+    agg = (
+        pl.from_arrow(tbl)
+        .sort("off")
+        .group_by(id_col, maintain_order=False)
+        .agg(pl.col("off"))
+    )
+    ids_np = agg[id_col].to_numpy()
+    lens = agg["off"].list.len().to_numpy().astype(np.int64)
+    flat = agg["off"].explode().to_numpy().astype(np.int32)
+    bounds = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    return ids_np, bounds, flat
+
+
+def _broadcast_offs(payload, ids_np, bounds, flat, id_col: str):
+    """Attach ``__offs`` by broadcast lookup — the text/token payload never
+    shuffles. The (ids, bounds, flat) triple ships once per node via
+    ``ray.put``; each worker builds its pd.Index once (process memo)."""
+    ref = ray.put((ids_np, bounds, flat))
+
+    def add_offs(t: pa.Table) -> pa.Table:
+        key = ref.hex()
+        ent = _BCAST_OFFS_MEMO.get(key)
+        if ent is None:
+            i_np, b_np, f_np = ray.get(ref)
+            ent = (pd.Index(i_np), b_np, f_np)
+            if len(_BCAST_OFFS_MEMO) > 4:
+                _BCAST_OFFS_MEMO.clear()
+            _BCAST_OFFS_MEMO[key] = ent
+        index, b_np, f_np = ent
+        batch_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = index.get_indexer(batch_ids)
+        hit = pos >= 0
+        lens = np.zeros(len(pos), dtype=np.int64)
+        lens[hit] = b_np[pos[hit] + 1] - b_np[pos[hit]]
+        total = int(lens.sum())
+        if total:
+            take_starts = np.repeat(b_np[pos[hit]], lens[hit])
+            excl = np.concatenate([[0], np.cumsum(lens[hit])[:-1]])
+            flat_idx = take_starts + (np.arange(total) - np.repeat(excl, lens[hit]))
+            values = pa.array(f_np[flat_idx], type=pa.int32())
+        else:
+            values = pa.array([], type=pa.int32())
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        arr = pa.ListArray.from_arrays(offsets, values,
+                                       mask=pa.array(~hit))
+        return t.append_column("__offs", arr)
+
+    return payload.map_batches(add_offs, batch_format="pyarrow")
+
+
+def _attach_offsets(payload, losers, *, ds, id_col: str, kparts: int,
+                    num_partitions: int):
+    """Loser (id, off) rows → payload with per-doc ``__offs`` lists (null
+    when a doc has no losers). Size-gated ladder, cheapest first:
+
+    1. losers ≤ ``_DRIVER_AGG_MAX`` → aggregate on the driver, broadcast
+       lookup (no groupby, no join: zero payload movement);
+    2. aggregated per-doc table ≤ ``_OFFS_BROADCAST_MAX`` → distributed
+       coarse-partition aggregation, then broadcast join-back;
+    3. both big (true 100-TB worst case: duplication spread over most
+       docs) → distributed aggregation + id-keyed hash join, the one
+       payload shuffle of the op.
+    """
+    from ballet_ray.stages.joins import hash_join, scrub_empty_blocks
+
+    lm = losers.materialize()
+    if lm.count() == 0:
         def add_null(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "__offs", pa.array([None] * len(t), pa.list_(pa.int32()))
             )
 
         return payload.map_batches(add_null, batch_format="pyarrow")
+
+    if (lm.size_bytes() or 0) <= _DRIVER_AGG_MAX:
+        ids_np, bounds, flat = _flat_offs_from_losers_tbl(
+            _dataset_to_arrow_table(lm), id_col)
+        return _broadcast_offs(payload, ids_np, bounds, flat, id_col)
+
+    def part_by_id(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = stable_hash_array(ids.astype(object) if ids.dtype == object else ids)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(kparts)).astype(np.int64)))
+
+    def agg_offs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        off = t.column("off").to_numpy(zero_copy_only=False).astype(np.int32)
+        codes, uniq = pd.factorize(ids)
+        order = np.lexsort((off, codes))
+        codes_s, off_s = codes[order], off[order]
+        new_grp = np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+        starts = np.flatnonzero(new_grp)
+        offsets = np.concatenate([starts, [len(off_s)]]).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(np.asarray(uniq)),
+            "__offs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(off_s)),
+        })
+
+    per_doc = (
+        lm.map_batches(part_by_id, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_offs, batch_format="pyarrow")
+    )
+    per_doc = scrub_empty_blocks(per_doc, schema=pa.schema([
+        pa.field(id_col, _id_arrow_type(ds, id_col)),
+        pa.field("__offs", pa.list_(pa.int32())),
+    ]))
+    if (per_doc.size_bytes() or 0) <= _OFFS_BROADCAST_MAX:
+        tbl = _dataset_to_arrow_table(per_doc).combine_chunks()
+        offs_col = tbl.column("__offs").chunk(0) if tbl.num_rows else \
+            pa.array([], pa.list_(pa.int32()))
+        off0 = offs_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = offs_col.values.to_numpy(zero_copy_only=False).astype(np.int32)
+        bounds = off0 - off0[0] if len(off0) else np.zeros(1, np.int64)
+        flat = flat[off0[0]:off0[-1]] if len(off0) else flat
+        ids_np = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        return _broadcast_offs(payload, ids_np, bounds, flat, id_col)
     return hash_join(payload, per_doc, on=(id_col,), how="left_outer",
                      num_partitions=num_partitions)
 
@@ -1458,7 +1668,8 @@ def remove_duplicate_spans(
         if total == 0:
             return pa.table({"k": pa.array([], pa.int64()),
                              id_col: t.column(id_col).slice(0, 0),
-                             "off": pa.array([], pa.int32())})
+                             "off": pa.array([], pa.int32()),
+                             "w": pa.array([], pa.bool_())})
         row_idx = np.repeat(np.arange(len(lens)), n_win)
         excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
         off = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win))
@@ -1473,63 +1684,24 @@ def remove_duplicate_spans(
                     h *= P
                     h += flat[ws + j]
                 keys[lo:hi] = h
-        return pa.table({"k": pa.array(splitmix64(keys).view(np.int64)),
-                         id_col: t.column(id_col).take(pa.array(row_idx)),
-                         "off": pa.array(off.astype(np.int32))})
+        id_arr = t.column(id_col).take(pa.array(row_idx))
+        off32 = off.astype(np.int32)
+        kk = splitmix64(keys)
+        w = _block_winner_mask(
+            kk, id_arr.to_numpy(zero_copy_only=False), off32)
+        return pa.table({"k": pa.array(kk.view(np.int64)),
+                         id_col: id_arr,
+                         "off": pa.array(off32),
+                         "w": pa.array(w)})
 
-    wins = ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
+    keyed = ds.select_columns([id_col, tokens_col]).map_batches(
+        windows, batch_format="pyarrow")
 
     kparts = max(8, num_partitions)
-
-    def part_by_k(t: pa.Table) -> pa.Table:
-        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
-        return t.append_column("__part", pa.array((k % np.uint64(kparts)).astype(np.int64)))
-
-    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["k", id_col, "off"], kind="mergesort")
-        dup = df["k"].duplicated(keep="first")
-        return df.loc[dup.to_numpy(), [id_col, "off"]]
-
-    losers = (
-        wins.map_batches(part_by_k, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(losers_part, batch_format="pandas")
-    )
-
-    def part_by_id(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        h = stable_hash_array(ids.astype(object) if ids.dtype == object else ids)
-        return t.append_column("__part", pa.array((h % np.uint64(kparts)).astype(np.int64)))
-
-    def agg_offs(t: pa.Table) -> pa.Table:
-        # Arrow-native list aggregation (an object column of numpy arrays
-        # would round-trip through Ray as a pickled extension type, which
-        # the join layer cannot pack)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        off = t.column("off").to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.lexsort((off, ids))
-        ids_s, off_s = ids[order], off[order]
-        new_grp = np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
-        starts = np.flatnonzero(new_grp)
-        offsets = np.concatenate([starts, [len(off_s)]]).astype(np.int32)
-        return pa.table({
-            id_col: pa.array(ids_s[starts]),
-            "__offs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(off_s)),
-        })
-
-    per_doc = (
-        losers.map_batches(part_by_id, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(agg_offs, batch_format="pyarrow")
-    )
-    from ballet_ray.stages.joins import scrub_empty_blocks
-
-    per_doc = scrub_empty_blocks(per_doc, schema=pa.schema([
-        pa.field(id_col, _id_arrow_type(ds, id_col)),
-        pa.field("__offs", pa.list_(pa.int32())),
-    ]))
-    joined = _join_or_null_offs(ds.select_columns([id_col, tokens_col]),
-                                per_doc, id_col, num_partitions)
+    losers = _losers_from_keyed(keyed, id_col=id_col, kparts=kparts)
+    joined = _attach_offsets(ds.select_columns([id_col, tokens_col]), losers,
+                             ds=ds, id_col=id_col, kparts=kparts,
+                             num_partitions=num_partitions)
 
     def rewrite(t: pa.Table) -> pa.Table:
         col = t.column(tokens_col)
@@ -1635,61 +1807,26 @@ def remove_duplicate_lines(
         excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
         line_no = np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
         mask = nlen >= min_chars
+        id_arr = t.column(id_col).take(pa.array(row_idx[mask]))
+        off_np = line_no[mask].astype(np.int32)
+        w = _block_winner_mask(
+            h[mask], id_arr.to_numpy(zero_copy_only=False), off_np)
         return pa.table({
             "k": pa.array(h[mask].view(np.int64)),
-            id_col: t.column(id_col).take(pa.array(row_idx[mask])),
-            "off": pa.array(line_no[mask].astype(np.int32)),
+            id_col: id_arr,
+            "off": pa.array(off_np),
+            "w": pa.array(w),
         })
 
-    wins = ds.select_columns([id_col, text_col]).map_batches(keys, batch_format="pyarrow")
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        keys, batch_format="pyarrow")
 
     kparts = max(8, num_partitions)
-
-    def part_by_k(t: pa.Table) -> pa.Table:
-        k = t.column("k").to_numpy(zero_copy_only=False).view(np.uint64)
-        return t.append_column("__part", pa.array((k % np.uint64(kparts)).astype(np.int64)))
-
-    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["k", id_col, "off"], kind="mergesort")
-        dup = df["k"].duplicated(keep="first")
-        return df.loc[dup.to_numpy(), [id_col, "off"]]
-
-    losers = (
-        wins.map_batches(part_by_k, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(losers_part, batch_format="pandas")
-    )
-
-    def part_by_id(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        h = stable_hash_array(ids)
-        return t.append_column("__part", pa.array((h % np.uint64(kparts)).astype(np.int64)))
-
-    def agg_offs(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        off = t.column("off").to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.lexsort((off, ids))
-        ids_s, off_s = ids[order], off[order]
-        new_grp = np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
-        starts = np.flatnonzero(new_grp)
-        offsets = np.concatenate([starts, [len(off_s)]]).astype(np.int32)
-        return pa.table({
-            id_col: pa.array(ids_s[starts]),
-            "__offs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(off_s)),
-        })
-
-    per_doc = (
-        losers.map_batches(part_by_id, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(agg_offs, batch_format="pyarrow")
-    )
-    per_doc = scrub_empty_blocks(per_doc, schema=pa.schema([
-        pa.field(id_col, _id_arrow_type(ds, id_col)),
-        pa.field("__offs", pa.list_(pa.int32())),
-    ]))
+    losers = _losers_from_keyed(keyed, id_col=id_col, kparts=kparts)
     payload_cols = [id_col, text_col, *carry_cols]
-    joined = _join_or_null_offs(ds.select_columns(payload_cols),
-                                per_doc, id_col, num_partitions)
+    joined = _attach_offsets(ds.select_columns(payload_cols), losers,
+                             ds=ds, id_col=id_col, kparts=kparts,
+                             num_partitions=num_partitions)
 
     def rewrite(t: pa.Table) -> pa.Table:
         lines = _line_lists(t)
