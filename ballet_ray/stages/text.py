@@ -414,6 +414,34 @@ class WordRepetition(Transform):
         return ["dup_word_frac", "top_word_frac"]
 
 
+def block_term_counts(ds, *, text_col: str = "text"):
+    """(term, tf) rows pre-aggregated per BLOCK — the combiner for fits
+    that need only corpus-wide term totals (unigram/bigram LM tables,
+    corpus divergence): the term-keyed exchange then carries Σ
+    block-distinct terms instead of Σ doc-distinct terms (one
+    dictionary-encode + bincount per block, no id column shipped).
+    Totals after ``groupby("term").sum("tf")`` are identical to the
+    :func:`doc_term_counts` path by construction."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        flat = pc.list_flatten(pc.split_pattern(col, " ")).dictionary_encode()
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = np.bincount(codes, minlength=len(flat.dictionary))
+        return pa.table({"term": flat.dictionary,
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    return ds.select_columns([text_col]).map_batches(
+        counts, batch_format="pyarrow")
+
+
 def doc_term_counts(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """(id, term, tf) rows: per-document word counts, split on ' '.
 
@@ -607,7 +635,8 @@ def _top_term_scored(ds, *, text_col: str, id_col: str, score_builder,
 
 def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                            alpha: float = 0.5, round_to: int | None = 4,
-                           max_vocab: int | None = 2_000_000):
+                           max_vocab: int | None = 2_000_000,
+                           keep_cols: list[str] | None = None):
     """KenLM-style unigram language-model scoring: per-document total and
     per-word mean log-probability under the corpus's own smoothed unigram
     distribution ``p(w) = (c(w)+alpha) / (total+alpha*vocab)`` — the
@@ -623,11 +652,16 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
     scores as OOV (``log(alpha/denom)`` — the same smoothing floor an
     unseen word gets). ``total`` and the TRUE vocab size stay exact (they
     are distributed scalars, not the dict), so kept-term probabilities
-    are identical with or without the cap."""
+    are identical with or without the cap.
+
+    ``keep_cols`` lists extra input columns to carry through the scoring
+    map unchanged — a caller that filters by score can then do it with a
+    map-only pass over the scored payload instead of a doc-keyed join
+    back onto the corpus."""
     import ray.data.aggregate as _agg
 
-    dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-    counts_ds = dt.groupby("term").sum("tf").materialize()
+    counts_ds = block_term_counts(
+        ds, text_col=text_col).groupby("term").sum("tf").materialize()
     vocab = float(counts_ds.count())  # TRUE vocab size (a scalar, not a collect)
     total = float(counts_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
     denom = total + alpha * vocab
@@ -657,9 +691,11 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
         lens = np.diff(offsets)
         safe = np.maximum(lens, 1)
         ids = t.column(id_col)
+        extra = {c: t.column(c) for c in (keep_cols or [])}
         if len(codes) == 0:
             z = np.zeros(n)
-            return pa.table({id_col: ids, "logprob": pa.array(z), "mean_logprob": pa.array(z)})
+            return pa.table({id_col: ids, **extra,
+                             "logprob": pa.array(z), "mean_logprob": pa.array(z)})
         dict_terms = np.asarray(flat.dictionary.to_pandas(), dtype=object)
         code_lp = np.array([lp.get(w, oov) for w in dict_terms], np.float64)
         per_tok = code_lp[codes]
@@ -671,10 +707,12 @@ def unigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"
         if round_to is not None:
             out_tot = np.round(out_tot, round_to)
             out_mean = np.round(out_mean, round_to)
-        return pa.table({id_col: ids, "logprob": pa.array(out_tot),
+        return pa.table({id_col: ids, **extra, "logprob": pa.array(out_tot),
                          "mean_logprob": pa.array(out_mean)})
 
-    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+    in_cols = [id_col, text_col] + [c for c in (keep_cols or [])
+                                    if c not in (id_col, text_col)]
+    return ds.select_columns(in_cols).map_batches(score, batch_format="pyarrow")
 
 
 class NgramRepetition(Transform):
@@ -773,7 +811,8 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           lam: float = 0.8, alpha: float = 0.5,
                           round_to: int | None = 4,
                           max_vocab: int | None = 2_000_000,
-                          max_bigrams: int | None = 5_000_000):
+                          max_bigrams: int | None = 5_000_000,
+                          keep_cols: list[str] | None = None):
     """CCNet-style perplexity filter: per-document log-probability and
     perplexity under an interpolated bigram language model fit on the
     corpus itself —
@@ -794,12 +833,14 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     Output per doc: ``logprob`` (Σ over positions 2..n), ``mean_logprob``
     (/(n−1)), ``ppl`` (exp(−mean)). Single-word docs emit 0/0/1.
+    ``keep_cols``: extra input columns carried through the scoring map
+    unchanged (join-free filter-by-score, as in unigram_logprob_scores).
     """
     import ray as _ray
     import ray.data.aggregate as _agg
 
-    dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-    uni_ds = dt.groupby("term").sum("tf").materialize()
+    uni_ds = block_term_counts(
+        ds, text_col=text_col).groupby("term").sum("tf").materialize()
     vocab = float(uni_ds.count())
     total = float(uni_ds.aggregate(_agg.Sum("sum(tf)", alias_name="t"))["t"])
     denom = total + alpha * vocab
@@ -857,9 +898,11 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         n = len(words)
         flat = words.flatten()
         ids = t.column(id_col)
+        extra = {c: t.column(c) for c in (keep_cols or [])}
         zeros = np.zeros(n)
         if len(flat) < 2:
-            return pa.table({id_col: ids, "logprob": pa.array(zeros),
+            return pa.table({id_col: ids, **extra,
+                             "logprob": pa.array(zeros),
                              "mean_logprob": pa.array(zeros),
                              "ppl": pa.array(np.ones(n))})
         offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -898,10 +941,12 @@ def bigram_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
             out_tot = np.round(out_tot, round_to)
             out_mean = np.round(out_mean, round_to)
             out_ppl = np.round(out_ppl, round_to)
-        return pa.table({id_col: ids, "logprob": pa.array(out_tot),
+        return pa.table({id_col: ids, **extra, "logprob": pa.array(out_tot),
                          "mean_logprob": pa.array(out_mean), "ppl": pa.array(out_ppl)})
 
-    return ds.select_columns([id_col, text_col]).map_batches(score, batch_format="pyarrow")
+    in_cols = [id_col, text_col] + [c for c in (keep_cols or [])
+                                    if c not in (id_col, text_col)]
+    return ds.select_columns(in_cols).map_batches(score, batch_format="pyarrow")
 
 
 def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_id",
@@ -931,12 +976,11 @@ def corpus_divergence(ds_a, ds_b, *, text_col: str = "text", id_col: str = "doc_
     )
 
     def side_counts(ds, name):
-        dt = doc_term_counts(ds, text_col=text_col, id_col=id_col)
-
         def rn(t: pa.Table) -> pa.Table:
             return t.rename_columns(["term", name])
 
-        side = dt.groupby("term").sum("tf").map_batches(rn, batch_format="pyarrow")
+        side = block_term_counts(ds, text_col=text_col).groupby("term").sum(
+            "tf").map_batches(rn, batch_format="pyarrow")
         # empty-corpus side: a zero-row join input leaves the aggregator
         # partition tables schema-less; scrub gives the join typed blocks
         return scrub_empty_blocks(side, schema=pa.schema(

@@ -311,12 +311,11 @@ def run_curate(args) -> None:
                 ),
                 pc.less_equal(t.column("top_word_frac"), 0.13),
             )
-            return t.filter(m).select(["doc_id", "text"])
+            # carry (the group column) rode line dedup's carry_cols and the
+            # pipeline's passthrough — no meta re-join needed
+            return t.filter(m).select(["doc_id", "text", *carry])
 
         kept = scored.map_batches(keep, batch_format="pyarrow")
-        if group_col:
-            meta = rd.read_parquet(args.input, columns=["doc_id", group_col])
-            kept = hash_join(kept, meta, on="doc_id")
         if args.dedup == "streaming":
             # the stateful Bloom stage goes LAST, immediately before the one
             # consuming write: any earlier placement lets a downstream probe
@@ -379,14 +378,19 @@ def run_curate(args) -> None:
             # table tractable, but its term-keyed groupby is the one part of
             # this job whose exchange grows with corpus size (a uniform-
             # random stress corpus makes nearly every bigram distinct).
+            # the payload rides the scoring map (keep_cols) so the
+            # below-threshold filter is map-only over the materialized
+            # scored corpus — no doc-keyed join back
+            carry = [c for c in ds.schema().names if c != "doc_id"]
             if args.lm == "bigram":
                 from ballet_ray.stages.text import bigram_logprob_scores
 
-                scores = bigram_logprob_scores(
-                    ds, text_col="text", id_col="doc_id", round_to=None
-                ).select_columns(["doc_id", "ppl"]).materialize()
-                thr = float(approx_quantiles(scores, "ppl", [args.ppl_keep])[0])
-                winners = scores.map_batches(
+                scored = bigram_logprob_scores(
+                    ds, text_col="text", id_col="doc_id", round_to=None,
+                    keep_cols=carry,
+                ).materialize()
+                thr = float(approx_quantiles(scored, "ppl", [args.ppl_keep])[0])
+                filtered = scored.map_batches(
                     lambda t, thr=thr: t.filter(
                         pc.less_equal(t.column("ppl"), thr)),
                     batch_format="pyarrow",
@@ -394,18 +398,18 @@ def run_curate(args) -> None:
             else:
                 from ballet_ray.stages.text import unigram_logprob_scores
 
-                scores = unigram_logprob_scores(
-                    ds, text_col="text", id_col="doc_id", round_to=None
-                ).select_columns(["doc_id", "mean_logprob"]).materialize()
+                scored = unigram_logprob_scores(
+                    ds, text_col="text", id_col="doc_id", round_to=None,
+                    keep_cols=carry,
+                ).materialize()
                 thr = float(
-                    approx_quantiles(scores, "mean_logprob",
+                    approx_quantiles(scored, "mean_logprob",
                                      [1.0 - args.ppl_keep])[0])
-                winners = scores.map_batches(
+                filtered = scored.map_batches(
                     lambda t, thr=thr: t.filter(
                         pc.greater_equal(t.column("mean_logprob"), thr)),
                     batch_format="pyarrow",
                 )
-            filtered = hash_join(ds, winners, on="doc_id")
             if args.quality_model:
                 from ballet_ray.state.persist import load_artifact
                 from ballet_ray.stages.classifier import quality_filter_by_model
@@ -451,8 +455,17 @@ def run_curate(args) -> None:
             k = args.dsir_k or max(1, stages_summary["lm"]["rows_out"] // 2)
             sel = dsir_resample(
                 ds, target, k=k, text_col="text", id_col="doc_id"
-            ).select_columns(["doc_id"])
-            rows = _write_stage(hash_join(ds, sel, on="doc_id"), mix_dir)
+            ).select_columns(["doc_id"]).materialize()
+            # winner ids broadcast below the membership gate (same ladder
+            # as cap_per_group) — the payload only shuffles above it
+            if sel.count() <= 2_000_000:
+                from ballet_ray.stages.joins import semi_join_filter
+
+                ids = sel.to_pandas()["doc_id"].to_numpy()
+                mixed = semi_join_filter(ds, ids, key="doc_id")
+            else:
+                mixed = hash_join(ds, sel, on="doc_id")
+            rows = _write_stage(mixed, mix_dir)
         else:
             raise SystemExit(f"unknown --mix {args.mix}")
         info = {"rows_out": int(rows), "wall_s": round(time.time() - ts, 3)}
