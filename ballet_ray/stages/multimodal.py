@@ -3,11 +3,12 @@
 Media travel as opaque ``binary`` columns plus typed metadata columns; all
 Ray-side plumbing (schema, small batches for wide rows, actor-pool decode
 stages, output layout) is real and tested. Decoding is REAL for the
-formats the pure-numpy codecs cover (PPM/BMP/PNG images — PNG via stdlib
-zlib inflate + per-row unfilter — RIFF PCM16 WAV audio, concatenated-PPM
-frame sequences; see stages/codecs.py), selected by magic-byte sniffing
+formats the pure-numpy codecs cover (PPM/BMP/PNG/baseline-JPEG images —
+PNG via stdlib zlib inflate + per-row unfilter, JPEG via the baseline
+DCT/Huffman decoder — RIFF PCM16 WAV audio, concatenated-PPM frame
+sequences; see stages/codecs.py), selected by magic-byte sniffing
 per payload. Formats that genuinely need external
-codec libraries (JPEG/MP4/...) remain stubbed behind
+codec libraries (progressive JPEG/MP4/...) remain stubbed behind
 ``decode_fn``/``transcode_fn``/``extract_fn`` — pass a real codec in
 production, or leave ``use_fake=True`` for a deterministic hash-based
 stand-in in tests.
@@ -47,12 +48,13 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
 class MediaFeaturizer:
     """Actor-pool stage: binary payload → fixed-size feature vector.
 
-    Per payload, magic-byte dispatch: PPM/BMP/PNG → decode + grayscale
-    thumbnail embedding; WAV → decode + windowed-RMS embedding; PPM-SEQ →
-    first frame's image embedding (all real numpy decode paths,
-    stages/codecs.py). Anything else uses ``decode_fn`` if given, the
-    deterministic fake if ``use_fake``, else raises NotImplementedError
-    (JPEG/... need codec libraries this environment lacks)."""
+    Per payload, magic-byte dispatch: PPM/BMP/PNG/baseline-JPEG → decode
+    + grayscale thumbnail embedding; WAV → decode + windowed-RMS
+    embedding; PPM-SEQ → first frame's image embedding (all real numpy
+    decode paths, stages/codecs.py). Anything else uses ``decode_fn`` if
+    given, the deterministic fake if ``use_fake``, else raises
+    NotImplementedError (progressive JPEG/MP4/... need codec libraries
+    this environment lacks)."""
 
     def __init__(self, out_dim: int = 16, use_fake: bool = True, decode_fn=None):
         self.out_dim = out_dim
@@ -61,7 +63,7 @@ class MediaFeaturizer:
 
     def _features(self, payload: bytes) -> np.ndarray:
         mime = _codecs.detect_mime(payload)
-        if mime in ("image/x-ppm", "image/bmp", "image/png"):
+        if mime in ("image/x-ppm", "image/bmp", "image/png", "image/jpeg"):
             return _codecs.image_features(_codecs.decode_image(payload), self.out_dim)
         if mime == "audio/wav":
             samples, rate = _codecs.decode_wav(payload)
@@ -75,7 +77,7 @@ class MediaFeaturizer:
             return _fake_decode(payload, self.out_dim)
         raise NotImplementedError(
             "payload format not decodable with the built-in numpy codecs "
-            "(PPM/BMP/PNG/WAV/PPM-SEQ); pass decode_fn or use_fake=True"
+            "(PPM/BMP/PNG/JPEG/WAV/PPM-SEQ); pass decode_fn or use_fake=True"
         )
 
     def __call__(self, table: pa.Table) -> pa.Table:
@@ -124,13 +126,14 @@ def synthetic_image_table(n: int, width: int = 32, height: int = 24, fmt: str = 
     or PNG."""
     rng = np.random.RandomState(seed)
     enc = {"ppm": _codecs.encode_ppm, "bmp": _codecs.encode_bmp,
-           "png": _codecs.encode_png}[fmt]
+           "png": _codecs.encode_png, "jpeg": _codecs.encode_jpeg}[fmt]
     payloads = [enc(rng.randint(0, 256, (height, width, 3)).astype(np.uint8)) for _ in range(n)]
+    mime = {"png": "image/png", "jpeg": "image/jpeg"}.get(fmt, f"image/x-{fmt}")
     return pa.table(
         {
             "media_id": pa.array([f"img{i:06d}" for i in range(n)]),
             "payload": pa.array(payloads, type=pa.binary()),
-            "mime": pa.array(["image/png" if fmt == "png" else f"image/x-{fmt}"] * n),
+            "mime": pa.array([mime] * n),
             "width": pa.array(np.full(n, width, dtype=np.int32)),
             "height": pa.array(np.full(n, height, dtype=np.int32)),
             "duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
@@ -168,6 +171,10 @@ class MediaResizer:
             return _codecs.encode_png(
                 _codecs.resize_nearest(_codecs.decode_png(payload), self.width, self.height)
             )
+        if mime == "image/jpeg":
+            return _codecs.encode_jpeg(
+                _codecs.resize_nearest(_codecs.decode_jpeg(payload), self.width, self.height)
+            )
         if mime == "video/x-ppm-seq":
             offs = _codecs.ppm_seq_offsets(payload)
             frames = [
@@ -181,7 +188,7 @@ class MediaResizer:
             return self._fake(payload)
         raise NotImplementedError(
             "payload format not resizable with the built-in numpy codecs "
-            "(PPM/BMP/PNG/PPM-SEQ); pass transcode_fn or use_fake=True"
+            "(PPM/BMP/PNG/JPEG/PPM-SEQ); pass transcode_fn or use_fake=True"
         )
 
     def __call__(self, table: pa.Table) -> pa.Table:
