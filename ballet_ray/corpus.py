@@ -15,7 +15,8 @@ Grouped by stage of a typical pipeline:
 - quality:        QualityScore, WordRepetition, NgramRepetition, LangId,
                   unigram_logprob_scores, tfidf_top_terms, RegexTokenCount,
                   TokenStats, DistributedLogReg (model-based filter)
-- scrub:          RegexRedactor (PII_PATTERNS), HtmlToText (HTML_ENTITIES)
+- scrub:          RegexRedactor (PII_PATTERNS), HtmlToText (HTML_ENTITIES),
+                  TextNormalizer (NFC + case + whitespace)
 - dedup:          exact_dedup, minhash_lsh_pairs, token_minhash_lsh_pairs,
                   simhash_pairs, ngram_jaccard_pairs, dedup_by_minhash,
                   assign_clusters, embedding_near_dup_pairs, semantic_dedup
@@ -117,6 +118,7 @@ from ballet_ray.stages.text import (
     PII_PATTERNS,
     Fingerprint,
     HtmlToText,
+    TextNormalizer,
     bigram_logprob_scores,
     bm25_top_terms,
     corpus_divergence,
@@ -165,6 +167,7 @@ __all__ = [
     "PCA",
     "HTML_ENTITIES",
     "HtmlToText",
+    "TextNormalizer",
     "PII_PATTERNS",
     "DistributedLogReg",
     "Fingerprint",

@@ -2276,6 +2276,46 @@ FROM s3
 SQL_STRIP_HTML_DOCS = _sql_strip_html()
 
 
+def q_normalize_text_docs(sf_dir: str):
+    """Unicode NFC + case + whitespace/control normalization
+    (TextNormalizer, the pre-hash dedup step). Both sides first rough the
+    text up identically: a decomposed accent (e + combining acute), tabs,
+    a control char, and double spaces."""
+    from ballet_ray.stages.text import TextNormalizer
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mess(t: pa.Table) -> pa.Table:
+        messy = pc.binary_join_element_wise(
+            "Café\t BEGIN  ",
+            pc.cast(t.column("text"), pa.string()),
+            "\t\x01 end ",
+            "")
+        return pa.table({"doc_id": t.column("doc_id"), "messy": messy})
+
+    pipe = FeatureEngineeringPipeline([Feature("messy", TextNormalizer())])
+    return pipe.fit_transform(ds.map_batches(mess, batch_format="pyarrow")) \
+        .select_columns(["doc_id", "messy_norm"])
+
+
+SQL_NORMALIZE_TEXT_DOCS = """
+WITH m AS (
+    SELECT doc_id,
+           'Cafe' || chr(769) || chr(9) || ' BEGIN  ' || text ||
+           chr(9) || chr(1) || ' end ' AS messy
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(nfc_normalize(messy)),
+           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '[ \\t]+', ' ', 'g'),
+           '^\\s+', '', 'g'),
+           '\\s+$', '', 'g') AS messy_norm
+FROM m
+"""
+
+
 def q_dedup_lines_docs(sf_dir: str):
     """Corpus-wide exact line dedup (remove_duplicate_lines: global first
     occurrence by (doc_id, line_no) wins). Corpus text is single-line, so
@@ -2947,6 +2987,7 @@ LIMIT 50
 QUERIES = {
     "strip_html_docs": q_strip_html_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "normalize_text_docs": q_normalize_text_docs,
     "image_near_dup_docs": q_image_near_dup_docs,
     "poly_lineitem": q_poly_lineitem,
     "fourier_events": q_fourier_events,
@@ -3050,6 +3091,7 @@ QUERIES = {
 ORACLE_SQL = {
     "strip_html_docs": SQL_STRIP_HTML_DOCS,
     "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
+    "normalize_text_docs": SQL_NORMALIZE_TEXT_DOCS,
     "image_near_dup_docs": SQL_IMAGE_NEAR_DUPS,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_orders": SQL_TOPK_ORDERS,

@@ -186,6 +186,60 @@ class HtmlToText(Transform):
         return [x for c in cols for x in (f"{c}_text", f"{c}_n_tags")]
 
 
+class TextNormalizer(Transform):
+    """Unicode/whitespace text normalization — the standard pre-hash step
+    of a dedup pipeline (two visually identical strings with different
+    combining-character forms must hash identically):
+
+    1. Unicode NFC normalization — stdlib ``unicodedata`` applied ONLY to
+       the rows that contain non-ASCII bytes (ASCII is NFC-invariant, so
+       the typical web-English batch skips the per-row call entirely; the
+       non-ASCII slice pays one C-library call per row). NOTE: pyarrow's
+       ``utf8_normalize(form="NFC")`` is NOT used — as of pyarrow 16 it
+       fails to compose e+U+0301 into é, diverging from true NFC (and
+       from DuckDB's ``nfc_normalize``, which this stage mirrors exactly
+       for the oracle);
+    2. optional lowercasing;
+    3. strip C0/C1 control characters (tab/newline kept as whitespace);
+    4. collapse horizontal whitespace runs to one space, trim ends.
+
+    Stateless, map-only. Output: ``{c}_norm``.
+    """
+
+    def __init__(self, *, lower: bool = True):
+        self.lower = lower
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        import unicodedata
+
+        out = {}
+        for c in cols:
+            col = pc.cast(table.column(c), pa.string())
+            non_ascii = pc.match_substring_regex(col, r"[^\x00-\x7f]")
+            if pc.any(pc.fill_null(non_ascii, False)).as_py():
+                vals = col.to_numpy(zero_copy_only=False)
+                idx = np.flatnonzero(
+                    pc.fill_null(non_ascii, False).to_numpy(zero_copy_only=False))
+                vals = vals.astype(object)
+                for i in idx:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+                col = pa.array(vals, type=pa.string())
+            if self.lower:
+                col = pc.utf8_lower(col)
+            col = pc.replace_substring_regex(
+                col, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]",
+                replacement="")
+            col = pc.replace_substring_regex(
+                col, pattern=r"[ \t]+", replacement=" ")
+            col = pc.replace_substring_regex(col, pattern=r"^\s+", replacement="")
+            col = pc.replace_substring_regex(col, pattern=r"\s+$", replacement="")
+            out[f"{c}_norm"] = col
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_norm" for c in cols]
+
+
 class QualityScore(Transform):
     """Cheap document-quality heuristics: word count, mean word length,
     alpha ratio, and a composite score. Formulas kept SQL-expressible:
