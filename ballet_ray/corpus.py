@@ -121,6 +121,7 @@ from ballet_ray.stages.text import (
     TextNormalizer,
     bigram_logprob_scores,
     bm25_top_terms,
+    canonicalize_url,
     corpus_divergence,
     LangId,
     NgramRepetition,
@@ -140,6 +141,7 @@ from ballet_ray.stages.windows import grouped_rank
 __all__ = [
     "assign_clusters",
     "cap_per_group",
+    "canonicalize_url",
     "cluster_embeddings",
     "extract_domain",
     "filter_groups",

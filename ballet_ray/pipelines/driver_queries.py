@@ -2316,6 +2316,86 @@ FROM m
 """
 
 
+def q_canonicalize_url_docs(sf_dir: str):
+    """URL canonicalization (canonicalize_url: fragment strip, tracking-param
+    strip + separator tidy, scheme/authority lowercase, default-port strip,
+    root-slash strip). No URL column exists in the test tables, so both
+    sides synthesize the same five messy URL shapes from doc_id — mixed
+    case, :80/:443 ports, utm_/gclid/fbclid/ref params, fragments, a
+    scheme-less URL, and a bare root slash."""
+    from ballet_ray.stages.text import canonicalize_url
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mess(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.string())
+        j = pc.binary_join_element_wise
+        variants = [
+            j("HTTPS://WWW.Example.COM:443/Docs/", did, "?utm_source=feed&id=",
+              did, "&fbclid=XYZ#sec-2", ""),
+            j("HTTP://News.Site.ORG:80/?gclid=g", did, ""),
+            j("https://CDN.Host.IO:443/", did, "/", ""),
+            j("example.com/page/", did, "?ref=tw&q=", did, "#top", ""),
+            j("https://API.Service.Net/v1/items?id=", did,
+              "&utm_campaign=x&utm_medium=y&igshid=z", ""),
+        ]
+        did_np = t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        mod = pa.array(did_np % 5, pa.int64())
+        url = variants[4]
+        for k in range(3, -1, -1):
+            url = pc.if_else(pc.equal(mod, k), variants[k], url)
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    out = ds.map_batches(mess, batch_format="pyarrow") \
+        .map_batches(canonicalize_url, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "canonical_url"])
+
+
+def _sql_canonicalize_url() -> str:
+    from ballet_ray.stages.text import TRACKING_PARAMS_RE
+
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+      CASE doc_id % 5
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Docs/' || doc_id
+                    || '?utm_source=feed&id=' || doc_id || '&fbclid=XYZ#sec-2'
+        WHEN 1 THEN 'HTTP://News.Site.ORG:80/?gclid=g' || doc_id
+        WHEN 2 THEN 'https://CDN.Host.IO:443/' || doc_id || '/'
+        WHEN 3 THEN 'example.com/page/' || doc_id || '?ref=tw&q=' || doc_id || '#top'
+        ELSE 'https://API.Service.Net/v1/items?id=' || doc_id
+             || '&utm_campaign=x&utm_medium=y&igshid=z'
+      END AS url
+    FROM documents
+), s1 AS (
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(url, '#[\\s\\S]*$', ''),
+          '([?&]){TRACKING_PARAMS_RE}=[^&#]*', '\\1', 'g'),
+          '\\?&+', '?', 'g'),
+          '&&+', '&', 'g'),
+          '[?&]+$', '') AS u
+    FROM m
+), s2 AS (
+    SELECT doc_id,
+      CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+             || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+        ELSE u END AS u
+    FROM s1
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(u,
+      '^(http://[^/:?#]+):80([/?#][\\s\\S]*)?$', '\\1\\2'),
+      '^(https://[^/:?#]+):443([/?#][\\s\\S]*)?$', '\\1\\2'),
+      '^([A-Za-z0-9+.-]+://[^/?#]+)/$', '\\1') AS canonical_url
+FROM s2
+"""
+
+
+SQL_CANONICALIZE_URL_DOCS = _sql_canonicalize_url()
+
+
 def q_dedup_lines_docs(sf_dir: str):
     """Corpus-wide exact line dedup (remove_duplicate_lines: global first
     occurrence by (doc_id, line_no) wins). Corpus text is single-line, so
@@ -3035,6 +3115,9 @@ QUERIES = {
     "dsir_logw_docs": q_dsir_logw_docs,
     "dsir_resample_docs": q_dsir_resample_docs,
     "bigram_logprob_docs": q_bigram_logprob_docs,
+    # --- added after the 50-entry driver snapshot filled (round 5);
+    # covered by tools/check_oracles.py + pytest ---
+    "canonicalize_url_docs": q_canonicalize_url_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3181,4 +3264,5 @@ ORACLE_SQL = {
     "dsir_logw_docs": SQL_DSIR_LOGW_DOCS,
     "dsir_resample_docs": SQL_DSIR_RESAMPLE_DOCS,
     "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
+    "canonicalize_url_docs": SQL_CANONICALIZE_URL_DOCS,
 }

@@ -358,6 +358,51 @@ _URL_HOST_RE = (r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@\s]*@)?"
                 r"(?P<host>[^/?#:\s]+)")
 
 
+#: query parameters stripped by canonicalize_url (tracking noise that
+#: makes otherwise-identical URLs distinct — the URL-dedup killer)
+TRACKING_PARAMS_RE = r"(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|ref|ref_src|igshid)"
+
+
+def canonicalize_url(table: pa.Table, url_col: str = "url",
+                     out: str = "canonical_url") -> pa.Table:
+    """URL canonicalization for URL-level dedup (the first key of every
+    crawl-frontier/dedup pipeline). Deterministic RE2 chain, mirrored
+    exactly by DuckDB SQL for the oracle:
+
+    1. strip the fragment (``#...``);
+    2. drop tracking query params (:data:`TRACKING_PARAMS_RE`), tidy the
+       separators left behind (``?&`` → ``?``, ``&&`` → ``&``, trailing
+       ``?``/``&`` removed);
+    3. lowercase scheme + authority (never the path/query);
+    4. strip default ports (``http://…:80``, ``https://…:443``);
+    5. strip the root trailing slash (``…example.com/`` → no slash).
+
+    Rows without a ``scheme://`` prefix pass through steps 1–2 unchanged
+    by 3–5. Stateless, vectorized, map-only.
+    """
+    u = pc.cast(table.column(url_col), pa.string())
+    u = pc.replace_substring_regex(u, pattern=r"#[\s\S]*$", replacement="")
+    u = pc.replace_substring_regex(
+        u, pattern=r"([?&])" + TRACKING_PARAMS_RE + r"=[^&#]*",
+        replacement=r"\1")
+    u = pc.replace_substring_regex(u, pattern=r"\?&+", replacement="?")
+    u = pc.replace_substring_regex(u, pattern=r"&&+", replacement="&")
+    u = pc.replace_substring_regex(u, pattern=r"[?&]+$", replacement="")
+    parts = pc.extract_regex(
+        u, pattern=r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<r>[\s\S]*)$")
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(parts, "p")),
+        pc.struct_field(parts, "r"), "")
+    u = pc.if_else(pc.is_valid(lowered), lowered, u)
+    u = pc.replace_substring_regex(
+        u, pattern=r"^(http://[^/:?#]+):80([/?#][\s\S]*)?$", replacement=r"\1\2")
+    u = pc.replace_substring_regex(
+        u, pattern=r"^(https://[^/:?#]+):443([/?#][\s\S]*)?$", replacement=r"\1\2")
+    u = pc.replace_substring_regex(
+        u, pattern=r"^([A-Za-z0-9+.-]+://[^/?#]+)/$", replacement=r"\1")
+    return table.append_column(out, u)
+
+
 def extract_domain(table: pa.Table, url_col: str = "url",
                    out_col: str = "domain", apex: bool = False) -> pa.Table:
     """Append the lowercased host of a URL column — the group key the

@@ -699,6 +699,47 @@ def test_cluster_embeddings_recovers_planted_blobs(ray_session):
     assert list(again["cluster"]) == list(df["cluster"])
 
 
+def test_canonicalize_url(ray_session):
+    from ballet_ray.stages.text import canonicalize_url
+
+    t = pa.table({"url": [
+        "HTTPS://WWW.Example.COM:443/Docs/7?utm_source=feed&id=7&fbclid=XYZ#sec-2",
+        "HTTP://News.Site.ORG:80/?gclid=g12",     # root slash after param strip
+        "https://CDN.Host.IO:443/",               # bare root slash
+        "example.com/page/3?ref=tw&q=3",          # scheme-less: params only
+        "https://a.b/?utm_a=1&utm_b=2",           # every param tracking
+        "https://x.y/p?a=1&ref_src=tw",           # ref_src, not ref
+        "ftp://Host.Z:80/file",                   # :80 only default for http
+        "https://h.io:8443/p",                    # non-default port kept
+        "https://h.io/deep/path/",                # non-root trailing slash kept
+        "no url here",
+        None,
+    ]})
+    got = canonicalize_url(t).column("canonical_url").to_pylist()
+    assert got == [
+        "https://www.example.com/Docs/7?id=7",
+        "http://news.site.org",
+        "https://cdn.host.io",
+        "example.com/page/3?q=3",
+        "https://a.b",
+        "https://x.y/p?a=1",
+        "ftp://host.z:80/file",
+        "https://h.io:8443/p",
+        "https://h.io/deep/path/",
+        "no url here",
+        None,
+    ]
+
+    # canonical dedup recipe: two casings + tracking params of the same page
+    # collapse to one key; distinct pages do not
+    ds = rd.from_arrow(pa.table({"url": [
+        f"https://Site.org/a/{i % 5}?utm_c={i}" for i in range(40)
+    ]}))
+    keys = (ds.map_batches(canonicalize_url, batch_format="pyarrow")
+            .to_pandas()["canonical_url"])
+    assert keys.nunique() == 5
+
+
 def test_extract_domain_host_apex_and_cap_recipe(ray_session):
     from ballet_ray.stages.sampling import cap_per_group
     from ballet_ray.stages.text import extract_domain
