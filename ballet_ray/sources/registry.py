@@ -24,7 +24,14 @@ _READERS = {
     "json": lambda path, columns: _project(rd.read_json(path), columns),
     "text": lambda path, columns: rd.read_text(path),
     "binary": lambda path, columns: rd.read_binary_files(path, include_paths=True),
+    "warc": lambda path, columns: _project(_read_warc(path), columns),
 }
+
+
+def _read_warc(path):
+    from ballet_ray.sources.warc import read_warc
+
+    return read_warc(path)
 
 
 def _project(ds, columns):
