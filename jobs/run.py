@@ -49,6 +49,49 @@ def build_pipeline():
     )
 
 
+def _load_corpus(input_path: str, input_format: str, columns: list[str]):
+    """Corpus front end for both jobs: ``parquet`` reads the canonical
+    (doc_id, text, …) table with the columns pruned at the read;
+    ``warc`` reads crawl archives (see sources/warc.py) and maps them to
+    the same shape in one map-only prep stage — doc_id = stable uint64
+    hash of WARC-Record-ID (folded to non-negative int64), text =
+    HtmlToText of the HTTP body, source = apex domain of the target URI
+    (the mixture/dedup group key). No shuffle, no state: at 100 TB the
+    prep parallelizes per-archive like every other map stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    if input_format == "parquet":
+        return rd.read_parquet(input_path, columns=columns)
+
+    from ballet_ray.functions.partition import stable_hash_array
+    from ballet_ray.sources.warc import read_warc
+    from ballet_ray.stages.text import HtmlToText, extract_domain
+
+    html = HtmlToText()
+
+    def prep(t: pa.Table) -> pa.Table:
+        rid = t.column("record_id").to_numpy(zero_copy_only=False)
+        doc_id = (stable_hash_array(rid) >> np.uint64(1)).astype(np.int64)
+        page = pa.table({"page": pc.cast(t.column("payload"), pa.string())})
+        # transform_table returns only its outputs (the pipeline machinery
+        # normally handles passthrough) — reassemble the canonical shape
+        text = html.transform_table(page, ["page"]).column("page_text")
+        dom = extract_domain(
+            pa.table({"url": t.column("target_uri")}),
+            url_col="url", out_col="source", apex=True).column("source")
+        return pa.table({
+            "doc_id": pa.array(doc_id),
+            "text": text,
+            "source": dom,
+        })
+
+    ds = read_warc(input_path).map_batches(prep, batch_format="pyarrow")
+    return ds.select_columns(columns)
+
+
 def run_ingest(args) -> None:
     """End-to-end corpus ingest: streaming exact dedup (sharded Bloom
     index, state checkpointed under <out>/bloom_state so a later run of
@@ -84,7 +127,7 @@ def run_ingest(args) -> None:
             ray.get([h.restore.remote(b) for h, b in zip(handles, blobs)])
             restored = True
 
-    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ds = _load_corpus(args.input, args.input_format, ["doc_id", "text"])
     docs_in = ds.count()
 
     pipe = FeatureEngineeringPipeline(
@@ -164,9 +207,12 @@ def run_ingest(args) -> None:
         from ballet_ray.stages.report import corpus_report
 
         # full-schema read: the mixture section needs lang/source columns
-        # the ingest path prunes away
+        # the ingest path prunes away (warc input carries doc_id/text/source)
+        rpt = (rd.read_parquet(args.input) if args.input_format == "parquet"
+               else _load_corpus(args.input, "warc",
+                                 ["doc_id", "text", "source"]))
         summary["input_report"] = corpus_report(
-            rd.read_parquet(args.input), text_col="text", id_col="doc_id"
+            rpt, text_col="text", id_col="doc_id"
         )
     print(json.dumps(summary))
 
@@ -273,7 +319,8 @@ def run_curate(args) -> None:
     if info is None:
         ts = time.time()
         carry = [group_col] if group_col else []
-        ds = rd.read_parquet(args.input, columns=["doc_id", "text", *carry])
+        ds = _load_corpus(args.input, args.input_format,
+                          ["doc_id", "text", *carry])
         docs_in = ds.count()
         from ballet_ray.stages.dedup import remove_duplicate_lines
 
@@ -563,6 +610,12 @@ def main() -> None:
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--input-format", choices=["parquet", "warc"],
+                    default="parquet",
+                    help="warc: read crawl archives (sources/warc.py) and map "
+                         "them to the canonical (doc_id, text, source) shape "
+                         "— doc_id from WARC-Record-ID, text via HtmlToText, "
+                         "source = apex domain (ingest/curate modes)")
     ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate"],
                     default="backfill")
     ap.add_argument("--dedup", choices=["minhash", "exact", "streaming", "none"],
@@ -616,6 +669,9 @@ def main() -> None:
     ap.add_argument("--files-per-part", type=int, default=2)
     ap.add_argument("--sep-token", type=int, default=None)
     args = ap.parse_args()
+    if args.input_format == "warc" and args.mode not in ("ingest", "curate"):
+        ap.error("--input-format warc is supported by --mode ingest/curate "
+                 "(backfill/pack consume the canonical parquet shapes)")
 
     import ray
 
