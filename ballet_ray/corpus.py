@@ -123,6 +123,8 @@ from ballet_ray.stages.text import (
     bm25_top_terms,
     canonicalize_url,
     corpus_divergence,
+    domain_match_mask,
+    filter_by_domain,
     LangId,
     NgramRepetition,
     QualityScore,
@@ -144,6 +146,8 @@ __all__ = [
     "canonicalize_url",
     "cluster_embeddings",
     "extract_domain",
+    "domain_match_mask",
+    "filter_by_domain",
     "filter_groups",
     "calibrate_threshold",
     "streaming_embedding_dedup",

@@ -2318,6 +2318,66 @@ FROM m
 """
 
 
+def q_domain_filter_docs(sf_dir: str):
+    """UT1-style domain blocklist filtering (filter_by_domain, block mode
+    with subdomain matching): four synthetic URL shapes per doc — a
+    subdomain of a blocked domain (dropped), a clean host (kept), a
+    scheme-less exact blocked host (dropped), and a host whose SUFFIX
+    string equals a blocked domain without a label boundary (kept —
+    'notevil.org' must NOT match 'evil.org')."""
+    from ballet_ray.stages.text import extract_domain, filter_by_domain
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mess(t: pa.Table) -> pa.Table:
+        did = pc.cast(t.column("doc_id"), pa.string())
+        j = pc.binary_join_element_wise
+        variants = [
+            j("https://Ads.Blocked.COM/x/", did, ""),
+            j("http://good.site.org/p/", did, ""),
+            j("evil.org/", did, ""),
+            j("https://notevil.org/", did, ""),
+        ]
+        did_np = t.column("doc_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        mod = pa.array(did_np % 4, pa.int64())
+        url = variants[3]
+        for k in range(2, -1, -1):
+            url = pc.if_else(pc.equal(mod, k), variants[k], url)
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    kept = filter_by_domain(
+        ds.map_batches(mess, batch_format="pyarrow"),
+        {"blocked.com", "evil.org"}, mode="block")
+    return kept.map_batches(
+        lambda t: extract_domain(t, out_col="domain").select(
+            ["doc_id", "domain"]),
+        batch_format="pyarrow")
+
+
+SQL_DOMAIN_FILTER_DOCS = """
+WITH m AS (
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://Ads.Blocked.COM/x/' || doc_id
+        WHEN 1 THEN 'http://good.site.org/p/' || doc_id
+        WHEN 2 THEN 'evil.org/' || doc_id
+        ELSE 'https://notevil.org/' || doc_id
+      END AS url
+    FROM documents
+), h AS (
+    SELECT doc_id,
+      lower(regexp_extract(url,
+        '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@\\s]*@)?([^/?#:\\s]+)', 1))
+        AS domain
+    FROM m
+)
+SELECT doc_id, domain FROM h
+WHERE NOT (domain = 'blocked.com' OR domain LIKE '%.blocked.com'
+        OR domain = 'evil.org'    OR domain LIKE '%.evil.org')
+"""
+
+
 def q_warc_pipeline_docs(sf_dir: str):
     """Web-crawl ingest front end over the WARC source: a deterministic
     4-shard record-gzipped WARC fixture is encoded from documents (each doc
@@ -3190,6 +3250,7 @@ QUERIES = {
     # covered by tools/check_oracles.py + pytest ---
     "canonicalize_url_docs": q_canonicalize_url_docs,
     "warc_pipeline_docs": q_warc_pipeline_docs,
+    "domain_filter_docs": q_domain_filter_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3338,4 +3399,5 @@ ORACLE_SQL = {
     "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
     "canonicalize_url_docs": SQL_CANONICALIZE_URL_DOCS,
     "warc_pipeline_docs": SQL_WARC_PIPELINE_DOCS,
+    "domain_filter_docs": SQL_DOMAIN_FILTER_DOCS,
 }

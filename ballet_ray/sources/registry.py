@@ -39,6 +39,8 @@ def _project(ds, columns):
 
 
 def _infer_format(path: str) -> str:
+    if path.lower().endswith((".warc", ".warc.gz")):
+        return "warc"
     ext = os.path.splitext(path)[1].lstrip(".").lower()
     return {"pq": "parquet", "jsonl": "json", "txt": "text"}.get(ext, ext or "parquet")
 

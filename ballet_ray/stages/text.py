@@ -449,6 +449,73 @@ def extract_domain(table: pa.Table, url_col: str = "url",
     return table.append_column(out_col, host)
 
 
+def domain_match_mask(table: pa.Table, domains, *, url_col: str = "url",
+                      domain_col: str | None = None,
+                      match_subdomains: bool = True,
+                      max_depth: int = 8) -> pa.Array:
+    """Boolean mask: row's host is in ``domains`` (a set/list/Arrow array
+    of lowercase domains). With ``match_subdomains`` (the UT1-blocklist
+    convention) a host also matches any listed suffix domain —
+    ``ads.bad.com`` matches an entry ``bad.com`` — implemented as ≤
+    ``max_depth`` vectorized label-strip + ``is_in`` passes (hosts rarely
+    exceed 8 labels; no per-row Python). Null / unparseable URLs never
+    match. ``domain_col`` skips extraction when a host column already
+    exists."""
+    if domain_col is not None:
+        host = table.column(domain_col)
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        host = pc.utf8_lower(pc.cast(host, pa.string()))
+    else:
+        host = extract_domain(table, url_col=url_col,
+                              out_col="__host").column("__host")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+    if not isinstance(domains, (pa.Array, pa.ChunkedArray)):
+        domains = pa.array(sorted(set(domains)), pa.string())
+    mask = pc.is_in(host, value_set=domains)
+    if match_subdomains:
+        cur = host
+        for _ in range(max_depth):
+            nxt = pc.replace_substring_regex(
+                cur, pattern=r"^[^.]*\.", replacement="",
+                max_replacements=1)
+            if pc.all(pc.equal(nxt, cur)).as_py() in (True, None):
+                break
+            cur = nxt
+            mask = pc.or_(mask, pc.is_in(cur, value_set=domains))
+    return pc.fill_null(mask, False)
+
+
+def filter_by_domain(ds, domains, *, url_col: str = "url",
+                     domain_col: str | None = None, mode: str = "block",
+                     match_subdomains: bool = True):
+    """Drop (``mode='block'``) or keep only (``mode='allow'``) rows whose
+    URL host is on a domain list — the UT1/adult-blocklist step of every
+    crawl curation pipeline (RefinedWeb §3.1, FineWeb). The list ships to
+    workers ONCE via ``ray.put`` (UT1 is ~4M domains ≈ 80 MB — per-batch
+    closure capture would re-serialize it per task) and each batch is one
+    (or ``max_depth`` for subdomain matching) vectorized ``is_in``; no
+    shuffle, no state, map-only at any corpus size."""
+    import ray as _ray
+
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    arr = (domains if isinstance(domains, pa.Array)
+           else pa.array(sorted({d.lower() for d in domains}), pa.string()))
+    dref = _ray.put(arr)
+    block = mode == "block"
+
+    def apply(t: pa.Table) -> pa.Table:
+        dset = _ray.get(dref)
+        m = domain_match_mask(t, dset, url_col=url_col,
+                              domain_col=domain_col,
+                              match_subdomains=match_subdomains)
+        return t.filter(pc.invert(m) if block else m)
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
 class WordRepetition(Transform):
     """Gopher-style within-document repetition signals over a text column
     (Rae et al. 2021 §A1.1 repetition filters): duplicate-word fraction

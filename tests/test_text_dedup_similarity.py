@@ -740,6 +740,44 @@ def test_canonicalize_url(ray_session):
     assert keys.nunique() == 5
 
 
+def test_filter_by_domain(ray_session):
+    from ballet_ray.stages.text import domain_match_mask, filter_by_domain
+
+    t = pa.table({"doc_id": list(range(8)), "url": [
+        "https://Ads.Blocked.COM/x",        # subdomain of blocked
+        "https://a.b.c.d.e.blocked.com/y",  # deep subdomain
+        "evil.org/z",                        # scheme-less exact
+        "https://notevil.org/ok",            # suffix WITHOUT label boundary
+        "http://good.site.org/p",
+        "https://BLOCKED.com",               # case-insensitive exact
+        None,                                # null never matches
+        "   ",                               # unparseable never matches
+    ]})
+    mask = domain_match_mask(t, {"blocked.com", "evil.org"})
+    assert mask.to_pylist() == [True, True, True, False, False, True,
+                                False, False]
+    # no-subdomain mode: only exact hosts match
+    strict = domain_match_mask(t, {"blocked.com", "evil.org"},
+                               match_subdomains=False)
+    assert strict.to_pylist() == [False, False, True, False, False, True,
+                                  False, False]
+
+    ds = rd.from_arrow(t).repartition(3)
+    blocked = filter_by_domain(ds, {"blocked.com", "evil.org"}).to_pandas()
+    assert sorted(blocked["doc_id"]) == [3, 4, 6, 7]
+    allowed = filter_by_domain(ds, ["Blocked.COM"], mode="allow").to_pandas()
+    assert sorted(allowed["doc_id"]) == [0, 1, 5]
+
+    # domain_col path skips URL parsing
+    t2 = pa.table({"domain": ["x.bad.io", "ok.io"], "v": [1, 2]})
+    m2 = domain_match_mask(t2, {"bad.io"}, domain_col="domain")
+    assert m2.to_pylist() == [True, False]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="block.*allow"):
+        filter_by_domain(ds, {"a.b"}, mode="deny")
+
+
 def test_extract_domain_host_apex_and_cap_recipe(ray_session):
     from ballet_ray.stages.sampling import cap_per_group
     from ballet_ray.stages.text import extract_domain
