@@ -92,6 +92,27 @@ def _load_corpus(input_path: str, input_format: str, columns: list[str]):
     return ds.select_columns(columns)
 
 
+def _apply_blocklist(ds, args, have_cols: list[str]):
+    """Optional UT1-style domain blocklist (``--block-domains <file>``, one
+    domain per line, ``#`` comments): map-only filter on the corpus's
+    domain column (``--block-domains-col``, default ``source`` — the apex
+    domain under ``--input-format warc``; with parquet input the column's
+    own values are matched, so blocking a plain source label like ``web``
+    also works). Returns the dataset trimmed back to ``have_cols``."""
+    if not getattr(args, "block_domains", None):
+        return ds
+    from ballet_ray.stages.text import filter_by_domain
+
+    with open(args.block_domains) as f:
+        domains = {ln.strip().lower() for ln in f
+                   if ln.strip() and not ln.startswith("#")}
+    ds = filter_by_domain(ds, domains,
+                          domain_col=getattr(args, "block_domains_col",
+                                             "source"),
+                          mode="block")
+    return ds.select_columns(have_cols)
+
+
 def run_ingest(args) -> None:
     """End-to-end corpus ingest: streaming exact dedup (sharded Bloom
     index, state checkpointed under <out>/bloom_state so a later run of
@@ -127,7 +148,13 @@ def run_ingest(args) -> None:
             ray.get([h.restore.remote(b) for h, b in zip(handles, blobs)])
             restored = True
 
-    ds = _load_corpus(args.input, args.input_format, ["doc_id", "text"])
+    load_cols = ["doc_id", "text"]
+    if getattr(args, "block_domains", None):
+        load_cols.append(getattr(args, "block_domains_col", "source"))
+    ds = _load_corpus(args.input,
+                      getattr(args, "input_format", "parquet"),
+                      load_cols)
+    ds = _apply_blocklist(ds, args, ["doc_id", "text"])
     docs_in = ds.count()
 
     pipe = FeatureEngineeringPipeline(
@@ -208,7 +235,8 @@ def run_ingest(args) -> None:
 
         # full-schema read: the mixture section needs lang/source columns
         # the ingest path prunes away (warc input carries doc_id/text/source)
-        rpt = (rd.read_parquet(args.input) if args.input_format == "parquet"
+        rpt = (rd.read_parquet(args.input)
+               if getattr(args, "input_format", "parquet") == "parquet"
                else _load_corpus(args.input, "warc",
                                  ["doc_id", "text", "source"]))
         summary["input_report"] = corpus_report(
@@ -319,8 +347,14 @@ def run_curate(args) -> None:
     if info is None:
         ts = time.time()
         carry = [group_col] if group_col else []
-        ds = _load_corpus(args.input, args.input_format,
-                          ["doc_id", "text", *carry])
+        load_cols = ["doc_id", "text", *carry]
+        bcol = getattr(args, "block_domains_col", "source")
+        if getattr(args, "block_domains", None) and bcol not in load_cols:
+            load_cols.append(bcol)
+        ds = _load_corpus(args.input,
+                          getattr(args, "input_format", "parquet"),
+                          load_cols)
+        ds = _apply_blocklist(ds, args, ["doc_id", "text", *carry])
         docs_in = ds.count()
         from ballet_ray.stages.dedup import remove_duplicate_lines
 
@@ -616,6 +650,13 @@ def main() -> None:
                          "them to the canonical (doc_id, text, source) shape "
                          "— doc_id from WARC-Record-ID, text via HtmlToText, "
                          "source = apex domain (ingest/curate modes)")
+    ap.add_argument("--block-domains", default=None,
+                    help="path to a domain blocklist file (one per line, # "
+                         "comments): map-only drop before any other stage "
+                         "(ingest/curate modes)")
+    ap.add_argument("--block-domains-col", default="source",
+                    help="column the blocklist matches against (apex domain "
+                         "under --input-format warc)")
     ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate"],
                     default="backfill")
     ap.add_argument("--dedup", choices=["minhash", "exact", "streaming", "none"],

@@ -82,6 +82,39 @@ def test_ingest_from_warc_and_replay_suppression(tmp_path):
     assert s2["docs_kept"] == 0
 
 
+@pytest.mark.slow
+def test_curate_block_domains(tmp_path):
+    """--block-domains over the source column: parquet input with plain
+    source labels (the documented degenerate case: exact label match)."""
+    import pandas as pd
+
+    words = [f"w{j}" for j in range(80)]
+    rows = []
+    for i in range(45):
+        rng = np.random.RandomState(11 + i)
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(words, 40, replace=False)),
+                     "source": ["web", "books", "spam.example"][i % 3]})
+    inp = tmp_path / "docs.parquet"
+    pd.DataFrame(rows).to_parquet(inp)
+    bl = tmp_path / "blocklist.txt"
+    bl.write_text("# fixture blocklist\nspam.example\n")
+
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input",
+         str(inp), "--out", str(tmp_path / "out"), "--num-cpus", "4",
+         "--max-len", "16", "--pack-len", "64", "--rows-per-shard", "20",
+         "--block-domains", str(bl)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    # 15 of 45 docs carry the blocked source; docs_in is post-blocklist
+    assert s["stages"]["clean"]["docs_in"] == 30
+    assert s["stages"]["clean"]["rows_out"] == 30
+
+
 def test_warc_rejected_for_pack_mode(tmp_path):
     r = subprocess.run(
         [sys.executable, "jobs/run.py", "--mode", "pack", "--input", "x",
