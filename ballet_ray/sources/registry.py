@@ -25,6 +25,7 @@ _READERS = {
     "text": lambda path, columns: rd.read_text(path),
     "binary": lambda path, columns: rd.read_binary_files(path, include_paths=True),
     "warc": lambda path, columns: _project(_read_warc(path), columns),
+    "wet": lambda path, columns: _project(_read_wet(path), columns),
 }
 
 
@@ -34,11 +35,19 @@ def _read_warc(path):
     return read_warc(path)
 
 
+def _read_wet(path):
+    from ballet_ray.sources.warc import read_wet
+
+    return read_wet(path)
+
+
 def _project(ds, columns):
     return ds.select_columns(columns) if columns else ds
 
 
 def _infer_format(path: str) -> str:
+    if path.lower().endswith((".wet", ".wet.gz")):
+        return "wet"
     if path.lower().endswith((".warc", ".warc.gz")):
         return "warc"
     ext = os.path.splitext(path)[1].lstrip(".").lower()

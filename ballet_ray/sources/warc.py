@@ -238,32 +238,55 @@ def read_warc(paths, *, warc_types=("response",), rows_per_block: int = 256,
     )
 
 
+def read_wet(paths, *, rows_per_block: int = 256,
+             include_paths: bool = False,
+             **read_kwargs) -> "ray.data.Dataset":
+    """WET reader (Common Crawl's pre-extracted plain-text distribution).
+
+    A ``.wet.gz`` file is an ordinary WARC archive whose text lives in
+    ``conversion`` records (Content-Type ``text/plain``, no HTTP
+    envelope) — so this is :func:`read_warc` selecting
+    ``warc_types=("conversion",)``; the ``payload`` column is the UTF-8
+    page text directly, no HTML stripping needed downstream."""
+    return read_warc(paths, warc_types=("conversion",),
+                     rows_per_block=rows_per_block,
+                     include_paths=include_paths, **read_kwargs)
+
+
 def write_warc(path: str, records: Iterable[dict], *,
                gzip_per_record: bool = False) -> None:
-    """Fixture/test encoder: write ``response`` records with an HTTP/1.1
-    envelope (Common Crawl shape). Each record dict: ``target_uri``,
-    ``payload`` (bytes), optional ``http_status`` (default 200),
-    ``http_content_type`` (default ``text/html; charset=utf-8``),
-    ``warc_date``. ``gzip_per_record=True`` writes one gzip member per
-    record (the CC convention)."""
+    """Fixture/test encoder. By default writes ``response`` records with
+    an HTTP/1.1 envelope (Common Crawl ``.warc`` shape); a record with
+    ``warc_type="conversion"`` is written as a WET-style plain-text
+    record (no HTTP envelope, Content-Type ``text/plain``). Each record
+    dict: ``target_uri``, ``payload`` (bytes), optional ``warc_type``,
+    ``http_status`` (default 200), ``http_content_type`` (default
+    ``text/html; charset=utf-8``), ``warc_date``.
+    ``gzip_per_record=True`` writes one gzip member per record (the CC
+    convention)."""
     with open(path, "wb") as out:
         for i, rec in enumerate(records):
             body = rec["payload"]
-            status = rec.get("http_status", 200)
-            ct = rec.get("http_content_type", "text/html; charset=utf-8")
-            http = (f"HTTP/1.1 {status} OK\r\nContent-Type: {ct}\r\n"
-                    f"Content-Length: {len(body)}\r\n\r\n"
-                    ).encode("ascii") + body
+            wtype = rec.get("warc_type", "response")
+            if wtype == "conversion":
+                block, rec_ct = body, "text/plain"
+            else:
+                status = rec.get("http_status", 200)
+                ct = rec.get("http_content_type", "text/html; charset=utf-8")
+                block = (f"HTTP/1.1 {status} OK\r\nContent-Type: {ct}\r\n"
+                         f"Content-Length: {len(body)}\r\n\r\n"
+                         ).encode("ascii") + body
+                rec_ct = "application/http; msgtype=response"
             head = (
                 "WARC/1.0\r\n"
-                "WARC-Type: response\r\n"
+                f"WARC-Type: {wtype}\r\n"
                 f"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-"
                 f"{i:012d}>\r\n"
                 f"WARC-Date: {rec.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
                 f"WARC-Target-URI: {rec['target_uri']}\r\n"
-                "Content-Type: application/http; msgtype=response\r\n"
-                f"Content-Length: {len(http)}\r\n\r\n"
+                f"Content-Type: {rec_ct}\r\n"
+                f"Content-Length: {len(block)}\r\n\r\n"
             ).encode("ascii")
-            record = head + http + b"\r\n\r\n"
+            record = head + block + b"\r\n\r\n"
             out.write(gzip.compress(record, mtime=0) if gzip_per_record
                       else record)

@@ -56,8 +56,11 @@ def _load_corpus(input_path: str, input_format: str, columns: list[str]):
     the same shape in one map-only prep stage — doc_id = stable uint64
     hash of WARC-Record-ID (folded to non-negative int64), text =
     HtmlToText of the HTTP body, source = apex domain of the target URI
-    (the mixture/dedup group key). No shuffle, no state: at 100 TB the
-    prep parallelizes per-archive like every other map stage."""
+    (the mixture/dedup group key); ``wet`` reads Common Crawl's
+    pre-extracted plain-text distribution (conversion records) the same
+    way minus the HTML strip — the payload IS the page text. No shuffle,
+    no state: at 100 TB the prep parallelizes per-archive like every
+    other map stage."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -67,18 +70,21 @@ def _load_corpus(input_path: str, input_format: str, columns: list[str]):
         return rd.read_parquet(input_path, columns=columns)
 
     from ballet_ray.functions.partition import stable_hash_array
-    from ballet_ray.sources.warc import read_warc
+    from ballet_ray.sources.warc import read_warc, read_wet
     from ballet_ray.stages.text import HtmlToText, extract_domain
 
-    html = HtmlToText()
+    html = HtmlToText() if input_format == "warc" else None
 
     def prep(t: pa.Table) -> pa.Table:
         rid = t.column("record_id").to_numpy(zero_copy_only=False)
         doc_id = (stable_hash_array(rid) >> np.uint64(1)).astype(np.int64)
-        page = pa.table({"page": pc.cast(t.column("payload"), pa.string())})
-        # transform_table returns only its outputs (the pipeline machinery
-        # normally handles passthrough) — reassemble the canonical shape
-        text = html.transform_table(page, ["page"]).column("page_text")
+        text = pc.cast(t.column("payload"), pa.string())
+        if html is not None:
+            # transform_table returns only its outputs (the pipeline
+            # machinery normally handles passthrough) — reassemble the
+            # canonical shape
+            text = html.transform_table(
+                pa.table({"page": text}), ["page"]).column("page_text")
         dom = extract_domain(
             pa.table({"url": t.column("target_uri")}),
             url_col="url", out_col="source", apex=True).column("source")
@@ -88,7 +94,8 @@ def _load_corpus(input_path: str, input_format: str, columns: list[str]):
             "source": dom,
         })
 
-    ds = read_warc(input_path).map_batches(prep, batch_format="pyarrow")
+    reader = read_warc if input_format == "warc" else read_wet
+    ds = reader(input_path).map_batches(prep, batch_format="pyarrow")
     return ds.select_columns(columns)
 
 
@@ -644,12 +651,14 @@ def main() -> None:
     ap.add_argument("--slice-target", type=int, default=250_000)
     ap.add_argument("--hot-sample-frac", type=float, default=0.05)
     ap.add_argument("--num-cpus", type=int, default=None)
-    ap.add_argument("--input-format", choices=["parquet", "warc"],
+    ap.add_argument("--input-format", choices=["parquet", "warc", "wet"],
                     default="parquet",
                     help="warc: read crawl archives (sources/warc.py) and map "
                          "them to the canonical (doc_id, text, source) shape "
                          "— doc_id from WARC-Record-ID, text via HtmlToText, "
-                         "source = apex domain (ingest/curate modes)")
+                         "source = apex domain; wet: Common Crawl extracted "
+                         "plain text (conversion records), same shape without "
+                         "the HTML strip (ingest/curate modes)")
     ap.add_argument("--block-domains", default=None,
                     help="path to a domain blocklist file (one per line, # "
                          "comments): map-only drop before any other stage "
@@ -710,9 +719,10 @@ def main() -> None:
     ap.add_argument("--files-per-part", type=int, default=2)
     ap.add_argument("--sep-token", type=int, default=None)
     args = ap.parse_args()
-    if args.input_format == "warc" and args.mode not in ("ingest", "curate"):
-        ap.error("--input-format warc is supported by --mode ingest/curate "
-                 "(backfill/pack consume the canonical parquet shapes)")
+    if args.input_format != "parquet" and args.mode not in ("ingest", "curate"):
+        ap.error(f"--input-format {args.input_format} is supported by --mode "
+                 "ingest/curate (backfill/pack consume the canonical parquet "
+                 "shapes)")
 
     import ray
 

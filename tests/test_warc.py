@@ -147,3 +147,37 @@ def test_whole_file_gzip_also_supported(ray_session, tmp_path):
     with open(gz, "wb") as f:
         f.write(gzip.compress(open(plain, "rb").read(), mtime=0))
     assert read_warc(gz).count() == 12
+
+
+def _wet_recs(n):
+    return [{"target_uri": f"https://ex.org/t/{i}",
+             "payload": f"page text {i} — extracted plain text".encode(),
+             "warc_type": "conversion"}
+            for i in range(n)]
+
+
+def test_read_wet_conversion_records(ray_session, tmp_path):
+    """WET shape: conversion records carry plain text with no HTTP
+    envelope; read_wet selects them and the payload is the page text."""
+    from ballet_ray.sources.warc import read_wet
+
+    path = str(tmp_path / "a.wet.gz")
+    # a response record mixed in must be filtered out by read_wet
+    write_warc(path, _wet_recs(9) + _recs(3), gzip_per_record=True)
+    df = read_wet(path).to_pandas()
+    assert len(df) == 9
+    assert (df["warc_type"] == "conversion").all()
+    assert df["http_status"].isna().all()
+    assert (df["content_type"] == "text/plain").all()
+    texts = df["payload"].map(lambda b: b.decode())
+    assert texts.str.startswith("page text ").all()
+    assert texts.str.contains("—").all()
+
+
+def test_registry_wet_inference(ray_session, tmp_path):
+    from ballet_ray.sources.registry import load_table
+
+    path = str(tmp_path / "r.wet.gz")
+    write_warc(path, _wet_recs(4), gzip_per_record=True)
+    ds = load_table(path, columns=["target_uri", "payload_len"])
+    assert ds.count() == 4

@@ -123,3 +123,43 @@ def test_warc_rejected_for_pack_mode(tmp_path):
     )
     assert r.returncode != 0
     assert "ingest/curate" in r.stderr
+
+
+def _wet_pages(tmp_path, n=40, shards=2):
+    """WET shards (conversion records of pre-extracted plain text)."""
+    words = [f"w{j}" for j in range(80)]
+    os.makedirs(tmp_path, exist_ok=True)
+    for shard in range(shards):
+        recs = []
+        for i in range(shard, n, shards):
+            rng = np.random.RandomState(11 + i)
+            body = " ".join(rng.choice(words, 40, replace=False))
+            recs.append({
+                "target_uri": f"https://site{i % 5}.example.org/p/{i}",
+                "payload": body.encode(),
+                "warc_type": "conversion",
+            })
+        write_warc(str(tmp_path / f"part-{shard}.wet.gz"), recs,
+                   gzip_per_record=True)
+    return n
+
+
+@pytest.mark.slow
+def test_curate_from_wet(tmp_path):
+    """--input-format wet: Common Crawl extracted text straight into the
+    curate chain (no HTML strip), apex-domain source groups intact."""
+    n = _wet_pages(tmp_path / "wet")
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate",
+         "--input", str(tmp_path / "wet"), "--out", str(tmp_path / "out"),
+         "--num-cpus", "4", "--input-format", "wet",
+         "--max-len", "16", "--pack-len", "64", "--rows-per-shard", "20"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    st = s["stages"]
+    assert st["clean"]["docs_in"] == n
+    assert st["clean"]["rows_out"] == n  # distinct word salads: none lost
+    assert st["pack"]["packs"] > 0
