@@ -121,6 +121,7 @@ from ballet_ray.stages.text import (
     TextNormalizer,
     bigram_logprob_scores,
     bm25_top_terms,
+    c4_clean,
     canonicalize_url,
     corpus_divergence,
     domain_match_mask,
@@ -143,6 +144,7 @@ from ballet_ray.stages.windows import grouped_rank
 __all__ = [
     "assign_clusters",
     "cap_per_group",
+    "c4_clean",
     "canonicalize_url",
     "cluster_embeddings",
     "extract_domain",

@@ -2917,6 +2917,77 @@ WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
 """
 
 
+def q_c4_clean_docs(sf_dir: str):
+    """C4's published line/doc heuristics (Raffel et al. 2020 §2.2) as one
+    zero-shuffle pass: keep lines ending in terminal punctuation with >= 5
+    words and no 'javascript'; drop docs containing 'lorem ipsum' or '{'
+    or keeping < 3 lines. Corpus text is single-line, so both sides wrap
+    each doc in the same deterministic multi-line page (nav line, the doc
+    sentence, a javascript notice, a too-short line, two closing
+    sentences) and poison doc_id%13==0 with lorem ipsum and doc_id%17==3
+    with a code line."""
+    from ballet_ray.stages.text import c4_clean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column("text"), pa.string())
+        did = pc.cast(t.column("doc_id"), pa.string())
+        base = pc.binary_join_element_wise(
+            "Site Navigation Home About\n", txt, ".\n",
+            "Please enable javascript to continue viewing this page.\n",
+            "Short note.\n",
+            "Document ", did, " closes with a well formed sentence.\n",
+            "Every page deserves a proper closing sentence.", "")
+        idn = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lorem = pa.array(np.where(
+            idn % 13 == 0,
+            "\nlorem ipsum dolor sit amet consectetur.", "").astype(object),
+            pa.string())
+        brace = pa.array(np.where(
+            idn % 17 == 3, "\nfunction f() { return 1; }", "").astype(object),
+            pa.string())
+        page = pc.binary_join_element_wise(base, lorem, brace, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": page})
+
+    return c4_clean(ds.map_batches(wrap, batch_format="pyarrow"))
+
+
+SQL_C4_CLEAN_DOCS = """
+WITH page AS (
+    SELECT doc_id,
+           'Site Navigation Home About' || chr(10) ||
+           text || '.' || chr(10) ||
+           'Please enable javascript to continue viewing this page.' || chr(10) ||
+           'Short note.' || chr(10) ||
+           'Document ' || CAST(doc_id AS VARCHAR) ||
+           ' closes with a well formed sentence.' || chr(10) ||
+           'Every page deserves a proper closing sentence.' ||
+           CASE WHEN doc_id % 13 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+                ELSE '' END ||
+           CASE WHEN doc_id % 17 = 3
+                THEN chr(10) || 'function f() { return 1; }'
+                ELSE '' END AS p
+    FROM documents
+), split AS (
+    SELECT doc_id, p, string_split(p, chr(10)) AS ls FROM page
+), kept AS (
+    SELECT doc_id, p, len(ls) AS lines_in,
+           list_filter(ls, l -> regexp_matches(l, '[.!?"”'']\\s*$')
+               AND len(regexp_extract_all(l, '[A-Za-z0-9]+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kl
+    FROM split
+)
+SELECT doc_id, array_to_string(kl, chr(10)) AS text,
+       lines_in, len(kl) AS lines_kept
+FROM kept
+WHERE len(kl) >= 3
+  AND NOT contains(lower(p), 'lorem ipsum')
+  AND NOT contains(p, '{')
+"""
+
+
 def q_approx_top_events(sf_dir: str):
     """Heavy hitters via mergeable Misra-Gries summaries (<= capacity rows
     shuffled per block); exact below capacity, so the event-type counts
@@ -3251,6 +3322,7 @@ QUERIES = {
     "canonicalize_url_docs": q_canonicalize_url_docs,
     "warc_pipeline_docs": q_warc_pipeline_docs,
     "domain_filter_docs": q_domain_filter_docs,
+    "c4_clean_docs": q_c4_clean_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3400,4 +3472,5 @@ ORACLE_SQL = {
     "canonicalize_url_docs": SQL_CANONICALIZE_URL_DOCS,
     "warc_pipeline_docs": SQL_WARC_PIPELINE_DOCS,
     "domain_filter_docs": SQL_DOMAIN_FILTER_DOCS,
+    "c4_clean_docs": SQL_C4_CLEAN_DOCS,
 }

@@ -627,6 +627,16 @@ def _lsh_pairs_from_signed(
     num_partitions = default_join_partitions(num_partitions)
     rows_per_band = num_perm // bands
     signed = signed.materialize()
+    if signed.count() == 0:
+        # all-filtered corpus (e.g. an aggressive quality gate upstream):
+        # no docs → no pairs; downstream empty-pair handling takes over
+        import ray.data as _rdata
+
+        return _rdata.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }))
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)

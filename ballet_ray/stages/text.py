@@ -516,6 +516,101 @@ def filter_by_domain(ds, domains, *, url_col: str = "url",
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+# C4's published line/document heuristics (Raffel et al. 2020 §2.2):
+# a line survives only if it ends in a terminal punctuation mark.
+C4_TERMINAL_PUNCT_RE = "[.!?\"”']\\s*$"
+
+
+def c4_clean_table(table: pa.Table, text_col: str = "text", *,
+                   min_words_per_line: int = 5, min_lines: int = 3,
+                   line_drop_terms: tuple = ("javascript",),
+                   doc_drop_phrases: tuple = ("lorem ipsum",),
+                   doc_drop_chars: tuple = ("{",),
+                   stats: bool = True) -> pa.Table:
+    """Batch kernel for :func:`c4_clean` — entirely Arrow/numpy:
+    one ``split_pattern`` to a list column, line masks via RE2 kernels on
+    the FLAT line array (never per-row Python), kept-per-doc counts by a
+    cumsum gather over the list offsets, re-joined with ``binary_join``."""
+    col = pc.fill_null(pc.cast(table.column(text_col), pa.string()), "")
+    lines = pc.split_pattern(col, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]  # flatten() already drops any leading slice offset
+
+    keep = pc.match_substring_regex(flat, C4_TERMINAL_PUNCT_RE)
+    keep = pc.and_(keep, pc.greater_equal(
+        pc.count_substring_regex(flat, pattern="[A-Za-z0-9]+"),
+        min_words_per_line))
+    flat_low = pc.utf8_lower(flat)
+    for term in line_drop_terms:
+        keep = pc.and_(keep, pc.invert(
+            pc.match_substring(flat_low, term.lower())))
+    keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+
+    cs = np.concatenate([[0], np.cumsum(keep_np, dtype=np.int64)])
+    kept_per_doc = cs[off[1:]] - cs[off[:-1]]
+    kept_lines = flat.filter(pa.array(keep_np))
+    new_off = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), kept_lines),
+        "\n")
+
+    doc_keep = kept_per_doc >= min_lines
+    low = pc.utf8_lower(col)
+    for phrase in doc_drop_phrases:
+        doc_keep &= ~pc.match_substring(low, phrase.lower()).to_numpy(
+            zero_copy_only=False)
+    for ch in doc_drop_chars:
+        doc_keep &= ~pc.match_substring(col, ch).to_numpy(
+            zero_copy_only=False)
+
+    out = table.set_column(table.column_names.index(text_col),
+                           text_col, clean)
+    if stats:
+        out = out.append_column(
+            "lines_in", pa.array((off[1:] - off[:-1]).astype(np.int64)))
+        out = out.append_column(
+            "lines_kept", pa.array(kept_per_doc.astype(np.int64)))
+    return out.filter(pa.array(doc_keep))
+
+
+def c4_clean(ds, text_col: str = "text", *,
+             min_words_per_line: int = 5, min_lines: int = 3,
+             line_drop_terms: tuple = ("javascript",),
+             doc_drop_phrases: tuple = ("lorem ipsum",),
+             doc_drop_chars: tuple = ("{",),
+             stats: bool = True):
+    """C4 heuristic cleanup (Raffel et al. 2020 §2.2 — the public rules
+    behind the C4 corpus), the line-level complement to the doc-level
+    Gopher filter:
+
+    - **line level** (applied to every ``\\n``-separated line): keep only
+      lines that end in a terminal punctuation mark
+      (:data:`C4_TERMINAL_PUNCT_RE`), contain at least
+      ``min_words_per_line`` words, and do not mention any
+      ``line_drop_terms`` entry (C4 drops every line with the word
+      "javascript"); the doc's text becomes the kept lines re-joined.
+    - **doc level**: drop the document outright if its ORIGINAL text
+      contains any ``doc_drop_phrases`` entry ("lorem ipsum") or any
+      ``doc_drop_chars`` character ("{" — C4 excises pages that look like
+      code), or if fewer than ``min_lines`` lines survive.
+
+    ``stats=True`` appends ``lines_in`` / ``lines_kept`` columns. One
+    zero-shuffle ``map_batches`` pass — map-only at any corpus size; all
+    other columns ride through unchanged."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return c4_clean_table(
+            t, text_col, min_words_per_line=min_words_per_line,
+            min_lines=min_lines, line_drop_terms=line_drop_terms,
+            doc_drop_phrases=doc_drop_phrases,
+            doc_drop_chars=doc_drop_chars, stats=stats)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 class WordRepetition(Transform):
     """Gopher-style within-document repetition signals over a text column
     (Rae et al. 2021 §A1.1 repetition filters): duplicate-word fraction

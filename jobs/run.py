@@ -371,6 +371,13 @@ def run_curate(args) -> None:
             ds, text_col="text", id_col="doc_id", carry_cols=tuple(carry)
         ).select_columns(["doc_id", "text", *carry])
 
+        if getattr(args, "c4", False):
+            # C4 line/doc heuristics BEFORE dedup: cleaned lines give the
+            # signatures a boilerplate-free view (map-only, zero shuffle)
+            from ballet_ray.stages.text import c4_clean
+
+            cleaned = c4_clean(cleaned, stats=False)
+
         restored = False
         # batch dedup modes are STATELESS transforms — safe anywhere in the
         # chain, so they run early (dedup-then-score, fewer docs scored)
@@ -659,6 +666,11 @@ def main() -> None:
                          "source = apex domain; wet: Common Crawl extracted "
                          "plain text (conversion records), same shape without "
                          "the HTML strip (ingest/curate modes)")
+    ap.add_argument("--c4", action="store_true",
+                    help="curate: apply C4's line/doc heuristics (terminal-"
+                         "punctuation lines with >=5 words, drop javascript "
+                         "lines, drop lorem-ipsum/brace docs) after line "
+                         "dedup, before near-dedup")
     ap.add_argument("--block-domains", default=None,
                     help="path to a domain blocklist file (one per line, # "
                          "comments): map-only drop before any other stage "

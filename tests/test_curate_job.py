@@ -131,3 +131,34 @@ def test_curate_streaming_no_probe_loss(tmp_path):
     assert st["clean"]["rows_out"] == 50
     assert st["mix"]["rows_out"] == 50
     assert st["pack"]["tokens_out"] > 0
+
+
+@pytest.mark.slow
+def test_curate_c4_flag(tmp_path):
+    """--c4 drops terminal-punctuation-less boilerplate lines and whole
+    poison docs inside the clean stage; punctuated docs survive."""
+    rows = []
+    for i in range(40):
+        rng = np.random.RandomState(5 + i)
+        w = [" ".join(rng.choice([f"w{j}" for j in range(80)], 14))
+             for _ in range(3)]
+        # three per-doc-unique punctuated sentences (corpus-wide line dedup
+        # runs first and would eat shared lines) + one nav line C4 removes
+        text = (f"Document {i} opens with {w[0]} and more words here.\n"
+                f"Document {i} continues with {w[1]} right here today!\n"
+                f"Document {i} closes with {w[2]} to end the page?\n"
+                "nav bar home about")
+        if i % 10 == 0:
+            # per-doc-unique poison (a SHARED poison line would be removed
+            # from all but its first doc by line dedup before C4 runs)
+            text += f"\nlorem ipsum dolor sit amet {i}."
+        rows.append({"doc_id": i, "text": text,
+                     "source": "web" if i % 3 else "books"})
+    inp = tmp_path / "docs.parquet"
+    pd.DataFrame(rows).to_parquet(inp)
+    s = _run(str(inp), str(tmp_path / "out"), "--c4")
+    st = s["stages"]
+    assert st["clean"]["docs_in"] == 40
+    # 4 lorem-ipsum docs dropped by the c4 doc rule; rest pass Gopher
+    assert st["clean"]["rows_out"] == 36
+    assert st["pack"]["packs"] > 0
