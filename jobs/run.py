@@ -739,8 +739,16 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+        # RAY_ADDRESS=<host:port|auto> attaches the job to a running cluster
+        # (the `ray start --head` / `ray job submit` deployment shape);
+        # unset or "local" starts a private single-node instance. num_cpus
+        # is only valid when WE own the instance — a cluster's size is the
+        # cluster's.
+        addr = os.environ.get("RAY_ADDRESS") or "local"
+        kw = ({"num_cpus": args.num_cpus}
+              if addr == "local" and args.num_cpus else {})
+        ray.init(address=addr, include_dashboard=False,
+                 logging_level="ERROR", **kw)
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
