@@ -117,6 +117,7 @@ from ballet_ray.stages.text import (
     HTML_ENTITIES,
     PII_PATTERNS,
     Fingerprint,
+    GopherSignals,
     HtmlToText,
     TextNormalizer,
     bigram_logprob_scores,
@@ -148,6 +149,7 @@ __all__ = [
     "canonicalize_url",
     "cluster_embeddings",
     "extract_domain",
+    "GopherSignals",
     "domain_match_mask",
     "filter_by_domain",
     "filter_groups",

@@ -2917,6 +2917,147 @@ WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
 """
 
 
+def q_gopher_signals_docs(sf_dir: str):
+    """The structural half of Gopher's published rules (Rae 2021 §A1.1):
+    within-doc duplicate line/paragraph fractions (count + char weighted),
+    bullet/ellipsis line fractions, symbol-to-word ratio, alpha-word
+    fraction, 8-stop-word hits. Corpus text is single-line, so both sides
+    build the same deterministic multi-line page: a stop-word line, a
+    bullet line, an ellipsis line, a '#' heading paragraph — with the
+    bullet line duplicated for doc_id%3==0 and the whole second paragraph
+    duplicated for doc_id%7==2 so every repetition signal varies."""
+    from ballet_ray.stages.text import GopherSignals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column("text"), pa.string())
+        did = pc.cast(t.column("doc_id"), pa.string())
+        idn = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dup_bullet = np.where(idn % 3 == 0, True, False)
+        base_bullet = pc.binary_join_element_wise(
+            "- bullet item number ", did, "\n", "")
+        extra_bullet = pa.array(
+            np.where(dup_bullet,
+                     np.asarray(base_bullet.to_pandas(), dtype=object), "")
+            .astype(object), pa.string())
+        para_b = pc.binary_join_element_wise(
+            "# heading ", did, "\n", extra_bullet, "closing line.", "")
+        page = pc.binary_join_element_wise(
+            txt, "\n",
+            "the be to of and that have with all stop words.\n",
+            base_bullet,
+            "to be continued...\n\n",
+            para_b, "")
+        dup_para = pa.array(
+            np.where(idn % 7 == 2,
+                     np.char.add("\n\n", np.asarray(
+                         para_b.to_pandas(), dtype=str)), "")
+            .astype(object), pa.string())
+        page = pc.binary_join_element_wise(page, dup_para, "")
+        return pa.table({"doc_id": t.column("doc_id"), "page": page})
+
+    pages = ds.map_batches(wrap, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline([Feature("page", GopherSignals())])
+    out = pipe.fit_transform(pages).select_columns(
+        ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+         "dup_para_frac", "dup_para_char_frac", "bullet_line_frac",
+         "ellipsis_line_frac", "symbol_word_ratio", "alpha_word_frac",
+         "stop_hits"])
+    return _round_cols(out, {
+        "dup_line_frac": 6, "dup_line_char_frac": 6, "dup_para_frac": 6,
+        "dup_para_char_frac": 6, "bullet_line_frac": 6,
+        "ellipsis_line_frac": 6, "symbol_word_ratio": 6,
+        "alpha_word_frac": 6})
+
+
+def _sql_gopher_signals() -> str:
+    from ballet_ray.stages.text import GOPHER_STOP_WORDS
+
+    hits = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(p), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOP_WORDS)
+    return f"""
+WITH page AS (
+    SELECT doc_id,
+           text || chr(10) ||
+           'the be to of and that have with all stop words.' || chr(10) ||
+           '- bullet item number ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           'to be continued...' || chr(10) || chr(10) ||
+           '# heading ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '- bullet item number ' || CAST(doc_id AS VARCHAR) || chr(10)
+                ELSE '' END ||
+           'closing line.' ||
+           CASE WHEN doc_id % 7 = 2
+                THEN chr(10) || chr(10) ||
+                     '# heading ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '- bullet item number ' ||
+                               CAST(doc_id AS VARCHAR) || chr(10)
+                          ELSE '' END ||
+                     'closing line.'
+                ELSE '' END AS p
+    FROM documents
+), per_line AS (
+    SELECT doc_id, line, COUNT(*) AS c, len(line) AS ln
+    FROM (SELECT doc_id, UNNEST(string_split(p, chr(10))) AS line FROM page)
+    GROUP BY doc_id, line
+), linerep AS (
+    SELECT doc_id, SUM(c) AS n_lines,
+           1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_line_frac,
+           CASE WHEN SUM(c * ln) > 0
+                THEN 1.0 - SUM(ln) * 1.0 / SUM(c * ln) ELSE 0.0 END
+               AS dup_line_char_frac
+    FROM per_line GROUP BY doc_id
+), per_para AS (
+    SELECT doc_id, para, COUNT(*) AS c, len(para) AS ln
+    FROM (SELECT doc_id,
+                 UNNEST(string_split(p, chr(10) || chr(10))) AS para
+          FROM page)
+    GROUP BY doc_id, para
+), pararep AS (
+    SELECT doc_id,
+           1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_para_frac,
+           CASE WHEN SUM(c * ln) > 0
+                THEN 1.0 - SUM(ln) * 1.0 / SUM(c * ln) ELSE 0.0 END
+               AS dup_para_char_frac
+    FROM per_para GROUP BY doc_id
+), flat AS (
+    SELECT doc_id,
+           len(list_filter(string_split(p, chr(10)),
+               l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+               / len(string_split(p, chr(10))) AS bullet_line_frac,
+           len(list_filter(string_split(p, chr(10)),
+               l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0
+               / len(string_split(p, chr(10))) AS ellipsis_line_frac,
+           (len(regexp_extract_all(p, '#'))
+            + len(regexp_extract_all(p, '\\.\\.\\.'))
+            + len(regexp_extract_all(p, '…'))) * 1.0
+               / len(regexp_extract_all(p, '\\S+')) AS symbol_word_ratio,
+           len(list_filter(regexp_extract_all(p, '\\S+'),
+               w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+               / len(regexp_extract_all(p, '\\S+')) AS alpha_word_frac,
+           CAST({hits} AS BIGINT) AS stop_hits
+    FROM page
+)
+SELECT doc_id, n_lines,
+       ROUND(dup_line_frac, 6) AS dup_line_frac,
+       ROUND(dup_line_char_frac, 6) AS dup_line_char_frac,
+       ROUND(dup_para_frac, 6) AS dup_para_frac,
+       ROUND(dup_para_char_frac, 6) AS dup_para_char_frac,
+       ROUND(bullet_line_frac, 6) AS bullet_line_frac,
+       ROUND(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       ROUND(symbol_word_ratio, 6) AS symbol_word_ratio,
+       ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+       stop_hits
+FROM linerep JOIN pararep USING (doc_id) JOIN flat USING (doc_id)
+"""
+
+
+SQL_GOPHER_SIGNALS_DOCS = _sql_gopher_signals()
+
+
 def q_c4_clean_docs(sf_dir: str):
     """C4's published line/doc heuristics (Raffel et al. 2020 §2.2) as one
     zero-shuffle pass: keep lines ending in terminal punctuation with >= 5
@@ -3323,6 +3464,7 @@ QUERIES = {
     "warc_pipeline_docs": q_warc_pipeline_docs,
     "domain_filter_docs": q_domain_filter_docs,
     "c4_clean_docs": q_c4_clean_docs,
+    "gopher_signals_docs": q_gopher_signals_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3473,4 +3615,5 @@ ORACLE_SQL = {
     "warc_pipeline_docs": SQL_WARC_PIPELINE_DOCS,
     "domain_filter_docs": SQL_DOMAIN_FILTER_DOCS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
+    "gopher_signals_docs": SQL_GOPHER_SIGNALS_DOCS,
 }

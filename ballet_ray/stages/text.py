@@ -675,6 +675,149 @@ class WordRepetition(Transform):
         return ["dup_word_frac", "top_word_frac"]
 
 
+# Gopher's 8-stop-word rule (Rae et al. 2021 §A1.1): a doc must contain
+# at least 2 of these to survive the quality filter.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _unit_repetition(col, sep: str):
+    """Per-doc duplicate-unit fractions for a ``sep``-delimited unit
+    (lines / paragraphs): (dup_frac, dup_char_frac, n_units) where
+    dup_frac = 1 − distinct/total and dup_char_frac = 1 − chars-in-
+    distinct-units / total-chars (each distinct unit's chars counted
+    once). Exact (dictionary-encode, no hashes), one lexsort per batch."""
+    parts = pc.split_pattern(col, pattern=sep)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    n = len(parts)
+    raw = parts.flatten()
+    flat = raw.dictionary_encode()
+    codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    plens = pc.utf8_length(raw).to_numpy(zero_copy_only=False).astype(np.int64)
+    off = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    counts = np.diff(off)
+    T = len(codes)
+    if T == 0:
+        z = np.zeros(n)
+        return z, z.copy(), counts
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((codes, doc_idx))
+    ds_, cs_ = doc_idx[order], codes[order]
+    first = np.empty(T, bool)
+    first[0] = True
+    np.logical_or(ds_[1:] != ds_[:-1], cs_[1:] != cs_[:-1], out=first[1:])
+    gs = np.cumsum(first)
+    distinct = gs[off[1:] - 1] - gs[off[:-1]] + first[off[:-1]]
+    distinct = np.where(counts > 0, distinct, 0)
+    dchars_sorted = np.where(first, plens[order], 0)
+    cchars = np.concatenate([[0], np.cumsum(dchars_sorted)])
+    distinct_chars = cchars[off[1:]] - cchars[off[:-1]]
+    tchars_cum = np.concatenate([[0], np.cumsum(plens)])
+    total_chars = tchars_cum[off[1:]] - tchars_cum[off[:-1]]
+    dup = 1.0 - distinct / np.maximum(counts, 1)
+    dup_char = np.where(total_chars > 0,
+                        1.0 - distinct_chars / np.maximum(total_chars, 1), 0.0)
+    return dup, dup_char, counts
+
+
+class GopherSignals(Transform):
+    """The structural half of Gopher's quality rules (Rae et al. 2021
+    §A1.1) — the complement of :class:`WordRepetition`'s word-level
+    signals, all computed in one vectorized batch pass:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` and ``dup_para_frac`` /
+      ``dup_para_char_frac``: within-doc duplicate-unit fractions over
+      ``\\n`` lines and ``\\n\\n`` paragraphs (exact: 1 − distinct/total,
+      char variants count each distinct unit's chars once);
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of lines
+      starting with a bullet (``- * •``) / ending in ``...`` or ``…``
+      (Gopher drops docs >90% bullet or >30% ellipsis lines);
+    - ``symbol_word_ratio``: (# + … + ...) occurrences per whitespace
+      word (Gopher bound 0.1);
+    - ``alpha_word_frac``: fraction of whitespace words containing at
+      least one alphabetic character (Gopher bound 0.8);
+    - ``stop_hits``: how many of Gopher's 8 stop words
+      (:data:`GOPHER_STOP_WORDS`) appear (word-boundary, lowercased) —
+      the rule requires >= 2;
+    - ``n_lines``: line count.
+
+    Formulas are SQL-expressible (string_split / list_filter /
+    regexp_extract_all) so every column oracles exactly."""
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        c = cols[0]
+        col = table.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        col = pc.fill_null(col, "")
+
+        dup_line, dup_line_char, n_lines = _unit_repetition(col, "\n")
+        dup_para, dup_para_char, _ = _unit_repetition(col, "\n\n")
+
+        # line-class fractions over the flat line array
+        lines = pc.split_pattern(col, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        safe_lines = np.maximum(n_lines, 1)
+
+        def _line_frac(pattern: str) -> np.ndarray:
+            m = pc.fill_null(pc.match_substring_regex(flat, pattern), False)
+            cs = np.concatenate(
+                [[0], np.cumsum(m.to_numpy(zero_copy_only=False))])
+            return (cs[off[1:]] - cs[off[:-1]]) / safe_lines
+
+        bullet = _line_frac(r"^\s*[-*•]")
+        ellipsis = _line_frac(r"(\.\.\.|…)\s*$")
+
+        # whitespace words: total + alphabetic
+        words = pc.count_substring_regex(col, pattern=r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        alpha_words = pc.count_substring_regex(
+            col, pattern=r"\S*[A-Za-z]\S*").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        safe_words = np.maximum(words, 1)
+        alpha_word_frac = np.where(words > 0, alpha_words / safe_words, 0.0)
+
+        symbols = (
+            pc.count_substring(col, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring_regex(col, pattern=r"\.\.\.").to_numpy(
+                zero_copy_only=False)
+            + pc.count_substring(col, "…").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        symbol_word_ratio = np.where(words > 0, symbols / safe_words, 0.0)
+
+        low = pc.utf8_lower(col)
+        stop_hits = np.zeros(len(table), np.int64)
+        for w in GOPHER_STOP_WORDS:
+            stop_hits += pc.match_substring_regex(
+                low, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+
+        return pa.table({
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "dup_line_frac": pa.array(dup_line),
+            "dup_line_char_frac": pa.array(dup_line_char),
+            "dup_para_frac": pa.array(dup_para),
+            "dup_para_char_frac": pa.array(dup_para_char),
+            "bullet_line_frac": pa.array(bullet),
+            "ellipsis_line_frac": pa.array(ellipsis),
+            "symbol_word_ratio": pa.array(symbol_word_ratio),
+            "alpha_word_frac": pa.array(alpha_word_frac),
+            "stop_hits": pa.array(stop_hits),
+        })
+
+    def output_names(self, cols: list[str]) -> list[str]:
+        return ["n_lines", "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac", "bullet_line_frac",
+                "ellipsis_line_frac", "symbol_word_ratio",
+                "alpha_word_frac", "stop_hits"]
+
+
 def block_term_counts(ds, *, text_col: str = "text"):
     """(term, tf) rows pre-aggregated per BLOCK — the combiner for fits
     that need only corpus-wide term totals (unigram/bigram LM tables,
