@@ -127,6 +127,7 @@ from ballet_ray.stages.text import (
     corpus_divergence,
     domain_match_mask,
     filter_by_domain,
+    gopher_quality_filter,
     LangId,
     NgramRepetition,
     QualityScore,
@@ -150,6 +151,7 @@ __all__ = [
     "cluster_embeddings",
     "extract_domain",
     "GopherSignals",
+    "gopher_quality_filter",
     "domain_match_mask",
     "filter_by_domain",
     "filter_groups",

@@ -818,6 +818,115 @@ class GopherSignals(Transform):
                 "alpha_word_frac", "stop_hits"]
 
 
+# Published Gopher thresholds (Rae et al. 2021 Table A1). n-gram bounds
+# are applied to count fractions (NgramRepetition) rather than the paper's
+# character fractions — a documented approximation; everything else exact.
+GOPHER_THRESHOLDS = {
+    "min_words": 50, "max_words": 100_000,
+    "min_mean_word_len": 3.0, "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.90, "max_ellipsis_line_frac": 0.30,
+    "min_alpha_word_frac": 0.80, "min_stop_hits": 2,
+    "max_dup_line_frac": 0.30, "max_dup_para_frac": 0.30,
+    "max_dup_line_char_frac": 0.20, "max_dup_para_char_frac": 0.20,
+    "max_top_ngram_frac": {2: 0.20, 3: 0.18, 4: 0.16},
+    "max_dup_ngram_frac": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                           9: 0.11, 10: 0.10},
+}
+
+
+def gopher_quality_filter(ds, text_col: str = "text", *,
+                          overrides: dict | None = None,
+                          ngrams: bool = True,
+                          emit_signals: bool = False):
+    """The COMPLETE published Gopher quality filter (Rae et al. 2021
+    §A1.1 / Table A1) as one fused zero-shuffle pass: word-count and
+    mean-word-length bounds (whitespace words), symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, the 8-stop-word
+    rule, within-doc duplicate line/paragraph fractions (count AND char
+    weighted), and — with ``ngrams=True`` — the top-2/3/4-gram and
+    duplicate-5..10-gram repetition bounds (count-fraction approximation
+    of the paper's char fractions; see :data:`GOPHER_THRESHOLDS`).
+
+    ``overrides`` patches individual thresholds (set one to ``None`` to
+    disable that rule). ``emit_signals=True`` keeps every signal column on
+    the survivors for auditing. Map-only: composes with any upstream/
+    downstream stage at any corpus size."""
+    th = dict(GOPHER_THRESHOLDS)
+    if overrides:
+        for k in overrides:
+            if k not in th:
+                raise KeyError(f"unknown Gopher threshold {k!r}")
+        th.update(overrides)
+    sig = GopherSignals()
+    ngram_ts = ([NgramRepetition(n) for n in
+                 sorted(set(th["max_top_ngram_frac"]) |
+                        set(th["max_dup_ngram_frac"]))]
+                if ngrams else [])
+
+    def f(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        s = sig.transform_table(pa.table({text_col: col}), [text_col])
+        words = pc.count_substring_regex(col, pattern=r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonspace = pc.utf8_length(pc.replace_substring_regex(
+            col, pattern=r"\s", replacement="")).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        mean_wlen = np.where(words > 0, nonspace / np.maximum(words, 1), 0.0)
+
+        def _col(name):
+            return s.column(name).to_numpy(zero_copy_only=False)
+
+        m = np.ones(len(t), bool)
+        if th["min_words"] is not None:
+            m &= words >= th["min_words"]
+        if th["max_words"] is not None:
+            m &= words <= th["max_words"]
+        if th["min_mean_word_len"] is not None:
+            m &= mean_wlen >= th["min_mean_word_len"]
+        if th["max_mean_word_len"] is not None:
+            m &= mean_wlen <= th["max_mean_word_len"]
+        for key, name in (("max_symbol_word_ratio", "symbol_word_ratio"),
+                          ("max_bullet_line_frac", "bullet_line_frac"),
+                          ("max_ellipsis_line_frac", "ellipsis_line_frac"),
+                          ("max_dup_line_frac", "dup_line_frac"),
+                          ("max_dup_para_frac", "dup_para_frac"),
+                          ("max_dup_line_char_frac", "dup_line_char_frac"),
+                          ("max_dup_para_char_frac", "dup_para_char_frac")):
+            if th[key] is not None:
+                m &= _col(name) <= th[key]
+        if th["min_alpha_word_frac"] is not None:
+            m &= _col("alpha_word_frac") >= th["min_alpha_word_frac"]
+        if th["min_stop_hits"] is not None:
+            m &= _col("stop_hits") >= th["min_stop_hits"]
+
+        ng_tables = []
+        for tr in ngram_ts:
+            nt = tr.transform_table(pa.table({text_col: col}), [text_col])
+            ng_tables.append(nt)
+            n = tr.n
+            top_th = th["max_top_ngram_frac"].get(n)
+            dup_th = th["max_dup_ngram_frac"].get(n)
+            if top_th is not None:
+                m &= nt.column(f"top_{n}gram_frac").to_numpy(
+                    zero_copy_only=False) <= top_th
+            if dup_th is not None:
+                m &= nt.column(f"dup_{n}gram_frac").to_numpy(
+                    zero_copy_only=False) <= dup_th
+        out = t
+        if emit_signals:
+            out = out.append_column("words_ws", pa.array(words))
+            out = out.append_column("mean_word_len", pa.array(mean_wlen))
+            for name in s.column_names:
+                out = out.append_column(name, s.column(name))
+            for nt in ng_tables:
+                for name in nt.column_names:
+                    out = out.append_column(name, nt.column(name))
+        return out.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def block_term_counts(ds, *, text_col: str = "text"):
     """(term, tf) rows pre-aggregated per BLOCK — the combiner for fits
     that need only corpus-wide term totals (unigram/bigram LM tables,

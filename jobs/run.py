@@ -392,25 +392,36 @@ def run_curate(args) -> None:
 
             cleaned = exact_dedup(cleaned, col="text", id_col="doc_id")
 
-        pipe = FeatureEngineeringPipeline(
-            [Feature("text", QualityScore()), Feature("text", WordRepetition())]
-        )
-        scored = pipe.fit_transform(cleaned)
-        min_words = args.min_words
+        if getattr(args, "gopher_full", False):
+            # the complete published rule set (Rae 2021 Table A1) in one
+            # fused map pass; min_words still honored via override
+            from ballet_ray.stages.text import gopher_quality_filter
 
-        def keep(t: pa.Table) -> pa.Table:
-            m = pc.and_(
-                pc.and_(
-                    pc.greater_equal(t.column("words"), min_words),
-                    pc.less_equal(t.column("dup_word_frac"), 0.6),
-                ),
-                pc.less_equal(t.column("top_word_frac"), 0.13),
+            kept = gopher_quality_filter(
+                cleaned, overrides={"min_words": args.min_words},
+            ).map_batches(
+                lambda t: t.select(["doc_id", "text", *carry]),
+                batch_format="pyarrow")
+        else:
+            pipe = FeatureEngineeringPipeline(
+                [Feature("text", QualityScore()), Feature("text", WordRepetition())]
             )
-            # carry (the group column) rode line dedup's carry_cols and the
-            # pipeline's passthrough — no meta re-join needed
-            return t.filter(m).select(["doc_id", "text", *carry])
+            scored = pipe.fit_transform(cleaned)
+            min_words = args.min_words
 
-        kept = scored.map_batches(keep, batch_format="pyarrow")
+            def keep(t: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.and_(
+                        pc.greater_equal(t.column("words"), min_words),
+                        pc.less_equal(t.column("dup_word_frac"), 0.6),
+                    ),
+                    pc.less_equal(t.column("top_word_frac"), 0.13),
+                )
+                # carry (the group column) rode line dedup's carry_cols and
+                # the pipeline's passthrough — no meta re-join needed
+                return t.filter(m).select(["doc_id", "text", *carry])
+
+            kept = scored.map_batches(keep, batch_format="pyarrow")
         if args.dedup == "streaming":
             # the stateful Bloom stage goes LAST, immediately before the one
             # consuming write: any earlier placement lets a downstream probe
@@ -666,6 +677,12 @@ def main() -> None:
                          "source = apex domain; wet: Common Crawl extracted "
                          "plain text (conversion records), same shape without "
                          "the HTML strip (ingest/curate modes)")
+    ap.add_argument("--gopher-full", action="store_true",
+                    help="curate: replace the 3-signal fused quality filter "
+                         "with the COMPLETE published Gopher rule set "
+                         "(word/mean-length bounds, symbol ratio, bullet/"
+                         "ellipsis lines, alpha words, stop words, dup "
+                         "line/para fractions, n-gram repetition bounds)")
     ap.add_argument("--c4", action="store_true",
                     help="curate: apply C4's line/doc heuristics (terminal-"
                          "punctuation lines with >=5 words, drop javascript "

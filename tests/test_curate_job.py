@@ -162,3 +162,36 @@ def test_curate_c4_flag(tmp_path):
     # 4 lorem-ipsum docs dropped by the c4 doc rule; rest pass Gopher
     assert st["clean"]["rows_out"] == 36
     assert st["pack"]["packs"] > 0
+
+
+@pytest.mark.slow
+def test_curate_gopher_full(tmp_path):
+    """--gopher-full swaps in the complete published Gopher rule set:
+    English-like docs pass; a stop-word-free doc and a too-short-words doc
+    are dropped by rules the 3-signal filter doesn't have. (A repeated-LINE
+    violator can't reach the Gopher stage here: corpus-wide line dedup runs
+    first and de-duplicates within-doc lines too.)"""
+    vocab = ["apple", "river", "stone", "cloud", "tiger", "metal",
+             "grain", "light", "sound", "patch", "field", "crane"]
+    rows = []
+    for i in range(30):
+        rng = np.random.RandomState(13 + i)
+        lines = [" ".join(rng.choice(vocab, 14)) + f" with the doc{i}x{j}"
+                 for j in range(4)]
+        rows.append({"doc_id": i, "text": "\n".join(lines),
+                     "source": "web" if i % 3 else "books"})
+    # violators: no stop words; >30% duplicate lines
+    rng = np.random.RandomState(99)
+    rows.append({"doc_id": 100,
+                 "text": " ".join(rng.choice(vocab, 80)),
+                 "source": "web"})
+    rows.append({"doc_id": 101,
+                 "text": " ".join(["ab"] * 76) + " with the to of",
+                 "source": "web"})  # mean word length ~2 < 3
+    inp = tmp_path / "docs.parquet"
+    pd.DataFrame(rows).to_parquet(inp)
+    s = _run(str(inp), str(tmp_path / "out"), "--gopher-full")
+    st = s["stages"]
+    assert st["clean"]["docs_in"] == 32
+    assert st["clean"]["rows_out"] == 30
+    assert st["pack"]["packs"] > 0
