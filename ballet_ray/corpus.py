@@ -127,6 +127,7 @@ from ballet_ray.stages.text import (
     corpus_divergence,
     domain_match_mask,
     filter_by_domain,
+    fineweb_quality_filter,
     gopher_quality_filter,
     LangId,
     NgramRepetition,
@@ -152,6 +153,7 @@ __all__ = [
     "extract_domain",
     "GopherSignals",
     "gopher_quality_filter",
+    "fineweb_quality_filter",
     "domain_match_mask",
     "filter_by_domain",
     "filter_groups",

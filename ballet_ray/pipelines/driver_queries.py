@@ -2962,12 +2962,13 @@ def q_gopher_signals_docs(sf_dir: str):
     out = pipe.fit_transform(pages).select_columns(
         ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
          "dup_para_frac", "dup_para_char_frac", "bullet_line_frac",
-         "ellipsis_line_frac", "symbol_word_ratio", "alpha_word_frac",
-         "stop_hits"])
+         "ellipsis_line_frac", "punct_line_frac", "short_line_frac",
+         "symbol_word_ratio", "alpha_word_frac", "stop_hits"])
     return _round_cols(out, {
         "dup_line_frac": 6, "dup_line_char_frac": 6, "dup_para_frac": 6,
         "dup_para_char_frac": 6, "bullet_line_frac": 6,
-        "ellipsis_line_frac": 6, "symbol_word_ratio": 6,
+        "ellipsis_line_frac": 6, "punct_line_frac": 6,
+        "short_line_frac": 6, "symbol_word_ratio": 6,
         "alpha_word_frac": 6})
 
 
@@ -3031,6 +3032,12 @@ WITH page AS (
            len(list_filter(string_split(p, chr(10)),
                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) * 1.0
                / len(string_split(p, chr(10))) AS ellipsis_line_frac,
+           len(list_filter(string_split(p, chr(10)),
+               l -> regexp_matches(l, '[.!?"”'']\\s*$'))) * 1.0
+               / len(string_split(p, chr(10))) AS punct_line_frac,
+           len(list_filter(string_split(p, chr(10)),
+               l -> len(l) < 30)) * 1.0
+               / len(string_split(p, chr(10))) AS short_line_frac,
            (len(regexp_extract_all(p, '#'))
             + len(regexp_extract_all(p, '\\.\\.\\.'))
             + len(regexp_extract_all(p, '…'))) * 1.0
@@ -3048,6 +3055,8 @@ SELECT doc_id, n_lines,
        ROUND(dup_para_char_frac, 6) AS dup_para_char_frac,
        ROUND(bullet_line_frac, 6) AS bullet_line_frac,
        ROUND(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       ROUND(punct_line_frac, 6) AS punct_line_frac,
+       ROUND(short_line_frac, 6) AS short_line_frac,
        ROUND(symbol_word_ratio, 6) AS symbol_word_ratio,
        ROUND(alpha_word_frac, 6) AS alpha_word_frac,
        stop_hits

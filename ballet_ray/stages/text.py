@@ -740,10 +740,16 @@ class GopherSignals(Transform):
     - ``stop_hits``: how many of Gopher's 8 stop words
       (:data:`GOPHER_STOP_WORDS`) appear (word-boundary, lowercased) —
       the rule requires >= 2;
+    - ``punct_line_frac`` / ``short_line_frac``: FineWeb's line signals
+      (Penedo et al. 2024 §3.4) — fraction of lines ending in terminal
+      punctuation / shorter than ``short_line_chars`` (30) characters;
     - ``n_lines``: line count.
 
     Formulas are SQL-expressible (string_split / list_filter /
     regexp_extract_all) so every column oracles exactly."""
+
+    def __init__(self, short_line_chars: int = 30):
+        self.short_line_chars = short_line_chars
 
     def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
         c = cols[0]
@@ -774,6 +780,12 @@ class GopherSignals(Transform):
 
         bullet = _line_frac(r"^\s*[-*•]")
         ellipsis = _line_frac(r"(\.\.\.|…)\s*$")
+        punct = _line_frac(C4_TERMINAL_PUNCT_RE)
+        short_m = pc.less(pc.utf8_length(flat), self.short_line_chars)
+        cs_short = np.concatenate(
+            [[0], np.cumsum(pc.fill_null(short_m, False)
+                            .to_numpy(zero_copy_only=False))])
+        short = (cs_short[off[1:]] - cs_short[off[:-1]]) / safe_lines
 
         # whitespace words: total + alphabetic
         words = pc.count_substring_regex(col, pattern=r"\S+").to_numpy(
@@ -806,6 +818,8 @@ class GopherSignals(Transform):
             "dup_para_char_frac": pa.array(dup_para_char),
             "bullet_line_frac": pa.array(bullet),
             "ellipsis_line_frac": pa.array(ellipsis),
+            "punct_line_frac": pa.array(punct),
+            "short_line_frac": pa.array(short),
             "symbol_word_ratio": pa.array(symbol_word_ratio),
             "alpha_word_frac": pa.array(alpha_word_frac),
             "stop_hits": pa.array(stop_hits),
@@ -814,8 +828,8 @@ class GopherSignals(Transform):
     def output_names(self, cols: list[str]) -> list[str]:
         return ["n_lines", "dup_line_frac", "dup_line_char_frac",
                 "dup_para_frac", "dup_para_char_frac", "bullet_line_frac",
-                "ellipsis_line_frac", "symbol_word_ratio",
-                "alpha_word_frac", "stop_hits"]
+                "ellipsis_line_frac", "punct_line_frac", "short_line_frac",
+                "symbol_word_ratio", "alpha_word_frac", "stop_hits"]
 
 
 # Published Gopher thresholds (Rae et al. 2021 Table A1). n-gram bounds
@@ -922,6 +936,64 @@ def gopher_quality_filter(ds, text_col: str = "text", *,
             for nt in ng_tables:
                 for name in nt.column_names:
                     out = out.append_column(name, nt.column(name))
+        return out.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# FineWeb's three additional heuristics (Penedo et al. 2024 §3.4, applied
+# after the C4 and Gopher rule sets). Removal conditions, per the paper:
+# punct_line_frac <= 0.12, dup_line_char_frac >= 0.1, short_line_frac >= 0.67.
+FINEWEB_THRESHOLDS = {
+    "min_punct_line_frac": 0.12,     # keep if strictly greater
+    "max_dup_line_char_frac": 0.1,   # keep if strictly smaller
+    "max_short_line_frac": 0.67,     # keep if strictly smaller
+}
+
+
+def fineweb_quality_filter(ds, text_col: str = "text", *,
+                           overrides: dict | None = None,
+                           emit_signals: bool = False):
+    """FineWeb's three published custom filters (Penedo et al. 2024 §3.4)
+    in one map pass — designed to be layered after :func:`c4_clean` and
+    :func:`gopher_quality_filter` exactly as the paper layers them:
+
+    - keep docs where the fraction of lines ending in terminal
+      punctuation is > ``min_punct_line_frac`` (0.12);
+    - keep docs where the char-weighted duplicate-line fraction is
+      < ``max_dup_line_char_frac`` (0.1);
+    - keep docs where the fraction of lines shorter than 30 chars is
+      < ``max_short_line_frac`` (0.67).
+
+    Set an ``overrides`` entry to ``None`` to disable that rule.
+    ``emit_signals=True`` keeps the three signal columns on survivors."""
+    th = dict(FINEWEB_THRESHOLDS)
+    if overrides:
+        for k in overrides:
+            if k not in th:
+                raise KeyError(f"unknown FineWeb threshold {k!r}")
+        th.update(overrides)
+    sig = GopherSignals()
+
+    def f(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        s = sig.transform_table(pa.table({text_col: col}), [text_col])
+
+        def _col(name):
+            return s.column(name).to_numpy(zero_copy_only=False)
+
+        m = np.ones(len(t), bool)
+        if th["min_punct_line_frac"] is not None:
+            m &= _col("punct_line_frac") > th["min_punct_line_frac"]
+        if th["max_dup_line_char_frac"] is not None:
+            m &= _col("dup_line_char_frac") < th["max_dup_line_char_frac"]
+        if th["max_short_line_frac"] is not None:
+            m &= _col("short_line_frac") < th["max_short_line_frac"]
+        out = t
+        if emit_signals:
+            for name in ("punct_line_frac", "dup_line_char_frac",
+                         "short_line_frac"):
+                out = out.append_column(name, s.column(name))
         return out.filter(pa.array(m))
 
     return ds.map_batches(f, batch_format="pyarrow")

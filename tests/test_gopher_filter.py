@@ -81,3 +81,38 @@ def test_emit_signals_and_overrides(ray_session):
 def test_thresholds_table_is_published_set():
     assert GOPHER_THRESHOLDS["min_words"] == 50
     assert GOPHER_THRESHOLDS["max_dup_ngram_frac"][10] == 0.10
+
+
+def test_fineweb_filter_rules(ray_session):
+    from ballet_ray.stages.text import fineweb_quality_filter
+
+    good = "\n".join(
+        f"A decent sentence number {j} with plenty of characters here."
+        for j in range(6))
+    no_punct = "\n".join(
+        f"line {j} never terminates with punctuation at all here today"
+        for j in range(6))
+    shorty = "\n".join(["tiny line."] * 5 + [good.split("\n")[0]])
+    dup_chars = "\n".join(
+        ["An identical long line that repeats and repeats itself here."] * 4
+        + [f"A unique closing sentence number {j}." for j in range(2)])
+    ds = rd.from_items([
+        {"doc_id": 0, "text": good},
+        {"doc_id": 1, "text": no_punct},   # punct_line_frac = 0
+        {"doc_id": 2, "text": shorty},     # short_line_frac = 5/6 >= 0.67
+        {"doc_id": 3, "text": dup_chars},  # dup_line_char_frac >= 0.1
+    ])
+    kept = sorted(fineweb_quality_filter(ds).to_pandas()["doc_id"])
+    assert kept == [0]
+    # disabling rules via overrides
+    kept2 = sorted(fineweb_quality_filter(
+        ds, overrides={"min_punct_line_frac": None,
+                       "max_short_line_frac": None,
+                       "max_dup_line_char_frac": None})
+        .to_pandas()["doc_id"])
+    assert kept2 == [0, 1, 2, 3]
+    df = fineweb_quality_filter(ds, emit_signals=True).to_pandas()
+    assert {"punct_line_frac", "dup_line_char_frac",
+            "short_line_frac"} <= set(df.columns)
+    with pytest.raises(KeyError):
+        fineweb_quality_filter(ds, overrides={"zzz": 1}).to_pandas()

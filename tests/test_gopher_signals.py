@@ -58,7 +58,10 @@ def test_stop_hits_word_boundaries():
 def test_null_and_empty():
     df = _sig(["", None])
     assert (df.n_lines == 1).all()
-    assert (df.drop(columns=["n_lines"]).to_numpy() == 0).all()
+    # the single empty line counts as a short line; everything else is 0
+    assert (df.short_line_frac == 1.0).all()
+    assert (df.drop(columns=["n_lines", "short_line_frac"]).to_numpy()
+            == 0).all()
 
 
 def test_dataset_partition_invariance(ray_session):
