@@ -2917,6 +2917,51 @@ WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
 """
 
 
+def q_token_seq_dedup_docs(sf_dir: str):
+    """EXACT sequence-level dedup over a pre-tokenized list column (the
+    north-rule input shape): each doc's word-length sequence stands in for
+    its token array; exact_dedup's zero-copy binary reinterpretation of
+    the list values buffer hashes whole rows (offsets define boundaries,
+    so [1,2],[3] != [1],[2,3]) and keeps the min doc_id per distinct
+    sequence. The planted exact-dup docs share sequences, so the dedup
+    bites."""
+    from ballet_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.utf8_length(words.flatten())
+        toks = pa.ListArray.from_arrays(words.offsets, lens)
+        return pa.table({"doc_id": t.column("doc_id"), "toks": toks})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    out = exact_dedup(tok_ds, col="toks", id_col="doc_id")
+
+    def shape(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(t.column("toks"))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": pc.cast(n, pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_TOKEN_SEQ_DEDUP_DOCS = """
+WITH tok AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> len(w)) AS toks
+    FROM documents
+)
+SELECT doc_id, len(toks) AS n_tok
+FROM (SELECT doc_id, toks,
+             MIN(doc_id) OVER (PARTITION BY toks) AS keep_id
+      FROM tok)
+WHERE doc_id = keep_id
+"""
+
+
 def q_gopher_signals_docs(sf_dir: str):
     """The structural half of Gopher's published rules (Rae 2021 §A1.1):
     within-doc duplicate line/paragraph fractions (count + char weighted),
@@ -3474,6 +3519,7 @@ QUERIES = {
     "domain_filter_docs": q_domain_filter_docs,
     "c4_clean_docs": q_c4_clean_docs,
     "gopher_signals_docs": q_gopher_signals_docs,
+    "token_seq_dedup_docs": q_token_seq_dedup_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3625,4 +3671,5 @@ ORACLE_SQL = {
     "domain_filter_docs": SQL_DOMAIN_FILTER_DOCS,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "gopher_signals_docs": SQL_GOPHER_SIGNALS_DOCS,
+    "token_seq_dedup_docs": SQL_TOKEN_SEQ_DEDUP_DOCS,
 }

@@ -355,17 +355,78 @@ def _id_arrow_type(ds, col: str) -> pa.DataType:
     return pa.string()
 
 
+def _list_row_hashes(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per LIST row. Primitive lists
+    (int/float/bool, the pre-tokenized ``tokens`` column case) go through a
+    zero-copy binary reinterpretation of the values buffer — each row's
+    bytes slice hashes as one siphash input, so [1,2],[3] and [1],[2,3]
+    differ (the offsets define the byte boundaries). Non-primitive or
+    null-bearing lists take an exact per-row ``repr`` slow path."""
+    lt = col.type
+    if pa.types.is_fixed_size_list(lt):
+        k = lt.list_size
+        off = np.arange(len(col) + 1, dtype=np.int64) * k
+        flat = col.flatten()
+    else:
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = col.flatten()
+    vt = flat.type
+    primitive = (pa.types.is_integer(vt) or pa.types.is_floating(vt)
+                 or pa.types.is_boolean(vt))
+    if not primitive or flat.null_count:
+        vals = np.array([repr(v) for v in col.to_pylist()], dtype=object)
+        h1 = pd.util.hash_array(vals, hash_key=_H128_KEY_A, categorize=False)
+        h2 = pd.util.hash_array(vals, hash_key=_H128_KEY_B, categorize=False)
+    else:
+        vals_np = np.ascontiguousarray(
+            flat.to_numpy(zero_copy_only=False))
+        raw = pa.py_buffer(vals_np.tobytes())
+        byte_off = off * vals_np.dtype.itemsize
+        if byte_off[-1] <= np.iinfo(np.int32).max:
+            binarr = pa.BinaryArray.from_buffers(
+                pa.binary(), len(col),
+                [None, pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+                 raw])
+        else:
+            binarr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), len(col),
+                [None, pa.py_buffer(byte_off.astype(np.int64).tobytes()),
+                 raw])
+        b = binarr.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(b, hash_key=_H128_KEY_A, categorize=False)
+        h2 = pd.util.hash_array(b, hash_key=_H128_KEY_B, categorize=False)
+        if col.null_count:
+            # a null row's offsets span zero bytes — separate it from []
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            h1 = np.where(nulls, h1 ^ np.uint64(0x9E3779B97F4A7C15), h1)
+            h2 = np.where(nulls, h2 ^ np.uint64(0xC2B2AE3D27D4EB4F), h2)
+    return h1.astype(np.int64), h2.astype(np.int64)
+
+
 def add_content_hash(ds, col: str, out: str = "content_h"):
     """Append two independent 64-bit content hashes (vectorized siphash with
     two keys → 128 bits total: collision-safe at 10^12 docs, unlike a single
-    64-bit hash whose birthday bound is ~10^4 collisions at that scale)."""
+    64-bit hash whose birthday bound is ~10^4 collisions at that scale).
+    Handles string/numeric columns AND list columns (exact sequence-level
+    dedup over the pre-tokenized ``tokens`` table — see
+    :func:`_list_row_hashes`)."""
 
     def f(t: pa.Table) -> pa.Table:
-        vals = t.column(col).to_numpy(zero_copy_only=False).astype(object)
-        h1 = pd.util.hash_array(vals, hash_key=_H128_KEY_A, categorize=False)
-        h2 = pd.util.hash_array(vals, hash_key=_H128_KEY_B, categorize=False)
-        return t.append_column(f"{out}1", pa.array(h1.astype(np.int64))).append_column(
-            f"{out}2", pa.array(h2.astype(np.int64))
+        c = t.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if (pa.types.is_list(c.type) or pa.types.is_large_list(c.type)
+                or pa.types.is_fixed_size_list(c.type)):
+            h1, h2 = _list_row_hashes(c)
+        else:
+            vals = c.to_numpy(zero_copy_only=False).astype(object)
+            h1 = pd.util.hash_array(
+                vals, hash_key=_H128_KEY_A, categorize=False).astype(np.int64)
+            h2 = pd.util.hash_array(
+                vals, hash_key=_H128_KEY_B, categorize=False).astype(np.int64)
+        return t.append_column(f"{out}1", pa.array(h1)).append_column(
+            f"{out}2", pa.array(h2)
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
