@@ -12,9 +12,14 @@ side tables). Import from here when building corpus jobs:
 Grouped by stage of a typical pipeline:
 
 - ingest/split:   HashSplit, stratified_sample, hash_rate_filter
-- quality:        QualityScore, WordRepetition, NgramRepetition, LangId,
-                  unigram_logprob_scores, tfidf_top_terms, RegexTokenCount,
-                  TokenStats, DistributedLogReg (model-based filter)
+- quality:        QualityScore, WordRepetition, NgramRepetition,
+                  GopherSignals, LangId, unigram_logprob_scores,
+                  tfidf_top_terms, RegexTokenCount, TokenStats,
+                  DistributedLogReg (model-based filter)
+- filter presets: c4_clean (Raffel 2020), gopher_quality_filter
+                  (Rae 2021 Table A1), fineweb_quality_filter
+                  (Penedo 2024) — the published rule sets, layerable
+                  in that order exactly as FineWeb layers them
 - scrub:          RegexRedactor (PII_PATTERNS), HtmlToText (HTML_ENTITIES),
                   TextNormalizer (NFC + case + whitespace)
 - dedup:          exact_dedup, minhash_lsh_pairs, token_minhash_lsh_pairs,
