@@ -2199,6 +2199,63 @@ FROM s1
 """
 
 
+def q_pii_signals_docs(sf_dir: str):
+    """Per-doc PII detection counts (Dolma's pii attribute set: email /
+    phone / IP taggers). The synthetic corpus has no PII, so both sides
+    append the same deterministic snippets — an email pair on every doc,
+    a phone iff ``n_chars & 1``, two IPs iff ``n_chars & 2`` — then count
+    with identical RE2 patterns."""
+    from ballet_ray.stages.text import PiiSignals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        # no pc.mod in pyarrow: select bits with bit_wise_and
+        f1 = pc.equal(pc.bit_wise_and(t.column("n_chars"), 1), 1)
+        f2 = pc.equal(pc.bit_wise_and(t.column("n_chars"), 2), 2)
+        phone = pc.if_else(f1, " call 415-555-0172 or (212) 555 0199", "")
+        ips = pc.if_else(f2, " from 10.0.0.1 via 192.168.250.3", "")
+        page = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            " contact admin@example.com or bob.smith+x@test.co.uk",
+            phone, ips, "")
+        return pa.table({"doc_id": t.column("doc_id"), "page": page})
+
+    pages = ds.map_batches(wrap, batch_format="pyarrow")
+    pipe = FeatureEngineeringPipeline([Feature("page", PiiSignals())])
+    return pipe.fit_transform(pages).select_columns(
+        ["doc_id", "page_n_emails", "page_n_phones",
+         "page_n_ip_addresses", "page_n_pii"])
+
+
+def _sql_pii_signals() -> str:
+    from ballet_ray.stages.text import PII_SIGNAL_PATTERNS as P
+
+    return f"""
+WITH pages AS (
+    SELECT doc_id,
+           text || ' contact admin@example.com or bob.smith+x@test.co.uk'
+                || CASE WHEN (n_chars & 1) = 1
+                        THEN ' call 415-555-0172 or (212) 555 0199' ELSE '' END
+                || CASE WHEN (n_chars & 2) = 2
+                        THEN ' from 10.0.0.1 via 192.168.250.3' ELSE '' END AS page
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(page, '{P["emails"]}')) AS page_n_emails,
+       len(regexp_extract_all(page, '{P["phones"]}')) AS page_n_phones,
+       len(regexp_extract_all(page, '{P["ip_addresses"]}')) AS page_n_ip_addresses,
+       len(regexp_extract_all(page, '{P["emails"]}'))
+           + len(regexp_extract_all(page, '{P["phones"]}'))
+           + len(regexp_extract_all(page, '{P["ip_addresses"]}')) AS page_n_pii
+FROM pages
+"""
+
+
+SQL_PII_SIGNALS_DOCS = _sql_pii_signals()
+
+
 # deterministic HTML shell wrapped around each document for the
 # strip_html oracle — single-quote-free so it drops into a SQL literal
 _PAGE_PRE = (
@@ -3520,6 +3577,7 @@ QUERIES = {
     "c4_clean_docs": q_c4_clean_docs,
     "gopher_signals_docs": q_gopher_signals_docs,
     "token_seq_dedup_docs": q_token_seq_dedup_docs,
+    "pii_signals_docs": q_pii_signals_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3672,4 +3730,5 @@ ORACLE_SQL = {
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "gopher_signals_docs": SQL_GOPHER_SIGNALS_DOCS,
     "token_seq_dedup_docs": SQL_TOKEN_SEQ_DEDUP_DOCS,
+    "pii_signals_docs": SQL_PII_SIGNALS_DOCS,
 }

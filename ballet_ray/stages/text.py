@@ -104,6 +104,57 @@ class RegexRedactor(Transform):
         return [x for c in cols for x in (f"{c}_redacted", f"{c}_n_redactions")]
 
 
+#: named per-doc PII detectors (Dolma's pii attribute set: Soldaini et al.
+#: 2024 §2.3 publishes email / phone / IP regex taggers). RE2-only (no
+#: lookarounds, no backrefs) so pyarrow's ``count_substring_regex`` and
+#: DuckDB's ``regexp_extract_all`` count the identical non-overlapping
+#: leftmost matches — the signal stage is SQL-oracle-checkable.
+PII_SIGNAL_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # leading \b only on the bare-digit branch: '(' and '+' are non-word
+    # chars, so a pattern-wide \b would make those prefixes unreachable
+    "phones": r"(\+\d{1,2}[ .-]?)?(\(\d{3}\)|\b\d{3})[ .-]?\d{3}[ .-]?\d{4}\b",
+    "ip_addresses": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+class PiiSignals(Transform):
+    """Per-document PII detection counts (the Dolma quality-attribute
+    shape: emit ``n_<kind>`` per detector plus a total, so downstream
+    policy — drop, redact, or weight — is a separate filter decision
+    from detection).
+
+    One vectorized ``pc.count_substring_regex`` pass per named pattern;
+    no per-row Python. Patterns default to :data:`PII_SIGNAL_PATTERNS`
+    and are restricted to RE2 syntax for DuckDB oracle parity. To scrub
+    rather than count, use :class:`RegexRedactor`.
+    """
+
+    def __init__(self, patterns: dict[str, str] | None = None):
+        self.patterns = dict(PII_SIGNAL_PATTERNS if patterns is None else patterns)
+        if not self.patterns:
+            raise ValueError("patterns must be non-empty")
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = pc.cast(table.column(c), pa.string())
+            total = np.zeros(len(table), dtype=np.int64)
+            for name, pat in self.patterns.items():
+                n = pc.count_substring_regex(col, pattern=pat).to_numpy(
+                    zero_copy_only=False
+                )
+                n = np.nan_to_num(n, nan=0.0).astype(np.int64)
+                out[f"{c}_n_{name}"] = pa.array(n)
+                total += n
+            out[f"{c}_n_pii"] = pa.array(total)
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [x for c in cols
+                for x in ([f"{c}_n_{n}" for n in self.patterns] + [f"{c}_n_pii"])]
+
+
 #: named HTML entities decoded by :class:`HtmlToText` — a fixed
 #: plain-substring set so DuckDB's ``replace()`` mirrors it exactly.
 #: ``&amp;`` is decoded LAST ("&amp;lt;" must render "&lt;", not "<").

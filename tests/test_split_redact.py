@@ -58,6 +58,47 @@ def test_regex_redactor_matches_python_re():
     assert hits[0] == 2 and "<EMAIL>" in got[0] and "<URL>" in got[0]
 
 
+def test_pii_signals_counts_match_python_re():
+    from ballet_ray.stages.text import PII_SIGNAL_PATTERNS, PiiSignals
+
+    texts = [
+        "mail bob@x.io and sue.r+1@a.b.co.uk, call 415-555-0172",
+        "phones: (212) 555 0199, +1 303.555.2020; server 10.0.0.1",
+        "192.168.1.250 and 8.8.8.8 but not 1234-5678",
+        "clean text with no pii at all",
+        "",
+        None,
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = PiiSignals().transform_table(t, ["text"])
+    total = np.zeros(len(texts), dtype=np.int64)
+    for name, pat in PII_SIGNAL_PATTERNS.items():
+        got = out.column(f"text_n_{name}").to_pylist()
+        exp = [len(re.findall(pat, s or "")) for s in texts]
+        assert got == exp, (name, got, exp)
+        total += np.asarray(exp)
+    assert out.column("text_n_pii").to_pylist() == total.tolist()
+    # spot expectations so the regexes themselves are pinned
+    assert out.column("text_n_emails").to_pylist()[0] == 2
+    assert out.column("text_n_phones").to_pylist()[1] == 2
+    assert out.column("text_n_ip_addresses").to_pylist()[2] == 2
+    assert out.column("text_n_pii").to_pylist()[3] == 0
+
+
+def test_pii_signals_custom_patterns_and_validation():
+    import pytest as _pt
+
+    from ballet_ray.stages.text import PiiSignals
+
+    with _pt.raises(ValueError):
+        PiiSignals({})
+    t = pa.table({"text": ["ssn 123-45-6789 twice 999-99-0000"]})
+    out = PiiSignals({"ssn": r"\b\d{3}-\d{2}-\d{4}\b"}).transform_table(t, ["text"])
+    assert out.column("text_n_ssn").to_pylist() == [2]
+    assert out.column("text_n_pii").to_pylist() == [2]
+    assert out.column_names == ["text_n_ssn", "text_n_pii"]
+
+
 def test_fast_siphash_modes():
     import pyarrow as pa
 
