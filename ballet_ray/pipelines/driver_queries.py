@@ -544,6 +544,57 @@ FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def q_ppl_bucket_docs(sf_dir: str):
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §3.3): score every
+    doc with the corpus-fit interpolated bigram LM, then cut the
+    per-LANGUAGE perplexity ranking into thirds — 'head' = the most fluent
+    third of each language. Exact SQL window semantics via grouped_rank."""
+    from ballet_ray.stages.text import bigram_logprob_scores
+    from ballet_ray.stages.windows import rank_buckets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    scored = bigram_logprob_scores(ds, lam=0.8, alpha=0.5, round_to=4,
+                                   keep_cols=["lang"])
+    out = rank_buckets(scored, value_col="ppl", group_col="lang")
+    return out.select_columns(["doc_id", "lang", "ppl", "bucket"])
+
+
+SQL_PPL_BUCKET_DOCS = """
+WITH docs AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+words AS (SELECT doc_id, g FROM docs, UNNEST(w) AS t(g)),
+uni AS (SELECT g, COUNT(*) AS c FROM words GROUP BY g),
+tot AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM uni),
+pairs AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+    FROM docs, UNNEST(range(1, len(w))) AS t(i)
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+lp AS (
+    SELECT p.doc_id,
+           ln(0.8 * COALESCE(bi.c2, 0) / u1.c
+              + 0.2 * (u2.c + 0.5) / (tot.T + 0.5 * tot.V)) AS l
+    FROM pairs p
+    JOIN uni u1 ON u1.g = p.w1
+    JOIN uni u2 ON u2.g = p.w2
+    LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+    CROSS JOIN tot
+),
+agg AS (SELECT doc_id, SUM(l) AS s, COUNT(*) AS np FROM lp GROUP BY doc_id),
+scored AS (
+    SELECT d.doc_id, d.lang,
+           ROUND(EXP(-COALESCE(agg.s / agg.np, 0)), 4) AS ppl
+    FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
+)
+SELECT doc_id, lang, ppl,
+       CASE WHEN pr < 1.0/3 THEN 'head'
+            WHEN pr < 2.0/3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM (SELECT *, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ppl) AS pr
+      FROM scored)
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -3578,6 +3629,7 @@ QUERIES = {
     "gopher_signals_docs": q_gopher_signals_docs,
     "token_seq_dedup_docs": q_token_seq_dedup_docs,
     "pii_signals_docs": q_pii_signals_docs,
+    "ppl_bucket_docs": q_ppl_bucket_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     "tpch_q1": q_tpch_q1,
     "topk_orders": q_topk_orders,
@@ -3731,4 +3783,5 @@ ORACLE_SQL = {
     "gopher_signals_docs": SQL_GOPHER_SIGNALS_DOCS,
     "token_seq_dedup_docs": SQL_TOKEN_SEQ_DEDUP_DOCS,
     "pii_signals_docs": SQL_PII_SIGNALS_DOCS,
+    "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
 }

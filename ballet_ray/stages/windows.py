@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ballet_ray.functions import windows_np as wnp
 from ballet_ray.functions.partition import BUCKET_COL, bucketize, sort_table
@@ -781,10 +782,28 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
     Exact SQL window semantics: RANK ties share the rank, PERCENT_RANK =
     (rank-1)/(n-1), 0 for single-row groups. Appends ``rank`` (int64) and
     ``percent_rank`` (float64).
+
+    Floating value columns rank/join through a ``+0.0``-normalized shadow
+    key: groupby merges ``-0.0`` with ``0.0`` but the Acero hash join does
+    NOT match them, which silently dropped every ``-0.0`` row.
     """
     import pandas as pd
 
     from ballet_ray.stages.joins import hash_join
+
+    user_value_col = value_col
+    sch = ds.schema()
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+    is_float = isinstance(vtype, pa.DataType) and pa.types.is_floating(vtype)
+    if is_float:
+        shadow = "__rank_v"
+
+        def add_shadow(t: pa.Table, value_col=value_col) -> pa.Table:
+            v = pc.add(pc.cast(t.column(value_col), pa.float64()), 0.0)
+            return t.append_column(shadow, v)
+
+        ds = ds.map_batches(add_shadow, batch_format="pyarrow")
+        value_col = shadow
 
     cnt = ds.groupby([group_col, value_col]).count()
 
@@ -830,7 +849,61 @@ def grouped_rank(ds, *, group_col: str, value_col: str, num_partitions: int | No
     # pandas map_groups can emit schema-less empty blocks (empty sorted
     # ranges) that poison the join aggregator — scrub before joining
     ranked = scrub_empty_blocks(ranked)
-    return hash_join(
+    out = hash_join(
         ds, ranked, on=(group_col, value_col),
         num_partitions=default_join_partitions(num_partitions),
     )
+    if value_col != user_value_col:
+        out = out.map_batches(lambda t: t.drop_columns([value_col]),
+                              batch_format="pyarrow")
+    return out
+
+
+def rank_buckets(ds, *, value_col: str, group_col: str | None = None,
+                 cuts: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+                 labels: tuple[str, ...] = ("head", "middle", "tail"),
+                 out_col: str = "bucket", keep_rank: bool = False,
+                 num_partitions: int | None = None):
+    """Quantile-bucket labels by within-group PERCENT_RANK — the CCNet
+    head/middle/tail split (Wenzek et al. 2020 §3.3: rank every document
+    by LM perplexity *within its language* and cut the ranking into
+    thirds; 'head' = the best-scoring third). Generic: any value column,
+    any cut points, optional grouping.
+
+    Built on :func:`grouped_rank` (exact SQL window semantics — ties
+    share a rank, PERCENT_RANK = (rank−1)/(n−1)), so the whole stage
+    stays one distinct-value groupby + one join; the bucket label is a
+    map-side ``searchsorted`` over ``cuts``. Row i gets ``labels[k]``
+    where k = #{cuts ≤ percent_rank} — i.e. ``pr < cuts[0]`` → first
+    label, matching SQL ``CASE WHEN pr < c0 THEN …`` exactly.
+    """
+    cuts = tuple(float(c) for c in cuts)
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need len(labels) == len(cuts) + 1")
+    if any(not 0.0 < c < 1.0 for c in cuts) or list(cuts) != sorted(set(cuts)):
+        raise ValueError("cuts must be strictly increasing within (0, 1)")
+
+    drop_group = group_col is None
+    if drop_group:
+        group_col = "__g"
+
+        def add_g(t: pa.Table) -> pa.Table:
+            return t.append_column("__g", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+        ds = ds.map_batches(add_g, batch_format="pyarrow")
+
+    ranked = grouped_rank(ds, group_col=group_col, value_col=value_col,
+                          num_partitions=num_partitions)
+    cut_arr = np.asarray(cuts)
+    lab_arr = np.asarray(labels, dtype=object)
+
+    def label(t: pa.Table) -> pa.Table:
+        pr = t.column("percent_rank").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cut_arr, pr, side="right")
+        t = t.append_column(out_col, pa.array(lab_arr[idx].astype(str)))
+        drop = [] if keep_rank else ["rank", "percent_rank"]
+        if drop_group:
+            drop.append("__g")
+        return t.drop_columns(drop)
+
+    return ranked.map_batches(label, batch_format="pyarrow")
