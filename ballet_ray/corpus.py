@@ -63,6 +63,8 @@ from ballet_ray.stages.dedup import (
     token_minhash_lsh_pairs,
 )
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
+from ballet_ray.stages.unigram import (UnigramEncoder, UnigramTokenizer,
+                                       apply_unigram, train_unigram)
 from ballet_ray.stages.decomposition import grouped_pca_fit, grouped_pca_transform
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.report import corpus_report
@@ -205,8 +207,11 @@ __all__ = [
     "approx_quantiles",
     "approx_top_k",
     "BpeEncoder",
+    "UnigramEncoder",
+    "UnigramTokenizer",
     "BpeTokenizer",
     "apply_bpe",
+    "apply_unigram",
     "assign_topic_clusters",
     "bigram_logprob_scores",
     "bm25_top_terms",
@@ -252,6 +257,7 @@ __all__ = [
     "token_duplicate_passages",
     "token_minhash_lsh_pairs",
     "train_bpe",
+    "train_unigram",
     "unigram_logprob_scores",
     "winnow_fingerprints",
 ]

@@ -120,6 +120,56 @@ def _apply_blocklist(ds, args, have_cols: list[str]):
     return ds.select_columns(have_cols)
 
 
+def _tokenizer_fn(args, vocab, keep=()):
+    """Per-batch tokenize function for the jobs: hash tokenization by
+    default, or — with ``--tokenizer <artifact.pkl>`` — a persisted fitted
+    tokenizer (``BpeTokenizer`` / ``UnigramTokenizer`` from
+    ``state/persist.save_artifact``), so an expensive distributed fit runs
+    once and every later ingest/curate job reuses it. The artifact is
+    broadcast via ``ray.put`` and deserialized once per task (not per
+    batch); ``keep`` columns ride through unchanged (encoders preserve row
+    order). Output columns: (doc_id, tokens, n_tok, *keep)."""
+    art = getattr(args, "tokenizer", None)
+    if not art:
+        from ballet_ray.stages.text import hash_tokenize
+
+        def fn(t):
+            return hash_tokenize(t, text_col="text", vocab=vocab).select(
+                ["doc_id", "tokens", "n_tok", *keep]
+            )
+
+        return fn
+
+    import ray
+
+    from ballet_ray.state.persist import load_artifact
+
+    tok = load_artifact(art)
+    cls = type(tok).__name__
+    if cls == "BpeTokenizer":
+        from ballet_ray.stages.bpe import BpeEncoder as Enc
+    elif cls == "UnigramTokenizer":
+        from ballet_ray.stages.unigram import UnigramEncoder as Enc
+    else:
+        raise ValueError(
+            f"--tokenizer artifact holds {cls}; expected BpeTokenizer or "
+            f"UnigramTokenizer"
+        )
+    ref = ray.put(tok)
+    holder: dict = {}
+
+    def fn(t):
+        enc = holder.get("enc")
+        if enc is None:
+            enc = holder["enc"] = Enc(tokenizer_ref=ref, out_col="tokens")
+        out = enc(t)
+        for k in keep:
+            out = out.append_column(k, t.column(k))
+        return out
+
+    return fn
+
+
 def run_ingest(args) -> None:
     """End-to-end corpus ingest: streaming exact dedup (sharded Bloom
     index, state checkpointed under <out>/bloom_state so a later run of
@@ -137,7 +187,7 @@ def run_ingest(args) -> None:
     from ballet_ray.feature import Feature
     from ballet_ray.pipeline import FeatureEngineeringPipeline
     from ballet_ray.stages.streaming_dedup import make_bloom_index, streaming_exact_dedup
-    from ballet_ray.stages.text import QualityScore, WordRepetition, hash_tokenize
+    from ballet_ray.stages.text import QualityScore, WordRepetition
     from ballet_ray.state.checkpoint import CheckpointedPack
 
     t0 = time.time()
@@ -182,11 +232,7 @@ def run_ingest(args) -> None:
         return t.filter(m).select(["doc_id", "text"])
 
     vocab = args.vocab
-
-    def tokenize(t: pa.Table) -> pa.Table:
-        return hash_tokenize(t, text_col="text", vocab=vocab).select(
-            ["doc_id", "tokens", "n_tok"]
-        )
+    tokenize = _tokenizer_fn(args, vocab)
 
     # the stateful Bloom stage goes LAST, immediately before the one
     # consuming write: any earlier placement lets a downstream schema
@@ -329,7 +375,7 @@ def run_curate(args) -> None:
     from ballet_ray.feature import Feature
     from ballet_ray.pipeline import FeatureEngineeringPipeline
     from ballet_ray.stages.joins import hash_join
-    from ballet_ray.stages.text import QualityScore, WordRepetition, hash_tokenize
+    from ballet_ray.stages.text import QualityScore, WordRepetition
 
     t0 = time.time()
     out = args.out
@@ -608,10 +654,10 @@ def run_curate(args) -> None:
             vocab = args.vocab
             P = max(1, math.ceil(n_mix / args.rows_per_shard))
 
+            tok_fn = _tokenizer_fn(args, vocab, keep=("shuffle_idx",))
+
             def tokenize(t: pa.Table) -> pa.Table:
-                out_t = hash_tokenize(t, text_col="text", vocab=vocab).select(
-                    ["doc_id", "tokens", "n_tok", "shuffle_idx"]
-                )
+                out_t = tok_fn(t)
                 idx = out_t.column("shuffle_idx").to_numpy(zero_copy_only=False)
                 part = (idx * P // n_mix).astype("int64")
                 return out_t.append_column("__part", pa.array(part))
@@ -735,6 +781,11 @@ def main() -> None:
     ap.add_argument("--bloom-shards", type=int, default=4)
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
+    ap.add_argument("--tokenizer", default=None,
+                    help="persisted fitted tokenizer artifact (BpeTokenizer "
+                         "or UnigramTokenizer, from state/persist."
+                         "save_artifact); replaces hash tokenization in "
+                         "ingest/curate")
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--report", action="store_true",
                     help="ingest mode: include a sketch-backed corpus_report "

@@ -195,3 +195,48 @@ def test_curate_gopher_full(tmp_path):
     assert st["clean"]["docs_in"] == 32
     assert st["clean"]["rows_out"] == 30
     assert st["pack"]["packs"] > 0
+
+
+@pytest.mark.slow
+def test_curate_with_fitted_tokenizer_artifact(tmp_path, ray_session):
+    """--tokenizer <artifact>: a persisted fitted UnigramTokenizer replaces
+    hash tokenization (fit once, apply in later jobs). Token ids must stay
+    inside the artifact's vocab and the job must still pack."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ballet_ray.stages.unigram import train_unigram
+    from ballet_ray.state.persist import save_artifact
+
+    df = _docs(range(50))
+    inp = tmp_path / "docs.parquet"
+    df.to_parquet(inp)
+
+    tok = train_unigram(rd.from_pandas(df), vocab_size=120, max_piece_len=4,
+                        seed_size=400, em_rounds=1)
+    art = str(tmp_path / "uni.pkl")
+    save_artifact(tok, art)
+
+    out = str(tmp_path / "out")
+    s = _run(str(inp), out, "--tokenizer", art)
+    st = s["stages"]
+    assert st["tokens"]["rows_out"] == st["mix"]["rows_out"] > 0
+    assert st["pack"]["packs"] > 0
+    tokens_dir = os.path.join(out, "tokens")
+    files = [f for f in os.listdir(tokens_dir) if f.endswith(".parquet")]
+    ids = [i for f in files
+           for lst in pq.read_table(os.path.join(tokens_dir, f),
+                                    columns=["tokens"])["tokens"].to_pylist()
+           for i in lst]
+    assert ids and 0 <= min(ids) and max(ids) < tok.vocab_size()
+
+    # wrong-class artifact fails loudly, not silently
+    save_artifact({"not": "a tokenizer"}, str(tmp_path / "bad.pkl"))
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input",
+         str(inp), "--out", str(tmp_path / "out_bad"), "--num-cpus", "4",
+         "--tokenizer", str(tmp_path / "bad.pkl")],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode != 0 and "expected BpeTokenizer or" in r.stderr
