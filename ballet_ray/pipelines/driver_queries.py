@@ -595,6 +595,55 @@ FROM (SELECT *, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ppl) AS pr
 """
 
 
+def q_split_sentences_docs(sf_dir: str):
+    """Sentence explosion (one row per sentence, stable within-doc index).
+    Corpus text is punctuation-free, so both sides wrap each doc in the
+    same deterministic page exercising every boundary kind: newline, '. ',
+    '? ', multi-punct '!! ', trailing whitespace, a blank-line run."""
+    from ballet_ray.stages.text import split_sentences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column("text"), pa.string())
+        did = pc.cast(t.column("doc_id"), pa.string())
+        page = pc.binary_join_element_wise(
+            "Intro line one\n", txt,
+            ". Then a question? Yes!! Finally   \n\nTail ", did, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": page})
+
+    return split_sentences(ds.map_batches(wrap, batch_format="pyarrow"))
+
+
+SQL_SPLIT_SENTENCES_DOCS = """
+WITH page AS (
+    SELECT doc_id,
+           'Intro line one' || chr(10) || text ||
+           '. Then a question? Yes!! Finally   ' || chr(10) || chr(10) ||
+           'Tail ' || CAST(doc_id AS VARCHAR) AS p
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace(
+                   regexp_replace(p, '([.!?]+)\\s+', '\\1' || chr(30), 'g'),
+                   '\\n+', chr(30), 'g'),
+               chr(30)) AS arr
+    FROM page
+), x AS (
+    SELECT doc_id, i,
+           trim(arr[i], ' ' || chr(9) || chr(13) || chr(10)) AS s
+    FROM m, UNNEST(range(1, len(arr) + 1)) AS t(i)
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx,
+       s AS sentence
+FROM x
+WHERE length(s) >= 1
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -3625,6 +3674,7 @@ QUERIES = {
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---
     # --- family variants demoted past the driver's 50-entry snapshot cap
     # --- (sibling query of each family holds the certification slot) ---
+    "split_sentences_docs": q_split_sentences_docs,
     "diff_events": q_diff_events,
     "sum_encode_lang": q_sum_encode_lang,
     "catboost_encode_priority": q_catboost_encode_priority,
@@ -3785,5 +3835,6 @@ ORACLE_SQL = {
     "gopher_signals_docs": SQL_GOPHER_SIGNALS_DOCS,
     "token_seq_dedup_docs": SQL_TOKEN_SEQ_DEDUP_DOCS,
     "pii_signals_docs": SQL_PII_SIGNALS_DOCS,
+    "split_sentences_docs": SQL_SPLIT_SENTENCES_DOCS,
     "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
 }

@@ -662,6 +662,66 @@ def c4_clean(ds, text_col: str = "text", *,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# sentence boundary = terminal punctuation run followed by whitespace, or a
+# newline run. RE2 (pyarrow AND DuckDB) has no lookbehind, so both sides
+# split via the same replace-then-split trick on a sentinel byte.
+SENT_BOUNDARY_RE = r"([.!?]+)\s+"
+_SENT_SEP = "\x1e"  # ASCII record separator — chr(30) on the SQL side
+_SENT_TRIM = " \t\r\n"
+
+
+def split_sentences_table(table: pa.Table, text_col: str = "text",
+                          id_col: str = "doc_id", *, min_chars: int = 1,
+                          out_col: str = "sentence") -> pa.Table:
+    """Explode each doc into sentences — one output row per kept sentence:
+    ``(id_col, sent_idx, out_col)``. Naive punctuation-run splitting (the
+    standard corpus-pipeline heuristic; 'Mr. Smith' splits — documented),
+    entirely vectorized: two RE2 rewrites insert a sentinel, one
+    ``split_pattern``, trim + length mask on the FLAT sentence array,
+    per-doc kept indices by a cumsum gather over the list offsets."""
+    col = pc.fill_null(pc.cast(table.column(text_col), pa.string()), "")
+    marked = pc.replace_substring_regex(
+        col, pattern=SENT_BOUNDARY_RE, replacement="\\1" + _SENT_SEP)
+    marked = pc.replace_substring_regex(
+        marked, pattern=r"\n+", replacement=_SENT_SEP)
+    sents = pc.split_pattern(marked, pattern=_SENT_SEP)
+    if isinstance(sents, pa.ChunkedArray):
+        sents = sents.combine_chunks()
+    flat = pc.utf8_trim(sents.flatten(), characters=_SENT_TRIM)
+    off = sents.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    keep = pc.greater_equal(pc.utf8_length(flat), min_chars)
+    keep_np = pc.fill_null(keep, False).to_numpy(zero_copy_only=False)
+    cs = np.concatenate([[0], np.cumsum(keep_np, dtype=np.int64)])
+    doc_idx = np.repeat(np.arange(len(table), dtype=np.int64),
+                        (off[1:] - off[:-1]))
+    # kept-sentence index within its doc: kept-count before this element
+    # minus kept-count before the doc's first element
+    sent_idx = (cs[:-1] - cs[off[:-1]][doc_idx])[keep_np]
+    ids = table.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids.take(pa.array(doc_idx[keep_np])),
+        "sent_idx": pa.array(sent_idx),
+        out_col: flat.filter(pa.array(keep_np)),
+    })
+
+
+def split_sentences(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                    min_chars: int = 1, out_col: str = "sentence"):
+    """Sentence explosion over the corpus (one row per sentence, stable
+    ``sent_idx`` within each doc) — the unit step before sentence-level
+    dedup, per-sentence quality scoring, or boundary-aware chunking.
+    Zero-shuffle one-to-many map; at 100 TB it streams like every other
+    flat_map-shaped stage."""
+    def f(t: pa.Table) -> pa.Table:
+        return split_sentences_table(t, text_col, id_col,
+                                     min_chars=min_chars, out_col=out_col)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 class WordRepetition(Transform):
     """Gopher-style within-document repetition signals over a text column
     (Rae et al. 2021 §A1.1 repetition filters): duplicate-word fraction
