@@ -595,6 +595,31 @@ FROM (SELECT *, PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ppl) AS pr
 """
 
 
+def q_bpe_tokenize_docs(sf_dir: str):
+    """Train-and-apply BPE (Sennrich 2016) over the corpus. Rows-only
+    (tokenizer fits are not SQL-expressible); exact-parity + partition-
+    invariance pytest in tests/test_bpe.py."""
+    from ballet_ray.stages.bpe import apply_bpe, train_bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = train_bpe(ds, num_merges=200)
+    return apply_bpe(ds, tok).select_columns(["doc_id", "n_tok"])
+
+
+def q_unigram_tokenize_docs(sf_dir: str):
+    """Train-and-apply unigram-LM tokenizer (Kudo 2018 / SentencePiece).
+    Rows-only (EM fits are not SQL-expressible); Viterbi-optimality,
+    partition-invariance and roundtrip pytest in tests/test_unigram.py."""
+    from ballet_ray.stages.unigram import apply_unigram, train_unigram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = train_unigram(ds, vocab_size=300, max_piece_len=6,
+                        seed_size=2000, em_rounds=1)
+    return apply_unigram(ds, tok).select_columns(["doc_id", "n_tok"])
+
+
 def q_split_sentences_docs(sf_dir: str):
     """Sentence explosion (one row per sentence, stable within-doc index).
     Corpus text is punctuation-free, so both sides wrap each doc in the
@@ -3675,6 +3700,8 @@ QUERIES = {
     # --- family variants demoted past the driver's 50-entry snapshot cap
     # --- (sibling query of each family holds the certification slot) ---
     "split_sentences_docs": q_split_sentences_docs,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,        # rows-only: tokenizer
+    "unigram_tokenize_docs": q_unigram_tokenize_docs,  # fits aren't SQL
     "diff_events": q_diff_events,
     "sum_encode_lang": q_sum_encode_lang,
     "catboost_encode_priority": q_catboost_encode_priority,
