@@ -669,6 +669,80 @@ WHERE length(s) >= 1
 """
 
 
+def q_dedup_sentences_docs(sf_dir: str):
+    """Sentence-level corpus dedup (composition: split_sentences →
+    exact_dedup on the sentence text, global first occurrence by
+    (doc_id, sent_idx) wins). The synthetic page's four constant
+    sentences are corpus-wide duplicates — 500 docs collapse them to one
+    each — while the doc sentence dedups only across planted clone docs."""
+    from ballet_ray.stages.dedup import exact_dedup
+    from ballet_ray.stages.text import split_sentences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column("text"), pa.string())
+        did = pc.cast(t.column("doc_id"), pa.string())
+        page = pc.binary_join_element_wise(
+            "Intro line one\n", txt,
+            ". Then a question? Yes!! Finally   \n\nTail ", did, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": page})
+
+    sents = split_sentences(ds.map_batches(wrap, batch_format="pyarrow"))
+
+    def add_sid(t: pa.Table) -> pa.Table:
+        sid = pc.add(pc.multiply(t.column("doc_id"), 64), t.column("sent_idx"))
+        return t.append_column("sid", pc.cast(sid, pa.int64()))
+
+    kept = exact_dedup(sents.map_batches(add_sid, batch_format="pyarrow"),
+                       col="sentence", id_col="sid")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        sid = t.column("sid").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(sid // 64),
+            "sent_idx": pa.array(sid % 64),
+            "sentence": t.column("sentence"),
+        })
+
+    return kept.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_DEDUP_SENTENCES_DOCS = """
+WITH page AS (
+    SELECT doc_id,
+           'Intro line one' || chr(10) || text ||
+           '. Then a question? Yes!! Finally   ' || chr(10) || chr(10) ||
+           'Tail ' || CAST(doc_id AS VARCHAR) AS p
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace(
+                   regexp_replace(p, '([.!?]+)\\s+', '\\1' || chr(30), 'g'),
+                   '\\n+', chr(30), 'g'),
+               chr(30)) AS arr
+    FROM page
+), x AS (
+    SELECT doc_id, i,
+           trim(arr[i], ' ' || chr(9) || chr(13) || chr(10)) AS s
+    FROM m, UNNEST(range(1, len(arr) + 1)) AS t(i)
+), sents AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx,
+           s AS sentence
+    FROM x
+    WHERE length(s) >= 1
+)
+SELECT doc_id, sent_idx, sentence
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sentence
+                                   ORDER BY doc_id * 64 + sent_idx) AS rn
+      FROM sents)
+WHERE rn = 1
+"""
+
+
 def q_tumbling_window_events(sf_dir: str):
     from ballet_ray.functions.reduce import grouped_reduce
 
@@ -3700,6 +3774,7 @@ QUERIES = {
     # --- family variants demoted past the driver's 50-entry snapshot cap
     # --- (sibling query of each family holds the certification slot) ---
     "split_sentences_docs": q_split_sentences_docs,
+    "dedup_sentences_docs": q_dedup_sentences_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,        # rows-only: tokenizer
     "unigram_tokenize_docs": q_unigram_tokenize_docs,  # fits aren't SQL
     "diff_events": q_diff_events,
@@ -3863,5 +3938,6 @@ ORACLE_SQL = {
     "token_seq_dedup_docs": SQL_TOKEN_SEQ_DEDUP_DOCS,
     "pii_signals_docs": SQL_PII_SIGNALS_DOCS,
     "split_sentences_docs": SQL_SPLIT_SENTENCES_DOCS,
+    "dedup_sentences_docs": SQL_DEDUP_SENTENCES_DOCS,
     "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
 }
