@@ -334,6 +334,64 @@ def _write_stage(ds, path: str) -> int:
     return rd.read_parquet(path, columns=["doc_id"]).count()
 
 
+def run_tag(args) -> None:
+    """Dolma-architecture attribute tagging (Soldaini et al. 2024: taggers
+    write per-doc ATTRIBUTE files beside the corpus; the filter/mix policy
+    is a separate, cheaply re-runnable decision over those sidecars — no
+    re-scan of the text when a threshold changes). One fused map pass
+    computes quality + word-repetition + Gopher structural + PII-count
+    signals, one actor-pool pass adds language id, and ``--tag-ppl`` adds
+    corpus-fit bigram-LM perplexity (one distributed LM fit, shuffle-free
+    scoring). Output: <out>/attributes parquet keyed by doc_id — every
+    signal column, never the text."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from ballet_ray.feature import Feature
+    from ballet_ray.pipeline import FeatureEngineeringPipeline
+    from ballet_ray.stages.text import (GopherSignals, LangId, PiiSignals,
+                                        QualityScore, WordRepetition)
+
+    t0 = time.time()
+    ds = _load_corpus(args.input, getattr(args, "input_format", "parquet"),
+                      ["doc_id", "text"])
+    docs_in = ds.count()
+
+    pipe = FeatureEngineeringPipeline([
+        Feature("text", QualityScore()),
+        Feature("text", WordRepetition()),
+        Feature("text", GopherSignals()),
+        Feature("text", PiiSignals()),
+    ])
+    tagged = pipe.fit_transform(ds)
+    # task-based LangId instance: a fixed actor pool can reserve every CPU
+    # on a small cluster and starve the upstream stage (the same deadlock
+    # the minhash signing stage hit); the per-task table build is tiny
+    tagged = tagged.map_batches(LangId(), batch_format="pyarrow")
+
+    if getattr(args, "tag_ppl", False):
+        from ballet_ray.stages.text import bigram_logprob_scores
+
+        attr_cols = [c for c in tagged.schema().names
+                     if c not in ("doc_id", "text")]
+        tagged = bigram_logprob_scores(tagged, round_to=6,
+                                       keep_cols=attr_cols)
+    else:
+        tagged = tagged.map_batches(
+            lambda t: t.drop_columns(["text"]), batch_format="pyarrow")
+
+    rows = _write_stage(tagged, os.path.join(args.out, "attributes"))
+    summary = {
+        "mode": "tag",
+        "docs_in": int(docs_in),
+        "rows_out": int(rows),
+        "ppl": bool(getattr(args, "tag_ppl", False)),
+        "wall_s_total": round(time.time() - t0, 3),
+    }
+    print(json.dumps(summary))
+
+
 def run_curate(args) -> None:
     """The composed curation flagship — what a 100-TB corpus user actually
     runs, chaining the individually-oracled stages end to end:
@@ -741,7 +799,7 @@ def main() -> None:
     ap.add_argument("--block-domains-col", default="source",
                     help="column the blocklist matches against (apex domain "
                          "under --input-format warc)")
-    ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate"],
+    ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate", "tag"],
                     default="backfill")
     ap.add_argument("--dedup", choices=["minhash", "exact", "streaming", "none"],
                     default="minhash",
@@ -781,6 +839,9 @@ def main() -> None:
     ap.add_argument("--bloom-shards", type=int, default=4)
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
+    ap.add_argument("--tag-ppl", action="store_true",
+                    help="tag mode: add corpus-fit bigram-LM perplexity "
+                         "to the attribute set (one distributed LM fit)")
     ap.add_argument("--tokenizer", default=None,
                     help="persisted fitted tokenizer artifact (BpeTokenizer "
                          "or UnigramTokenizer, from state/persist."
@@ -830,6 +891,11 @@ def main() -> None:
 
     if args.mode == "curate":
         run_curate(args)
+        ray.shutdown()
+        return
+
+    if args.mode == "tag":
+        run_tag(args)
         ray.shutdown()
         return
 
