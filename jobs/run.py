@@ -392,6 +392,57 @@ def run_tag(args) -> None:
     print(json.dumps(summary))
 
 
+def run_mix(args) -> None:
+    """Dolma-architecture mixer (the policy half of ``--mode tag``): apply
+    ``--policy`` — a pandas-query boolean expression over attribute
+    columns, e.g. ``"quality >= 0.3 and dup_line_frac <= 0.3 and
+    pred_lang == 'en'"`` — to the attribute sidecars, then keep exactly
+    the passing docs from the corpus via one distributed id-keyed join.
+    The text is never re-scanned for signals (thresholds can be iterated
+    over the cheap sidecars), the keep set never lands on the driver, and
+    only the attribute columns the policy references leave storage."""
+    import io
+    import keyword
+    import tokenize
+
+    import ray.data as rd
+
+    from ballet_ray.stages.joins import hash_join
+
+    t0 = time.time()
+    policy = args.policy
+    if not policy:
+        raise SystemExit("--mode mix requires --policy")
+    attrs_path = getattr(args, "attributes", None) or os.path.join(
+        args.input, "..", "attributes")
+    have = set(rd.read_parquet(attrs_path).schema().names)
+    names = {tok.string
+             for tok in tokenize.generate_tokens(io.StringIO(policy).readline)
+             if tok.type == tokenize.NAME and not keyword.iskeyword(tok.string)}
+    use = sorted((names & have) - {"doc_id"})
+    if not use:
+        raise SystemExit(
+            f"--policy references no attribute column; have: {sorted(have)}")
+    attrs = rd.read_parquet(attrs_path, columns=["doc_id", *use])
+
+    def flt(df):
+        return df.query(policy, engine="python")[["doc_id"]]
+
+    kept_ids = attrs.map_batches(flt, batch_format="pandas")
+    ds = _load_corpus(args.input, getattr(args, "input_format", "parquet"),
+                      ["doc_id", "text"])
+    docs_in = ds.count()
+    mixed = hash_join(ds, kept_ids, on="doc_id")
+    rows = _write_stage(mixed, os.path.join(args.out, "mixed"))
+    print(json.dumps({
+        "mode": "mix",
+        "docs_in": int(docs_in),
+        "docs_kept": int(rows),
+        "policy": policy,
+        "wall_s_total": round(time.time() - t0, 3),
+    }))
+
+
 def run_curate(args) -> None:
     """The composed curation flagship — what a 100-TB corpus user actually
     runs, chaining the individually-oracled stages end to end:
@@ -799,7 +850,7 @@ def main() -> None:
     ap.add_argument("--block-domains-col", default="source",
                     help="column the blocklist matches against (apex domain "
                          "under --input-format warc)")
-    ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate", "tag"],
+    ap.add_argument("--mode", choices=["backfill", "pack", "ingest", "curate", "tag", "mix"],
                     default="backfill")
     ap.add_argument("--dedup", choices=["minhash", "exact", "streaming", "none"],
                     default="minhash",
@@ -839,6 +890,11 @@ def main() -> None:
     ap.add_argument("--bloom-shards", type=int, default=4)
     ap.add_argument("--bloom-bits", type=int, default=1 << 24)
     ap.add_argument("--vocab", type=int, default=50_257)
+    ap.add_argument("--attributes", default=None,
+                    help="mix mode: attribute sidecar dir from --mode tag")
+    ap.add_argument("--policy", default=None,
+                    help="mix mode: pandas-query boolean expression over "
+                         "attribute columns")
     ap.add_argument("--tag-ppl", action="store_true",
                     help="tag mode: add corpus-fit bigram-LM perplexity "
                          "to the attribute set (one distributed LM fit)")
@@ -896,6 +952,11 @@ def main() -> None:
 
     if args.mode == "tag":
         run_tag(args)
+        ray.shutdown()
+        return
+
+    if args.mode == "mix":
+        run_mix(args)
         ray.shutdown()
         return
 
