@@ -65,6 +65,8 @@ from ballet_ray.stages.dedup import (
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
 from ballet_ray.stages.unigram import (UnigramEncoder, UnigramTokenizer,
                                        apply_unigram, train_unigram)
+from ballet_ray.stages.wordpiece import (WordPieceTokenizer, apply_wordpiece,
+                                         train_wordpiece)
 from ballet_ray.stages.decomposition import grouped_pca_fit, grouped_pca_transform
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
 from ballet_ray.stages.report import corpus_report
@@ -210,8 +212,10 @@ __all__ = [
     "UnigramEncoder",
     "UnigramTokenizer",
     "BpeTokenizer",
+    "WordPieceTokenizer",
     "apply_bpe",
     "apply_unigram",
+    "apply_wordpiece",
     "assign_topic_clusters",
     "bigram_logprob_scores",
     "bm25_top_terms",
@@ -258,6 +262,7 @@ __all__ = [
     "token_minhash_lsh_pairs",
     "train_bpe",
     "train_unigram",
+    "train_wordpiece",
     "unigram_logprob_scores",
     "winnow_fingerprints",
 ]

@@ -620,6 +620,19 @@ def q_unigram_tokenize_docs(sf_dir: str):
     return apply_unigram(ds, tok).select_columns(["doc_id", "n_tok"])
 
 
+def q_wordpiece_tokenize_docs(sf_dir: str):
+    """Train-and-apply WordPiece (Schuster & Nakajima 2012 / BERT).
+    Rows-only (tokenizer fits are not SQL-expressible); brute-reference
+    merge parity, greedy-longest-match, partition-invariance and roundtrip
+    pytest in tests/test_wordpiece.py."""
+    from ballet_ray.stages.wordpiece import apply_wordpiece, train_wordpiece
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = train_wordpiece(ds, vocab_size=300)
+    return apply_wordpiece(ds, tok).select_columns(["doc_id", "n_tok"])
+
+
 def q_split_sentences_docs(sf_dir: str):
     """Sentence explosion (one row per sentence, stable within-doc index).
     Corpus text is punctuation-free, so both sides wrap each doc in the
@@ -3777,6 +3790,7 @@ QUERIES = {
     "dedup_sentences_docs": q_dedup_sentences_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,        # rows-only: tokenizer
     "unigram_tokenize_docs": q_unigram_tokenize_docs,  # fits aren't SQL
+    "wordpiece_tokenize_docs": q_wordpiece_tokenize_docs,  # rows-only
     "diff_events": q_diff_events,
     "sum_encode_lang": q_sum_encode_lang,
     "catboost_encode_priority": q_catboost_encode_priority,

@@ -146,14 +146,15 @@ def _tokenizer_fn(args, vocab, keep=()):
 
     tok = load_artifact(art)
     cls = type(tok).__name__
-    if cls == "BpeTokenizer":
+    if cls in ("BpeTokenizer", "WordPieceTokenizer"):
+        # BpeEncoder is tokenizer-generic (anything exposing encode_word)
         from ballet_ray.stages.bpe import BpeEncoder as Enc
     elif cls == "UnigramTokenizer":
         from ballet_ray.stages.unigram import UnigramEncoder as Enc
     else:
         raise ValueError(
-            f"--tokenizer artifact holds {cls}; expected BpeTokenizer or "
-            f"UnigramTokenizer"
+            f"--tokenizer artifact holds {cls}; expected BpeTokenizer, "
+            f"WordPieceTokenizer or UnigramTokenizer"
         )
     ref = ray.put(tok)
     holder: dict = {}
