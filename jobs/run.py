@@ -628,9 +628,10 @@ def run_curate(args) -> None:
         ts = time.time()
         ds = rd.read_parquet(clean_dir)
         thr = None
+        ppl_buckets = getattr(args, "ppl_buckets", None)
         if stages_summary["clean"]["rows_out"] == 0:
             rows = _write_stage(ds, lm_dir)
-        elif args.ppl_keep < 1.0:
+        elif ppl_buckets or args.ppl_keep < 1.0:
             from ballet_ray.stages.sketches import approx_quantiles
 
             # unigram default: its model table is vocab-bounded (one tiny
@@ -651,12 +652,9 @@ def run_curate(args) -> None:
                     ds, text_col="text", id_col="doc_id", round_to=None,
                     keep_cols=carry,
                 ).materialize()
-                thr = float(approx_quantiles(scored, "ppl", [args.ppl_keep])[0])
-                filtered = scored.map_batches(
-                    lambda t, thr=thr: t.filter(
-                        pc.less_equal(t.column("ppl"), thr)),
-                    batch_format="pyarrow",
-                )
+                # ascending ppl: the best-scoring (lowest-ppl) third ranks
+                # first — CCNet's 'head'
+                vcol, asc_labels = "ppl", ("head", "middle", "tail")
             else:
                 from ballet_ray.stages.text import unigram_logprob_scores
 
@@ -664,6 +662,42 @@ def run_curate(args) -> None:
                     ds, text_col="text", id_col="doc_id", round_to=None,
                     keep_cols=carry,
                 ).materialize()
+                # ascending mean_logprob: HIGHER is better, so the label
+                # order reverses — the top-ranked third is 'head'
+                vcol, asc_labels = "mean_logprob", ("tail", "middle", "head")
+            if ppl_buckets:
+                # CCNet's head/middle/tail selection (Wenzek 2020 §3.3):
+                # rank every doc by LM score WITHIN its mixture group and
+                # cut the ranking into thirds; keep the named buckets.
+                # Replaces the global --ppl-keep quantile threshold.
+                from ballet_ray.stages.windows import rank_buckets
+
+                keep_set = {b.strip() for b in ppl_buckets.split(",")
+                            if b.strip()}
+                if not keep_set or keep_set - {"head", "middle", "tail"}:
+                    raise SystemExit(
+                        f"--ppl-buckets must be a comma list of "
+                        f"head/middle/tail, got {ppl_buckets!r}")
+                gcol = (group_col if group_col
+                        and group_col in scored.schema().names else None)
+                bucketed = rank_buckets(scored, value_col=vcol,
+                                        group_col=gcol, labels=asc_labels,
+                                        out_col="ppl_bucket")
+                keep_arr = pa.array(sorted(keep_set))
+                filtered = bucketed.map_batches(
+                    lambda t, ka=keep_arr: t.filter(
+                        pc.is_in(t.column("ppl_bucket"), value_set=ka)),
+                    batch_format="pyarrow",
+                )
+                thr = ppl_buckets
+            elif args.lm == "bigram":
+                thr = float(approx_quantiles(scored, "ppl", [args.ppl_keep])[0])
+                filtered = scored.map_batches(
+                    lambda t, thr=thr: t.filter(
+                        pc.less_equal(t.column("ppl"), thr)),
+                    batch_format="pyarrow",
+                )
+            else:
                 thr = float(
                     approx_quantiles(scored, "mean_logprob",
                                      [1.0 - args.ppl_keep])[0])
@@ -861,6 +895,11 @@ def main() -> None:
     ap.add_argument("--ppl-keep", type=float, default=0.9,
                     help="curate mode: keep the best this-fraction of docs by "
                          "LM score (1.0 disables the filter)")
+    ap.add_argument("--ppl-buckets", default=None,
+                    help="curate mode: CCNet head/middle/tail selection — "
+                         "rank docs by LM score within the mixture group, "
+                         "cut into thirds, keep this comma list of buckets "
+                         "(e.g. 'head,middle'); replaces --ppl-keep")
     ap.add_argument("--lm", choices=["unigram", "bigram"], default="unigram",
                     help="curate mode: perplexity-filter model (unigram = "
                          "vocab-bounded model table, scale-safe default; "

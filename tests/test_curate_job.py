@@ -239,4 +239,4 @@ def test_curate_with_fitted_tokenizer_artifact(tmp_path, ray_session):
         capture_output=True, text=True, cwd="/root/repo",
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
-    assert r.returncode != 0 and "expected BpeTokenizer or" in r.stderr
+    assert r.returncode != 0 and "expected BpeTokenizer," in r.stderr

@@ -1,0 +1,86 @@
+"""CCNet head/middle/tail perplexity selection in the curate job
+(--ppl-buckets): rank docs by LM score within the mixture group, cut the
+ranking into thirds, keep the named buckets (Wenzek 2020 §3.3)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(n=90, seed=3):
+    words = [f"w{j}" for j in range(80)]
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed + i)
+        text = " ".join(rng.choice(words, 40))
+        rows.append({"doc_id": i, "text": text,
+                     "source": "web" if i % 3 else "books"})
+    return pd.DataFrame(rows)
+
+
+def _run(inp, out, *extra):
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input", inp,
+         "--out", out, "--num-cpus", "4", "--max-len", "16",
+         "--pack-len", "64", "--rows-per-shard", "20", "--dedup", "none",
+         "--mix", "none", *extra],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    return r
+
+
+@pytest.mark.slow
+def test_ppl_buckets_head_middle(tmp_path):
+    import pyarrow.parquet as pq
+
+    inp = tmp_path / "docs.parquet"
+    df = _docs()
+    df.to_parquet(inp)
+
+    out = str(tmp_path / "out")
+    r = _run(str(inp), out, "--stop-after", "lm", "--lm", "bigram",
+             "--ppl-buckets", "head,middle")
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    n_clean = s["stages"]["clean"]["rows_out"]
+    n_lm = s["stages"]["lm"]["rows_out"]
+    assert s["stages"]["lm"]["lm_threshold"] == "head,middle"
+
+    lm = pq.read_table(os.path.join(out, "lm")).to_pandas()
+    assert len(lm) == n_lm
+    assert set(lm.ppl_bucket) <= {"head", "middle"}
+
+    # reference: per-source PERCENT_RANK over ppl, thirds cut — the kept
+    # set is exactly the docs whose within-group rank falls before 2/3
+    full = _run(str(inp), str(tmp_path / "full"), "--stop-after", "lm",
+                "--lm", "bigram", "--ppl-buckets", "head,middle,tail")
+    assert full.returncode == 0, full.stderr[-3000:]
+    allb = pq.read_table(os.path.join(str(tmp_path / "full"), "lm")).to_pandas()
+    assert len(allb) == n_clean  # keeping every bucket = no filter
+
+    def pct_rank(g):
+        r = g["ppl"].rank(method="min") - 1
+        n = len(g)
+        return r / (n - 1) if n > 1 else r * 0.0
+
+    pr = allb.groupby("source", group_keys=False)[["ppl", "doc_id", "source"]].apply(
+        lambda g: g.assign(pr=pct_rank(g)))
+    want = set(pr.loc[pr.pr < 2.0 / 3, "doc_id"])
+    assert set(lm.doc_id) == want
+    # and the bucket labels agree with the thirds rule
+    lab = np.where(pr.pr < 1.0 / 3, "head",
+                   np.where(pr.pr < 2.0 / 3, "middle", "tail"))
+    want_lab = dict(zip(pr.doc_id, lab))
+    got_lab = dict(zip(allb.doc_id, allb.ppl_bucket))
+    assert got_lab == want_lab
+
+    # bad bucket list fails loudly
+    bad = _run(str(inp), str(tmp_path / "bad"), "--ppl-buckets", "best")
+    assert bad.returncode != 0
+    assert "head/middle/tail" in (bad.stderr + bad.stdout)
