@@ -69,7 +69,7 @@ from ballet_ray.stages.wordpiece import (WordPieceTokenizer, apply_wordpiece,
                                          train_wordpiece)
 from ballet_ray.stages.decomposition import grouped_pca_fit, grouped_pca_transform
 from ballet_ray.stages.dsir import dsir_log_weights, dsir_resample
-from ballet_ray.stages.report import corpus_report
+from ballet_ray.stages.report import corpus_report, tokenizer_report
 from ballet_ray.stages.sampling import (
     budget_sample,
     cap_per_group,
@@ -223,6 +223,7 @@ __all__ = [
     "chunk_sequences",
     "corpus_divergence",
     "corpus_report",
+    "tokenizer_report",
     "correlation_matrix",
     "count_min",
     "dedup_by_minhash",
