@@ -117,6 +117,21 @@ def cmd_report(args) -> int:
 
     from ballet_ray.stages.report import corpus_report
 
+    if getattr(args, "tokenizer", None):
+        # evaluate a persisted fitted tokenizer instead of summarizing
+        # the corpus (fertility / compression / UNK rate)
+        from ballet_ray.stages.report import tokenizer_report
+        from ballet_ray.state.persist import load_artifact
+
+        rep = tokenizer_report(
+            rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+            load_artifact(args.tokenizer),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        print(json.dumps(_jsonable(rep)))
+        return 0
+
     rep = corpus_report(
         rd.read_parquet(args.input),
         text_col=args.text_col,
@@ -138,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--id-col", default="doc_id")
     r.add_argument("--group-cols", default="lang,source")
     r.add_argument("--top-words", type=int, default=10)
+    r.add_argument("--tokenizer", default=None,
+                   help="persisted fitted tokenizer artifact: print its "
+                        "evaluation report (fertility/compression/UNK) "
+                        "over the corpus instead of the corpus summary")
     r.set_defaults(fn=cmd_report)
 
     v = sub.add_parser("validate", help="validate project changes (reference `ballet validate`)")

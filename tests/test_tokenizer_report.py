@@ -80,3 +80,29 @@ def test_report_unk_on_unseen_alphabet(ray_session):
     got = tokenizer_report(rd.from_pandas(probe), tok)
     assert got == _reference(probe, tok)
     assert got["unk_rate"] > 0 and got["doc_unk_fraction"] == 0.5
+
+
+@pytest.mark.slow
+def test_report_cli_with_tokenizer_artifact(tmp_path, ray_session):
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    from ballet_ray.stages.wordpiece import train_wordpiece
+    from ballet_ray.state.persist import save_artifact
+
+    df = _corpus(n=60)
+    df.to_parquet(tmp_path / "docs.parquet")
+    tok = train_wordpiece(rd.from_pandas(df), vocab_size=60)
+    art = save_artifact(tok, str(tmp_path / "wp.pkl"))
+
+    r = subprocess.run(
+        [_sys.executable, "-m", "ballet_ray", "report",
+         str(tmp_path / "docs.parquet"), "--tokenizer", art],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local", "BALLET_RAY_NUM_CPUS": "4"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep == _reference(df, tok)
