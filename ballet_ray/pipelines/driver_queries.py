@@ -3086,9 +3086,10 @@ FROM ws LEFT JOIN kept ON ws.doc_id = kept.doc_id
 
 def q_contamination_docs(sf_dir: str):
     """Benchmark decontamination: docs 0-49 play the eval set; corpus docs
-    (id >= 50) are flagged with the count of their 8-word windows that
-    appear anywhere in the eval set. Eval window keys broadcast once; the
-    corpus side is one shuffle-free streaming pass."""
+    (id >= 50) are flagged with the count AND fraction of their 8-word
+    windows that appear anywhere in the eval set (PaLM thresholds the
+    fraction: drop at ≥70% contaminated 8-grams). Eval window keys
+    broadcast once; the corpus side is one shuffle-free streaming pass."""
     from ballet_ray.stages.dedup import find_contaminated
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3098,7 +3099,8 @@ def q_contamination_docs(sf_dir: str):
     eval_ds = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("doc_id"), 50)), batch_format="pyarrow"
     )
-    return find_contaminated(corpus, eval_ds, n=8, key="text")
+    return find_contaminated(corpus, eval_ds, n=8, key="text",
+                              with_fraction=True)
 
 
 SQL_CONTAMINATION_DOCS = """
@@ -3111,9 +3113,11 @@ ew AS (
     SELECT DISTINCT UNNEST([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS p
     FROM ws WHERE doc_id < 50
 )
-SELECT doc_id, COUNT(*) AS n_hits
-FROM cw JOIN ew USING (p)
-GROUP BY doc_id
+SELECT cw.doc_id, COUNT(*) AS n_hits,
+       MAX(len(ws.w) - 7) AS n_windows,
+       COUNT(*) / CAST(MAX(len(ws.w) - 7) AS DOUBLE) AS hit_frac
+FROM cw JOIN ew USING (p) JOIN ws ON ws.doc_id = cw.doc_id
+GROUP BY cw.doc_id
 """
 
 

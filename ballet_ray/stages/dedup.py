@@ -1932,11 +1932,18 @@ def remove_duplicate_lines(
 
 def find_contaminated(
     corpus, eval_ds, *, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 8, key: str = "hash",
+    n: int = 8, key: str = "hash", with_fraction: bool = False,
 ):
     """Benchmark decontamination (the GPT-3/PaLM appendix procedure): count,
     per corpus document, how many of its ``n``-word windows appear anywhere
     in the evaluation set.
+
+    ``with_fraction=True`` additionally emits ``n_windows`` (the doc's
+    total window count) and ``hit_frac = n_hits / n_windows`` — PaLM's
+    decision rule drops a doc when ≥70% of its 8-grams are contaminated,
+    so the fraction, not the raw count, is what a filter thresholds.
+    The division is int/int in float64 on both this side and the SQL
+    oracle, so values are bit-identical.
 
     Scale shape: the eval side is small by definition — its distinct
     window keys are collected once and broadcast via ``ray.put``; the
@@ -1997,7 +2004,13 @@ def find_contaminated(
             starts = np.concatenate([[0], np.cumsum(n_win)[:-1]])
             cs = np.concatenate([[0], np.cumsum(member)])
             nh[nz] = cs[(starts + n_win)[nz]] - cs[starts[nz]]
-        out = pa.table({id_col: t.column(id_col), "n_hits": pa.array(nh)})
+        cols = {id_col: t.column(id_col), "n_hits": pa.array(nh)}
+        if with_fraction:
+            cols["n_windows"] = pa.array(n_win)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = np.where(n_win > 0, nh / np.maximum(n_win, 1), 0.0)
+            cols["hit_frac"] = pa.array(frac)
+        out = pa.table(cols)
         return out.filter(pc.greater(out.column("n_hits"), 0))
 
     return corpus.select_columns([id_col, text_col]).map_batches(hits, batch_format="pyarrow")

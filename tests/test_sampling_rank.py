@@ -98,6 +98,13 @@ def test_find_contaminated_reference():
     for key in ("hash", "text"):
         got = find_contaminated(cp, ev, n=8, key=key).to_pandas().sort_values("doc_id")
         assert dict(zip(got.doc_id, got.n_hits)) == {0: 3, 1: 1}
+        assert list(got.columns) == ["doc_id", "n_hits"]  # default schema
+    # PaLM overlap-fraction mode: doc 0 has 14 words -> 7 windows, 3 hit;
+    # doc 1 has 8 words -> 1 window, fully contaminated
+    fr = find_contaminated(cp, ev, n=8, key="hash",
+                           with_fraction=True).to_pandas().sort_values("doc_id")
+    assert dict(zip(fr.doc_id, fr.n_windows)) == {0: 7, 1: 1}
+    assert dict(zip(fr.doc_id, fr.hit_frac)) == {0: 3 / 7, 1: 1.0}
 
 
 def test_curriculum_index_buckets_in_order():
