@@ -578,6 +578,23 @@ def run_curate(args) -> None:
                 return t.filter(m).select(["doc_id", "text", *carry])
 
             kept = scored.map_batches(keep, batch_format="pyarrow")
+        if getattr(args, "redact_pii", False):
+            # Dolma-style PII scrub (emails/URLs/IPs/long digit runs →
+            # placeholder tokens) on the SURVIVING docs — before the
+            # streaming dedup stage so the Bloom index hashes exactly the
+            # text that lands in the output (replay suppression stays
+            # consistent across runs). One vectorized RE2 pass per
+            # pattern, zero shuffle.
+            from ballet_ray.stages.text import RegexRedactor
+
+            _red = RegexRedactor()
+
+            def scrub(t: pa.Table) -> pa.Table:
+                red = _red.transform_table(t, ["text"])
+                i = t.column_names.index("text")
+                return t.set_column(i, "text", red.column("text_redacted"))
+
+            kept = kept.map_batches(scrub, batch_format="pyarrow")
         if args.dedup == "streaming":
             # the stateful Bloom stage goes LAST, immediately before the one
             # consuming write: any earlier placement lets a downstream probe
@@ -895,6 +912,10 @@ def main() -> None:
     ap.add_argument("--ppl-keep", type=float, default=0.9,
                     help="curate mode: keep the best this-fraction of docs by "
                          "LM score (1.0 disables the filter)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="curate mode: scrub PII (emails/URLs/IPs/long "
+                         "digit runs -> placeholder tokens) from surviving "
+                         "docs in the clean stage")
     ap.add_argument("--ppl-buckets", default=None,
                     help="curate mode: CCNet head/middle/tail selection — "
                          "rank docs by LM score within the mixture group, "

@@ -84,3 +84,27 @@ def test_ppl_buckets_head_middle(tmp_path):
     bad = _run(str(inp), str(tmp_path / "bad"), "--ppl-buckets", "best")
     assert bad.returncode != 0
     assert "head/middle/tail" in (bad.stderr + bad.stdout)
+
+
+@pytest.mark.slow
+def test_redact_pii_in_clean_stage(tmp_path):
+    import pyarrow.parquet as pq
+
+    df = _docs(n=40)
+    df.loc[0, "text"] += " contact bob@example.com or 12345678"
+    df.loc[1, "text"] += " visit https://example.com/x now"
+    inp = tmp_path / "docs.parquet"
+    df.to_parquet(inp)
+
+    out = str(tmp_path / "out")
+    r = _run(str(inp), out, "--stop-after", "clean", "--redact-pii",
+             "--ppl-keep", "1.0")
+    assert r.returncode == 0, r.stderr[-3000:]
+    clean = pq.read_table(os.path.join(out, "clean")).to_pandas()
+    t0 = clean.loc[clean.doc_id == 0, "text"].iloc[0]
+    t1 = clean.loc[clean.doc_id == 1, "text"].iloc[0]
+    assert "<EMAIL>" in t0 and "<NUM>" in t0 and "bob@example.com" not in t0
+    assert "<URL>" in t1 and "https://example.com/x" not in t1
+    # untouched docs pass through byte-identical
+    t5 = clean.loc[clean.doc_id == 5, "text"].iloc[0]
+    assert t5 == df.loc[5, "text"]
