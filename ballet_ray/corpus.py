@@ -140,8 +140,11 @@ from ballet_ray.stages.text import (
     gopher_quality_filter,
     LangId,
     NgramRepetition,
+    PiiSignals,
+    PiiSpans,
     QualityScore,
     RegexRedactor,
+    apply_spans,
     RegexTokenCount,
     WordRepetition,
     extract_domain,
@@ -198,7 +201,10 @@ __all__ = [
     "LangId",
     "NgramRepetition",
     "QualityScore",
+    "PiiSignals",
+    "PiiSpans",
     "RegexRedactor",
+    "apply_spans",
     "RegexTokenCount",
     "CountMinSketch",
     "TokenCount",

@@ -155,6 +155,140 @@ class PiiSignals(Transform):
                 for x in ([f"{c}_n_{n}" for n in self.patterns] + [f"{c}_n_pii"])]
 
 
+class PiiSpans(Transform):
+    """Per-document PII SPANS — Dolma's span-tagger shape (Soldaini 2024
+    §2.3): the attribute sidecar records character offsets per detector so
+    the mix step can redact WITHOUT re-scanning the text. One output
+    column per pattern, ``{col}_{kind}_spans: list<int32>`` of flattened
+    ``(start, end)`` pairs in Python-str (codepoint) offsets — primitive
+    lists so the columns survive parquet round-trips and the mix join's
+    list packing (a struct-list would not).
+
+    Match positions need ``re.finditer`` (no Arrow kernel yields offsets),
+    which is per-row Python — so a vectorized ``count_substring_regex``
+    prefilter finds the (typically rare) rows with any hit first and only
+    those rows pay the finditer; a PII-free batch never leaves Arrow.
+    Both engines use leftmost non-overlapping match semantics, so span
+    counts per kind equal :class:`PiiSignals` counts exactly.
+    """
+
+    def __init__(self, patterns: dict[str, str] | None = None):
+        self.patterns = dict(PII_SIGNAL_PATTERNS if patterns is None else patterns)
+        if not self.patterns:
+            raise ValueError("patterns must be non-empty")
+        self._compiled = None  # lazy: compile once per worker, not per batch
+
+    def transform_table(self, table: pa.Table, cols: list[str]) -> pa.Table:
+        import re
+
+        if self._compiled is None:
+            self._compiled = {k: re.compile(p) for k, p in self.patterns.items()}
+        out = {}
+        for c in cols:
+            col = pc.cast(table.column(c), pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n_rows = len(table)
+            hits: dict[str, np.ndarray] = {}
+            any_hit = np.zeros(n_rows, dtype=bool)
+            for name, pat in self.patterns.items():
+                cnt = pc.count_substring_regex(col, pattern=pat).to_numpy(
+                    zero_copy_only=False)
+                cnt = np.nan_to_num(cnt, nan=0.0).astype(np.int64)
+                hits[name] = cnt > 0
+                any_hit |= hits[name]
+            row_texts: dict[int, str] = {}
+            if any_hit.any():
+                idxs = np.flatnonzero(any_hit)
+                row_texts = dict(zip(
+                    idxs.tolist(),
+                    col.take(pa.array(idxs)).to_pylist()))
+            for name in self.patterns:
+                rx = self._compiled[name]
+                counts = np.zeros(n_rows, dtype=np.int32)
+                flat: list[int] = []
+                for ri in np.flatnonzero(hits[name]).tolist():
+                    spans = [(m.start(), m.end())
+                             for m in rx.finditer(row_texts[ri])]
+                    counts[ri] = len(spans)
+                    for s, e in spans:
+                        flat.extend((s, e))
+                offsets = pa.array(
+                    np.concatenate(([0], np.cumsum(counts) * 2)).astype(np.int32))
+                out[f"{c}_{name}_spans"] = pa.ListArray.from_arrays(
+                    offsets, pa.array(np.asarray(flat, dtype=np.int32),
+                                      pa.int32()))
+        return pa.table(out)
+
+    def output_names(self, cols):
+        return [f"{c}_{n}_spans" for c in cols for n in self.patterns]
+
+
+def apply_spans(ds, *, span_cols, text_col: str = "text", repl: str = "",
+                drop_span_cols: bool = True):
+    """Apply span-tagger output to the text (the Dolma mix step's
+    redaction half): every ``(start, end)`` span from each ``span_cols``
+    entry (flattened-pair ``list<int32>`` columns, the
+    :class:`PiiSpans` format) is replaced with ``repl`` (default: removed).
+    Overlapping/adjacent spans from different taggers merge first, so
+    nested matches never produce doubled replacements.
+
+    Map-only and payload-local: only the (typically rare) rows with ≥1
+    span pay the Python splice; untouched rows keep their Arrow buffer
+    values byte-identical."""
+    if isinstance(span_cols, str):
+        span_cols = [span_cols]
+    span_cols = list(span_cols)
+
+    def cut(t: pa.Table) -> pa.Table:
+        col = pc.cast(t.column(text_col), pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_rows = len(t)
+        per_row: dict[int, list] = {}
+        for sc in span_cols:
+            arr = t.column(sc)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0.0).astype(np.int64)
+            if not lens.sum():
+                continue
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            for ri in np.flatnonzero(lens > 0).tolist():
+                seg = flat[starts[ri]: starts[ri] + lens[ri]]
+                per_row.setdefault(ri, []).extend(
+                    zip(seg[0::2].tolist(), seg[1::2].tolist()))
+        if per_row:
+            texts = col.to_numpy(zero_copy_only=False)  # object ndarray
+            texts = texts.copy()
+            for ri, spans in per_row.items():
+                spans.sort()
+                merged = [list(spans[0])]
+                for s, e in spans[1:]:
+                    if s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                txt = texts[ri]
+                parts, pos = [], 0
+                for s, e in merged:
+                    parts.append(txt[pos:s])
+                    parts.append(repl)
+                    pos = e
+                parts.append(txt[pos:])
+                texts[ri] = "".join(parts)
+            col = pa.array(texts, pa.string())
+        i = t.column_names.index(text_col)
+        t = t.set_column(i, text_col, col)
+        if drop_span_cols:
+            t = t.drop_columns([c for c in span_cols if c in t.column_names])
+        return t
+
+    return ds.map_batches(cut, batch_format="pyarrow")
+
+
 #: named HTML entities decoded by :class:`HtmlToText` — a fixed
 #: plain-substring set so DuckDB's ``replace()`` mirrors it exactly.
 #: ``&amp;`` is decoded LAST ("&amp;lt;" must render "&lt;", not "<").

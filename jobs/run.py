@@ -352,19 +352,26 @@ def run_tag(args) -> None:
     from ballet_ray.feature import Feature
     from ballet_ray.pipeline import FeatureEngineeringPipeline
     from ballet_ray.stages.text import (GopherSignals, LangId, PiiSignals,
-                                        QualityScore, WordRepetition)
+                                        PiiSpans, QualityScore,
+                                        WordRepetition)
 
     t0 = time.time()
     ds = _load_corpus(args.input, getattr(args, "input_format", "parquet"),
                       ["doc_id", "text"])
     docs_in = ds.count()
 
-    pipe = FeatureEngineeringPipeline([
+    feats = [
         Feature("text", QualityScore()),
         Feature("text", WordRepetition()),
         Feature("text", GopherSignals()),
         Feature("text", PiiSignals()),
-    ])
+    ]
+    if getattr(args, "tag_spans", False):
+        # Dolma span taggers: character offsets per detector ride the
+        # sidecar so --mode mix can REDACT (apply_spans) without ever
+        # re-scanning the text for matches
+        feats.append(Feature("text", PiiSpans()))
+    pipe = FeatureEngineeringPipeline(feats)
     tagged = pipe.fit_transform(ds)
     # task-based LangId instance: a fixed actor pool can reserve every CPU
     # on a small cluster and starve the upstream stage (the same deadlock
@@ -434,6 +441,23 @@ def run_mix(args) -> None:
                       ["doc_id", "text"])
     docs_in = ds.count()
     mixed = hash_join(ds, kept_ids, on="doc_id")
+    span_cols = [c.strip()
+                 for c in (getattr(args, "apply_spans", None) or "").split(",")
+                 if c.strip()]
+    if span_cols:
+        # Dolma redaction half: span offsets ride one more column-pruned
+        # sidecar join; only rows with >=1 span pay the splice
+        from ballet_ray.stages.text import apply_spans
+
+        missing = [c for c in span_cols if c not in have]
+        if missing:
+            raise SystemExit(
+                f"--apply-spans column(s) {missing} not in attributes; "
+                f"have: {sorted(have)}")
+        spans = rd.read_parquet(attrs_path, columns=["doc_id", *span_cols])
+        mixed = apply_spans(hash_join(mixed, spans, on="doc_id"),
+                            span_cols=span_cols,
+                            repl=getattr(args, "span_repl", "") or "")
     rows = _write_stage(mixed, os.path.join(args.out, "mixed"))
     print(json.dumps({
         "mode": "mix",
@@ -956,6 +980,16 @@ def main() -> None:
     ap.add_argument("--policy", default=None,
                     help="mix mode: pandas-query boolean expression over "
                          "attribute columns")
+    ap.add_argument("--tag-spans", action="store_true",
+                    help="tag mode: add per-detector PII span offsets "
+                         "(Dolma span-tagger shape) to the attribute set")
+    ap.add_argument("--apply-spans", default=None,
+                    help="mix mode: comma list of span attribute columns "
+                         "(from --tag-spans) to redact out of the mixed "
+                         "text")
+    ap.add_argument("--span-repl", default="",
+                    help="mix mode: replacement string for --apply-spans "
+                         "(default: remove)")
     ap.add_argument("--tag-ppl", action="store_true",
                     help="tag mode: add corpus-fit bigram-LM perplexity "
                          "to the attribute set (one distributed LM fit)")

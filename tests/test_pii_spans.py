@@ -1,0 +1,85 @@
+"""Dolma span-tagger shape: PiiSpans offsets + apply_spans redaction
+(tag once, redact at mix time without re-scanning the text)."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ballet_ray.stages.text import (PII_SIGNAL_PATTERNS, PiiSignals, PiiSpans,
+                                    apply_spans)
+
+
+TEXTS = [
+    "reach me at bob@example.com or (212) 555-0188 today",
+    "server 10.0.0.1 and backup 192.168.1.254 are up",
+    "totally clean document with no sensitive content at all",
+    "two mails: a@b.co x@y.org and one ip 8.8.8.8",
+    "",
+    None,
+]
+
+
+def _table():
+    return pa.table({"doc_id": list(range(len(TEXTS))),
+                     "text": pa.array(TEXTS, pa.string())})
+
+
+def test_spans_match_re_reference_and_counts():
+    t = _table()
+    spans = PiiSpans().transform_table(t, ["text"])
+    sigs = PiiSignals().transform_table(t, ["text"])
+    for kind, pat in PII_SIGNAL_PATTERNS.items():
+        got = spans.column(f"text_{kind}_spans").to_pylist()
+        rx = re.compile(pat)
+        for i, txt in enumerate(TEXTS):
+            want = [x for m in rx.finditer(txt or "")
+                    for x in (m.start(), m.end())]
+            assert got[i] == want, (kind, i)
+            # span count per kind == the counts-only tagger's number
+            assert len(got[i]) // 2 == sigs.column(f"text_n_{kind}")[i].as_py()
+
+
+def test_apply_spans_removal_and_merge(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["abcdefghij", "no spans here"]})
+    # overlapping + adjacent spans from two tagger columns merge: (1,4)+(3,6)
+    # -> (1,6); (7,9) separate
+    t = pa.table({
+        "doc_id": [0, 1],
+        "text": df.text,
+        "a_spans": pa.array([[1, 4, 7, 9], []], pa.list_(pa.int32())),
+        "b_spans": pa.array([[3, 6], []], pa.list_(pa.int32())),
+    })
+    out = apply_spans(rd.from_arrow(t), span_cols=["a_spans", "b_spans"]
+                      ).to_pandas().sort_values("doc_id")
+    assert out.text.tolist() == ["agj", "no spans here"]
+    assert "a_spans" not in out.columns and "b_spans" not in out.columns
+
+    # placeholder replacement: one token per MERGED span
+    out2 = apply_spans(rd.from_arrow(t), span_cols=["a_spans", "b_spans"],
+                       repl="_X_", drop_span_cols=False
+                       ).to_pandas().sort_values("doc_id")
+    assert out2.text.tolist() == ["a_X_g_X_j", "no spans here"]
+    assert "a_spans" in out2.columns
+
+
+def test_tag_then_apply_equals_direct_redaction(ray_session):
+    """PiiSpans + apply_spans(repl=tok) == RegexRedactor for a single
+    pattern (no overlap between matches of one pattern)."""
+    from ballet_ray.stages.text import RegexRedactor
+
+    pat = PII_SIGNAL_PATTERNS["emails"]
+    t = _table()
+    spans = PiiSpans({"emails": pat}).transform_table(t, ["text"])
+    both = t.append_column("text_emails_spans",
+                           spans.column("text_emails_spans"))
+    red = apply_spans(rd.from_arrow(both), span_cols="text_emails_spans",
+                      repl="<EMAIL>").to_pandas().sort_values("doc_id")
+    want = RegexRedactor([(pat, "<EMAIL>")]).transform_table(t, ["text"])
+    assert red.text.fillna("__null__").tolist() == [
+        x if x is not None else "__null__"
+        for x in want.column("text_redacted").to_pylist()]
