@@ -602,6 +602,30 @@ def run_curate(args) -> None:
                 return t.filter(m).select(["doc_id", "text", *carry])
 
             kept = scored.map_batches(keep, batch_format="pyarrow")
+        if getattr(args, "decontaminate", None):
+            # benchmark decontamination (GPT-3/PaLM appendix rule): drop a
+            # doc when >= --decontam-frac of its n-gram windows appear in
+            # the eval set. Eval windows broadcast once; the corpus pass
+            # is shuffle-free; the contaminated-id set is small by
+            # definition, so the drop is a broadcast anti-filter.
+            from ballet_ray.stages.dedup import find_contaminated
+            from ballet_ray.stages.joins import semi_join_filter
+
+            eval_ds = rd.read_parquet(args.decontaminate,
+                                      columns=["doc_id", "text"])
+            hits = find_contaminated(
+                kept, eval_ds, n=int(getattr(args, "decontam_n", 8) or 8),
+                key="hash", with_fraction=True)
+            frac = float(getattr(args, "decontam_frac", 0.7) or 0.7)
+            bad = hits.map_batches(
+                lambda t, f=frac: t.filter(
+                    pc.greater_equal(t.column("hit_frac"), f)
+                ).select(["doc_id"]),
+                batch_format="pyarrow",
+            ).to_pandas()
+            if len(bad):
+                kept = semi_join_filter(kept, bad["doc_id"].to_numpy(),
+                                        key="doc_id", invert=True)
         if getattr(args, "redact_pii", False):
             # Dolma-style PII scrub (emails/URLs/IPs/long digit runs →
             # placeholder tokens) on the SURVIVING docs — before the
@@ -936,6 +960,16 @@ def main() -> None:
     ap.add_argument("--ppl-keep", type=float, default=0.9,
                     help="curate mode: keep the best this-fraction of docs by "
                          "LM score (1.0 disables the filter)")
+    ap.add_argument("--decontaminate", default=None,
+                    help="curate mode: eval-set parquet (doc_id, text); "
+                         "docs whose contaminated n-gram window fraction "
+                         "reaches --decontam-frac are dropped in the clean "
+                         "stage")
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="decontamination window size in words")
+    ap.add_argument("--decontam-frac", type=float, default=0.7,
+                    help="drop threshold on the contaminated-window "
+                         "fraction (PaLM uses 0.7)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="curate mode: scrub PII (emails/URLs/IPs/long "
                          "digit runs -> placeholder tokens) from surviving "

@@ -108,3 +108,32 @@ def test_redact_pii_in_clean_stage(tmp_path):
     # untouched docs pass through byte-identical
     t5 = clean.loc[clean.doc_id == 5, "text"].iloc[0]
     assert t5 == df.loc[5, "text"]
+
+
+@pytest.mark.slow
+def test_decontaminate_in_clean_stage(tmp_path):
+    import pyarrow.parquet as pq
+
+    df = _docs(n=40)
+    # doc 0 becomes an exact copy of an eval doc (hit_frac 1.0); doc 1
+    # shares a prefix but is mostly clean (frac below the 0.7 bar)
+    eval_df = pd.DataFrame({
+        "doc_id": [900],
+        "text": [" ".join(f"e{i}" for i in range(20))],
+    })
+    df.loc[0, "text"] = eval_df.text.iloc[0]
+    df.loc[1, "text"] = " ".join(f"e{i}" for i in range(8)) + " " + df.loc[1, "text"]
+    inp = tmp_path / "docs.parquet"
+    ev = tmp_path / "eval.parquet"
+    df.to_parquet(inp)
+    eval_df.to_parquet(ev)
+
+    out = str(tmp_path / "out")
+    r = _run(str(inp), out, "--stop-after", "clean", "--ppl-keep", "1.0",
+             "--decontaminate", str(ev))
+    assert r.returncode == 0, r.stderr[-3000:]
+    clean = pq.read_table(os.path.join(out, "clean")).to_pandas()
+    assert 0 not in set(clean.doc_id)        # fully contaminated -> dropped
+    assert 1 in set(clean.doc_id)            # partial overlap under 0.7 kept
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["stages"]["clean"]["rows_out"] == len(clean) == 39
