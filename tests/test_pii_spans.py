@@ -83,3 +83,19 @@ def test_tag_then_apply_equals_direct_redaction(ray_session):
     assert red.text.fillna("__null__").tolist() == [
         x if x is not None else "__null__"
         for x in want.column("text_redacted").to_pylist()]
+
+
+def test_spans_unicode_codepoint_offsets(ray_session):
+    """Offsets are Python-str codepoints (not utf8 bytes) end to end:
+    multibyte chars before the match must not shift the splice."""
+    txt = "héllo wörld — mail bob@example.com fin"
+    t = pa.table({"doc_id": [0], "text": [txt]})
+    spans = PiiSpans({"emails": PII_SIGNAL_PATTERNS["emails"]}
+                     ).transform_table(t, ["text"])
+    s, e = spans.column("text_emails_spans").to_pylist()[0]
+    assert txt[s:e] == "bob@example.com"
+    both = t.append_column("text_emails_spans",
+                           spans.column("text_emails_spans"))
+    out = apply_spans(rd.from_arrow(both), span_cols="text_emails_spans",
+                      repl="<EMAIL>").to_pandas()
+    assert out.text.iloc[0] == "héllo wörld — mail <EMAIL> fin"
