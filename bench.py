@@ -448,6 +448,25 @@ def run_bench() -> dict:
             print(f"# curate bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             qtimes["curate_250k_docs"] = -1.0
 
+        # distributed tokenizer training + actor-pool apply over the full
+        # 1M-doc / 60M-word text corpus: fit = ONE term-keyed groupby to
+        # the bounded word-frequency table + the driver merge loop
+        # (500 merges); apply = BpeEncoder actor-pool encode back to
+        # list<int32>. The canonical text -> tokens path, measured end to
+        # end.
+        from ballet_ray.stages.bpe import apply_bpe, train_bpe
+
+        def run_bpe_fit_apply():
+            docs = rd.read_parquet(ingest_dir, columns=["doc_id", "text"])
+            tok = train_bpe(docs, num_merges=500)
+            apply_bpe(docs, tok).count()
+
+        try:
+            qtimes["bpe_fit_apply_1m_docs"] = best_time(run_bpe_fit_apply)
+        except Exception as e:
+            print(f"# bpe bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            qtimes["bpe_fit_apply_1m_docs"] = -1.0
+
     ray.shutdown()
     return {
         "metric": "feature_materialization_sec",
