@@ -99,3 +99,56 @@ def test_spans_unicode_codepoint_offsets(ray_session):
     out = apply_spans(rd.from_arrow(both), span_cols="text_emails_spans",
                       repl="<EMAIL>").to_pandas()
     assert out.text.iloc[0] == "héllo wörld — mail <EMAIL> fin"
+
+
+def test_apply_spans_property_random(ray_session):
+    """Randomized spans (overlapping, nested, adjacent, multi-column) vs
+    an independent interval-merge reference."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = int(rng.integers(1, 8))
+        texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, int(rng.integers(0, 40))))
+                 for _ in range(n)]
+        cols = {}
+        for sc in ("s1", "s2"):
+            rows = []
+            for txt in texts:
+                k = int(rng.integers(0, 4))
+                flat = []
+                for _ in range(k):
+                    if len(txt) == 0:
+                        break
+                    a = int(rng.integers(0, len(txt)))
+                    b = int(rng.integers(a, len(txt))) + 1
+                    flat.extend((a, b))
+                rows.append(flat)
+            cols[sc] = pa.array(rows, pa.list_(pa.int32()))
+        t = pa.table({"doc_id": list(range(n)),
+                      "text": pa.array(texts, pa.string()),
+                      "s1": cols["s1"], "s2": cols["s2"]})
+        repl = rng.choice(["", "<X>"])
+        got = (apply_spans(rd.from_arrow(t).repartition(2),
+                           span_cols=["s1", "s2"], repl=str(repl))
+               .to_pandas().sort_values("doc_id").text.tolist())
+
+        def ref(txt, spans):
+            if not spans:
+                return txt
+            spans = sorted((spans[i], spans[i + 1])
+                           for i in range(0, len(spans), 2))
+            merged = [list(spans[0])]
+            for s, e in spans[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            out, pos = [], 0
+            for s, e in merged:
+                out.append(txt[pos:s] + str(repl))
+                pos = e
+            out.append(txt[pos:])
+            return "".join(out)
+
+        want = [ref(txt, list(cols["s1"][i].as_py()) + list(cols["s2"][i].as_py()))
+                for i, txt in enumerate(texts)]
+        assert got == want, trial
