@@ -63,6 +63,8 @@ from ballet_ray.stages.dedup import (
     token_minhash_lsh_pairs,
 )
 from ballet_ray.stages.bpe import BpeEncoder, BpeTokenizer, apply_bpe, train_bpe
+from ballet_ray.stages.bytebpe import (ByteBpeTokenizer, apply_byte_bpe,
+                                       train_byte_bpe)
 from ballet_ray.stages.unigram import (UnigramEncoder, UnigramTokenizer,
                                        apply_unigram, train_unigram)
 from ballet_ray.stages.wordpiece import (WordPieceTokenizer, apply_wordpiece,
@@ -218,8 +220,10 @@ __all__ = [
     "UnigramEncoder",
     "UnigramTokenizer",
     "BpeTokenizer",
+    "ByteBpeTokenizer",
     "WordPieceTokenizer",
     "apply_bpe",
+    "apply_byte_bpe",
     "apply_unigram",
     "apply_wordpiece",
     "assign_topic_clusters",
@@ -268,6 +272,7 @@ __all__ = [
     "token_duplicate_passages",
     "token_minhash_lsh_pairs",
     "train_bpe",
+    "train_byte_bpe",
     "train_unigram",
     "train_wordpiece",
     "unigram_logprob_scores",

@@ -607,6 +607,21 @@ def q_bpe_tokenize_docs(sf_dir: str):
     return apply_bpe(ds, tok).select_columns(["doc_id", "n_tok"])
 
 
+def q_bytebpe_tokenize_docs(sf_dir: str):
+    """Train-and-apply byte-level BPE (GPT-2 family, Radford 2019): BPE
+    over UTF-8 bytes with the space-attach pretokenizer, so every input
+    encodes without UNK and decode(encode(text)) == text byte-for-byte.
+    Rows-only (tokenizer fits are not SQL-expressible); brute-reference
+    merge parity, unicode roundtrip and actor-pool parity pytest in
+    tests/test_bytebpe.py."""
+    from ballet_ray.stages.bytebpe import apply_byte_bpe, train_byte_bpe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    tok = train_byte_bpe(ds, num_merges=200)
+    return apply_byte_bpe(ds, tok).select_columns(["doc_id", "n_tok"])
+
+
 def q_unigram_tokenize_docs(sf_dir: str):
     """Train-and-apply unigram-LM tokenizer (Kudo 2018 / SentencePiece).
     Rows-only (EM fits are not SQL-expressible); Viterbi-optimality,
@@ -3853,6 +3868,7 @@ QUERIES = {
     "loo_encode_priority": q_loo_encode_priority,
     "jamesstein_encode_priority": q_jamesstein_encode_priority,
     "normalize_lineitem": q_normalize_lineitem,
+    "bytebpe_tokenize_docs": q_bytebpe_tokenize_docs,  # rows-only: tokenizer
 }
 
 ORACLE_SQL = {

@@ -64,16 +64,7 @@ class BpeTokenizer:
 
     def encode_word(self, word: str) -> list:
         """Greedy lowest-rank pair merging (the standard BPE encode)."""
-        syms = list(_word_symbols(word))
-        while len(syms) > 1:
-            best_rank, best_i = None, -1
-            for i in range(len(syms) - 1):
-                r = self.ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        syms = greedy_merge(list(_word_symbols(word)), self.ranks)
         t2i = self.token_to_id
         return [t2i.get(s, UNK_ID) for s in syms]
 
@@ -108,12 +99,21 @@ def train_bpe(ds, *, text_col: str = "text", num_merges: int = 1000,
 
     vocab = {_word_symbols(w): int(f) for w, f in zip(counts["term"], counts["sum(tf)"]) if w}
     base = sorted({s for syms in vocab for s in syms})
+    return BpeTokenizer(merge_loop(vocab, num_merges), base)
 
-    # incremental trainer (Sennrich's original optimization): only words
-    # CONTAINING the winning pair are rewritten, and pair counts update by
-    # deltas through a pair→words index — O(Σ rewritten-word lengths) per
-    # merge instead of a full vocabulary rescan (the naive loop is
-    # O(merges × vocab): intractable at 1M words × 50k merges).
+
+def merge_loop(vocab: dict, num_merges: int) -> list:
+    """The sequential BPE merge loop over a bounded {symbol-tuple: freq}
+    word table — shared by :func:`train_bpe` (char symbols + EOW) and
+    :func:`ballet_ray.stages.bytebpe.train_byte_bpe` (byte symbols).
+
+    Incremental trainer (Sennrich's original optimization): only words
+    CONTAINING the winning pair are rewritten, and pair counts update by
+    deltas through a pair→words index — O(Σ rewritten-word lengths) per
+    merge instead of a full vocabulary rescan (the naive loop is
+    O(merges × vocab): intractable at 1M words × 50k merges).
+    Deterministic: the winning pair is (max count, then lexicographically
+    smallest)."""
     words = list(vocab.keys())           # word id -> symbol tuple
     freqs = [vocab[w] for w in words]
     pair_counts: dict = {}
@@ -163,7 +163,45 @@ def train_bpe(ds, *, text_col: str = "text", num_merges: int = 1000,
             for p in zip(syms, syms[1:]):
                 pair_counts[p] = pair_counts.get(p, 0) + f
                 pair_words.setdefault(p, set()).add(wid)
-    return BpeTokenizer(merges, base)
+    return merges
+
+
+def greedy_merge(syms: list, ranks: dict) -> list:
+    """Standard BPE encode: repeatedly merge the lowest-rank adjacent pair
+    until none applies. Shared by the char-level and byte-level tokenizers."""
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i: best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def attach_spaces(words: pa.ListArray) -> pa.ListArray:
+    """Byte-level pretokenization helper: given the space-split word lists
+    of a text column, prepend ``' '`` to every NON-INITIAL word of each row
+    so the separating space travels with the following pretoken (GPT-2's
+    dominant pretoken shape, Radford et al. 2019). Plain concatenation of
+    the rewritten pretokens reconstructs each text byte-for-byte —
+    consecutive / leading spaces survive as the empty-string pretokens
+    ``split_pattern`` emits, which the rewrite turns into ``" "`` (or
+    leaves ``""`` at position 0). Fully vectorized (one mask + one
+    element-wise concat); no per-row Python."""
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = words.flatten()
+    if not len(flat):
+        return words
+    mask = np.ones(len(flat), bool)
+    starts = offs[:-1][np.diff(offs) > 0]   # first word of each non-empty row
+    mask[starts] = False
+    pref = pa.array(np.where(mask, " ", ""))
+    flat2 = pc.binary_join_element_wise(pref, flat, "")
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat2)
 
 
 class BpeEncoder:
@@ -191,7 +229,15 @@ class BpeEncoder:
             col = col.combine_chunks()
         if pa.types.is_null(col.type):
             col = col.cast(pa.string())
+        col = pc.fill_null(col, "")
         words = pc.split_pattern(col, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        if getattr(self.tok, "space_attach", False):
+            # byte-level artifacts carry the separating space on the
+            # following pretoken (see attach_spaces) — same offsets, so
+            # everything downstream is unchanged
+            words = attach_spaces(words)
         n = len(words)
         flat = words.flatten().dictionary_encode()
         codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -146,15 +146,16 @@ def _tokenizer_fn(args, vocab, keep=()):
 
     tok = load_artifact(art)
     cls = type(tok).__name__
-    if cls in ("BpeTokenizer", "WordPieceTokenizer"):
-        # BpeEncoder is tokenizer-generic (anything exposing encode_word)
+    if cls in ("BpeTokenizer", "WordPieceTokenizer", "ByteBpeTokenizer"):
+        # BpeEncoder is tokenizer-generic (anything exposing encode_word;
+        # a ByteBpeTokenizer's space_attach attribute flips its splitter)
         from ballet_ray.stages.bpe import BpeEncoder as Enc
     elif cls == "UnigramTokenizer":
         from ballet_ray.stages.unigram import UnigramEncoder as Enc
     else:
         raise ValueError(
             f"--tokenizer artifact holds {cls}; expected BpeTokenizer, "
-            f"WordPieceTokenizer or UnigramTokenizer"
+            f"ByteBpeTokenizer, WordPieceTokenizer or UnigramTokenizer"
         )
     ref = ray.put(tok)
     holder: dict = {}
