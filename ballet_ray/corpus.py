@@ -54,6 +54,7 @@ from ballet_ray.stages.dedup import (
     duplication_scores,
     exact_dedup,
     find_contaminated,
+    find_contaminated_tokens,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_lines,
@@ -244,6 +245,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "find_contaminated",
+    "find_contaminated_tokens",
     "global_shuffle_index",
     "grouped_pca_fit",
     "grouped_pca_transform",

@@ -3136,6 +3136,56 @@ GROUP BY cw.doc_id
 """
 
 
+def q_token_contamination_docs(sf_dir: str):
+    """Benchmark decontamination over the PRE-TOKENIZED column (the
+    north-rule input shape): docs 0-49 play the eval set, word-length
+    sequences stand in for token ids, and corpus docs (id >= 50) are
+    flagged with the count and fraction of their 8-TOKEN windows that
+    appear anywhere in the eval set. Eval window keys broadcast once; the
+    corpus side is one shuffle-free streaming pass over the shared Horner
+    window kernel — no text, no strings."""
+    from ballet_ray.stages.dedup import find_contaminated_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.utf8_length(words.flatten())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tokens": pa.ListArray.from_arrays(words.offsets, lens)})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    corpus = tok_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 50)), batch_format="pyarrow"
+    )
+    eval_ds = tok_ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 50)), batch_format="pyarrow"
+    )
+    return find_contaminated_tokens(corpus, eval_ds, n=8, with_fraction=True)
+
+
+SQL_TOKEN_CONTAMINATION_DOCS = """
+WITH tk AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '), w -> len(w)) AS tok
+            FROM documents),
+cw AS (
+    SELECT doc_id, UNNEST([array_to_string(tok[i:i+7], ',') FOR i IN range(1, len(tok) - 6)]) AS p
+    FROM tk WHERE doc_id >= 50
+),
+ew AS (
+    SELECT DISTINCT UNNEST([array_to_string(tok[i:i+7], ',') FOR i IN range(1, len(tok) - 6)]) AS p
+    FROM tk WHERE doc_id < 50
+)
+SELECT cw.doc_id, COUNT(*) AS n_hits,
+       MAX(len(tk.tok) - 7) AS n_windows,
+       COUNT(*) / CAST(MAX(len(tk.tok) - 7) AS DOUBLE) AS hit_frac
+FROM cw JOIN ew USING (p) JOIN tk ON tk.doc_id = cw.doc_id
+GROUP BY cw.doc_id
+"""
+
+
 def q_shuffle_index_docs(sf_dir: str):
     """Deterministic epoch-order assignment: dense 0..N-1 rank under
     ORDER BY md5(doc_id), doc_id — a reproducible global permutation
@@ -3750,6 +3800,7 @@ LIMIT 50
 # therefore listed FIRST so round 5 records them. The long-certified 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "token_contamination_docs": q_token_contamination_docs,
     "strip_html_docs": q_strip_html_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "normalize_text_docs": q_normalize_text_docs,
@@ -3974,4 +4025,5 @@ ORACLE_SQL = {
     "split_sentences_docs": SQL_SPLIT_SENTENCES_DOCS,
     "dedup_sentences_docs": SQL_DEDUP_SENTENCES_DOCS,
     "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
+    "token_contamination_docs": SQL_TOKEN_CONTAMINATION_DOCS,
 }

@@ -1645,47 +1645,60 @@ def _token_passage_windows(ds, *, tokens_col: str, id_col: str, n: int,
                            return_docs: bool, window_chunk: int = 1 << 20):
     """(Horner-hash window key[, id]) rows over the flat token buffer —
     the shared front of token_duplicate_passages / duplication_scores."""
-    from ballet_ray.functions.hashing import splitmix64
-
-    P = np.uint64(0x100000001B3)  # FNV prime, odd => full-period mod 2^64
 
     def windows(t: pa.Table) -> pa.Table:
-        col = t.column(tokens_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lens = pc.list_value_length(col)
-        lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        n_win = np.maximum(lens - n + 1, 0)
-        total = int(n_win.sum())
-        if total == 0:
+        keys, n_win = _token_window_hashes(t.column(tokens_col), n, window_chunk)
+        if keys is None:
             out = pa.table({"k": pa.array([], pa.int64())})
             return out.append_column(id_col, t.column(id_col).slice(0, 0)) if return_docs else out
-        row_idx = np.repeat(np.arange(len(lens)), n_win)
-        excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
-        win_start = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win)
-                     + row_starts[row_idx])
-        keys = np.empty(total, np.uint64)
-        with np.errstate(over="ignore"):
-            for lo in range(0, total, window_chunk):
-                hi = min(total, lo + window_chunk)
-                ws = win_start[lo:hi]
-                h = flat[ws].copy()
-                for j in range(1, n):
-                    h *= P
-                    h += flat[ws + j]
-                keys[lo:hi] = h
         # int64 view: Ray's aggregate sort path rejects uint64 keys
         # (falls back to pickled-object arrays); the bit pattern is what
         # matters, not the sign
-        keys = splitmix64(keys).view(np.int64)
-        out = pa.table({"k": pa.array(keys)})
+        out = pa.table({"k": pa.array(keys.view(np.int64))})
         if return_docs:
+            row_idx = np.repeat(np.arange(len(n_win)), n_win)
             out = out.append_column(id_col, t.column(id_col).take(pa.array(row_idx)))
         return out
 
     return ds.select_columns([id_col, tokens_col]).map_batches(windows, batch_format="pyarrow")
+
+
+def _token_window_hashes(col, n: int, window_chunk: int = 1 << 20):
+    """(splitmix64-finished Horner keys of every overlapping ``n``-token
+    window, per-row window counts) over a ``list<int>`` column — the
+    vectorized kernel shared by token_duplicate_passages /
+    duplication_scores / find_contaminated_tokens. Keys is ``None`` when
+    the batch has no windows. Processed in ``window_chunk``-window chunks
+    so the in-flight working set stays ~8·n bytes per window."""
+    from ballet_ray.functions.hashing import splitmix64
+
+    P = np.uint64(0x100000001B3)  # FNV prime, odd => full-period mod 2^64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col)
+    lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_win = np.maximum(lens - n + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return None, n_win
+    row_idx = np.repeat(np.arange(len(lens)), n_win)
+    excl = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    win_start = (np.arange(total, dtype=np.int64) - np.repeat(excl, n_win)
+                 + row_starts[row_idx])
+    keys = np.empty(total, np.uint64)
+    with np.errstate(over="ignore"):
+        for lo in range(0, total, window_chunk):
+            hi = min(total, lo + window_chunk)
+            ws = win_start[lo:hi]
+            h = flat[ws].copy()
+            for j in range(1, n):
+                h *= P
+                h += flat[ws + j]
+            keys[lo:hi] = h
+    return splitmix64(keys), n_win
 
 
 def remove_duplicate_spans(
@@ -1989,7 +2002,10 @@ def find_contaminated(
         return pa.table({"k": pa.array(np.unique(ks))})
 
     ev = eval_ds.select_columns([id_col, text_col]).map_batches(eval_keys, batch_format="pyarrow").to_pandas()
-    eval_set = np.sort(np.unique(ev["k"].to_numpy()))
+    # an eval set with no windows at all comes back as a column-less frame
+    evk = ev["k"].to_numpy() if "k" in ev.columns else np.empty(
+        0, np.uint64 if key == "hash" else object)
+    eval_set = np.sort(np.unique(evk))
     sref = _ray.put(eval_set)
 
     def hits(t: pa.Table) -> pa.Table:
@@ -2014,3 +2030,64 @@ def find_contaminated(
         return out.filter(pc.greater(out.column("n_hits"), 0))
 
     return corpus.select_columns([id_col, text_col]).map_batches(hits, batch_format="pyarrow")
+
+
+def find_contaminated_tokens(
+    corpus, eval_ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+    n: int = 16, with_fraction: bool = False, window_chunk: int = 1 << 20,
+):
+    """:func:`find_contaminated` over the canonical pre-tokenized
+    ``tokens: list<int32>`` column — benchmark decontamination exactly as
+    a tokenized-corpus pipeline runs it (GPT-3/PaLM appendix rule applied
+    to token n-grams): count, per corpus document, how many of its ``n``-
+    token windows appear anywhere in the evaluation set; with
+    ``with_fraction=True`` also emit ``n_windows`` and
+    ``hit_frac = n_hits / n_windows`` (PaLM drops at ≥70%).
+
+    No text, no regex, no string materialization: windows reduce to
+    uint64 keys via the shared vectorized Horner kernel
+    (:func:`_token_window_hashes`). The eval side is small by definition —
+    its distinct window keys collect once and broadcast via ``ray.put``;
+    the corpus side streams through ONE ``map_batches`` doing a
+    sorted-array membership test + per-doc segment sums. Zero shuffle.
+
+    Returns (id, n_hits[, n_windows, hit_frac]) for docs with
+    ``n_hits > 0``.
+    """
+    import ray as _ray
+
+    def eval_keys(t: pa.Table) -> pa.Table:
+        ks, _ = _token_window_hashes(t.column(tokens_col), n, window_chunk)
+        if ks is None:
+            ks = np.empty(0, np.uint64)
+        return pa.table({"k": pa.array(np.unique(ks))})
+
+    ev = (eval_ds.select_columns([tokens_col])
+          .map_batches(eval_keys, batch_format="pyarrow").to_pandas())
+    # an eval set with no windows at all comes back as a column-less frame
+    ks = ev["k"].to_numpy() if "k" in ev.columns else np.empty(0, np.uint64)
+    eval_set = np.sort(np.unique(ks)).astype(np.uint64)
+    sref = _ray.put(eval_set)
+
+    def hits(t: pa.Table) -> pa.Table:
+        es = _ray.get(sref)
+        ks, n_win = _token_window_hashes(t.column(tokens_col), n, window_chunk)
+        nh = np.zeros(len(t), np.int64)
+        if ks is not None and len(es):
+            pos = np.searchsorted(es, ks)
+            pos[pos >= len(es)] = len(es) - 1
+            member = (es[pos] == ks).astype(np.int64)
+            nz = n_win > 0
+            starts = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+            cs = np.concatenate([[0], np.cumsum(member)])
+            nh[nz] = cs[(starts + n_win)[nz]] - cs[starts[nz]]
+        cols = {id_col: t.column(id_col), "n_hits": pa.array(nh)}
+        if with_fraction:
+            cols["n_windows"] = pa.array(n_win)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                frac = np.where(n_win > 0, nh / np.maximum(n_win, 1), 0.0)
+            cols["hit_frac"] = pa.array(frac)
+        out = pa.table(cols)
+        return out.filter(pc.greater(out.column("n_hits"), 0))
+
+    return corpus.select_columns([id_col, tokens_col]).map_batches(hits, batch_format="pyarrow")
