@@ -259,6 +259,42 @@ def run_ingest(args) -> None:
         rd.read_parquet(tokens_dir, columns=["doc_id"]).count() if has_tokens else 0
     )
 
+    # token-level benchmark decontamination (PaLM rule on token n-grams):
+    # applied AT the tokens-parquet materialization boundary — the corpus
+    # side of find_contaminated_tokens re-reads the already-written tokens
+    # dir, so neither the hits pass nor the filtered rewrite can replay
+    # the stateful Bloom chain (the probe hazard documented above).
+    docs_decon = 0
+    if has_tokens and getattr(args, "decontam_tokens", None):
+        from ballet_ray.stages.dedup import find_contaminated_tokens
+        from ballet_ray.stages.joins import semi_join_filter
+
+        eval_ds = rd.read_parquet(args.decontam_tokens, columns=["tokens"])
+        tok_ds = rd.read_parquet(tokens_dir)
+        hits = find_contaminated_tokens(
+            tok_ds, eval_ds, n=int(getattr(args, "decontam_n", 8) or 8),
+            with_fraction=True)
+        frac = float(getattr(args, "decontam_frac", 0.7) or 0.7)
+        bad = hits.map_batches(
+            lambda t, f=frac: t.filter(
+                pc.greater_equal(t.column("hit_frac"), f)
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        docs_decon = int(len(bad))
+        if docs_decon:
+            import shutil
+
+            clean_dir = os.path.join(out, "tokens_clean")
+            if os.path.isdir(clean_dir):
+                shutil.rmtree(clean_dir)
+            semi_join_filter(tok_ds, bad["doc_id"].to_numpy(),
+                             key="doc_id", invert=True).write_parquet(clean_dir)
+            os.makedirs(clean_dir, exist_ok=True)
+            tokens_dir = clean_dir
+            has_tokens = any(f.endswith(".parquet")
+                             for f in os.listdir(tokens_dir))
+
     if has_tokens:
         pack_summary = CheckpointedPack(
             os.path.join(out, "packs"), max_len=args.max_len, stride=args.stride,
@@ -281,6 +317,7 @@ def run_ingest(args) -> None:
         "mode": "ingest",
         "docs_in": int(docs_in),
         "docs_kept": int(docs_kept),
+        "docs_decontaminated": docs_decon,
         "bloom_restored": restored,
         "pack": pack_summary,
         "wall_s_total": round(dt, 3),
@@ -971,6 +1008,13 @@ def main() -> None:
     ap.add_argument("--decontam-frac", type=float, default=0.7,
                     help="drop threshold on the contaminated-window "
                          "fraction (PaLM uses 0.7)")
+    ap.add_argument("--decontam-tokens", default=None,
+                    help="ingest mode: eval-set parquet of pre-tokenized "
+                         "sequences (tokens: list<int32>); docs whose "
+                         "contaminated TOKEN-window fraction reaches "
+                         "--decontam-frac are dropped after tokenization, "
+                         "before chunk+pack (window size --decontam-n, "
+                         "counted in tokens)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="curate mode: scrub PII (emails/URLs/IPs/long "
                          "digit runs -> placeholder tokens) from surviving "

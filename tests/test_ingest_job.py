@@ -23,11 +23,11 @@ def _docs(ids, seed=3):
     return pd.DataFrame(rows)
 
 
-def _run(inp, out):
+def _run(inp, out, *extra):
     r = subprocess.run(
         [sys.executable, "jobs/run.py", "--mode", "ingest", "--input", inp,
          "--out", out, "--num-cpus", "4", "--max-len", "16", "--pack-len", "64",
-         "--bloom-bits", str(1 << 20)],
+         "--bloom-bits", str(1 << 20), *extra],
         capture_output=True, text=True, cwd="/root/repo",
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
@@ -75,3 +75,37 @@ def test_ingest_no_probe_loss(tmp_path):
     s = _run(str(inp), str(tmp_path / "out"))
     assert s["docs_in"] == 50
     assert s["docs_kept"] == 50
+
+
+@pytest.mark.slow
+def test_ingest_token_decontamination(tmp_path):
+    """--decontam-tokens drops docs whose token-window hit fraction vs a
+    pre-tokenized eval set reaches the threshold — applied at the tokens-
+    parquet boundary, so the pack output shrinks by exactly those docs."""
+    src = tmp_path / "corpus.parquet"
+    _docs(range(30)).to_parquet(src)
+
+    out1 = str(tmp_path / "o1")
+    s1 = _run(str(src), out1)
+    toks = pd.read_parquet(os.path.join(out1, "tokens"))
+    evil = toks.sort_values("doc_id").head(3)
+    eval_p = tmp_path / "eval.parquet"
+    evil[["doc_id", "tokens"]].to_parquet(eval_p)
+
+    out2 = str(tmp_path / "o2")
+    s2 = _run(str(src), out2, "--decontam-tokens", str(eval_p))
+    assert s2["docs_decontaminated"] == 3
+    assert s2["docs_kept"] == s1["docs_kept"]  # counted before decon
+    kept = pd.read_parquet(os.path.join(out2, "tokens_clean"))
+    assert set(kept.doc_id) == set(toks.doc_id) - set(evil.doc_id)
+    assert s2["pack"]["tokens_out"] < s1["pack"]["tokens_out"]
+
+    # partial overlap below the threshold is KEPT: an eval doc sharing
+    # only a short run with a corpus doc must not nuke it
+    partial = toks.sort_values("doc_id").iloc[5]
+    frag = np.asarray(partial["tokens"])[:10]  # 3 windows out of ~33
+    eval2 = tmp_path / "eval2.parquet"
+    pd.DataFrame({"doc_id": [0], "tokens": [frag]}).to_parquet(eval2)
+    out3 = str(tmp_path / "o3")
+    s3 = _run(str(src), out3, "--decontam-tokens", str(eval2))
+    assert s3["docs_decontaminated"] == 0
