@@ -84,7 +84,8 @@ from ballet_ray.stages.sampling import (
     hash_rate_filter,
     stratified_sample,
 )
-from ballet_ray.stages.sequences import chunk_sequences, pack_sequences
+from ballet_ray.stages.sequences import (chunk_sequences, fim_transform,
+                                          pack_sequences)
 from ballet_ray.stages.similarity import (
     assign_topic_clusters,
     cluster_embeddings,
@@ -232,6 +233,7 @@ __all__ = [
     "bm25_top_terms",
     "budget_sample",
     "chunk_sequences",
+    "fim_transform",
     "corpus_divergence",
     "corpus_report",
     "tokenizer_report",

@@ -3186,6 +3186,65 @@ GROUP BY cw.doc_id
 """
 
 
+def q_fim_transform_docs(sf_dir: str):
+    """Fill-in-the-middle transform (Bavarian 2022) over the pre-tokenized
+    column (word lengths stand in for token ids): half the docs —
+    selected deterministically by row id in md5 SQL-audit mode — are cut
+    at two uniform split points and reordered to [PRE] prefix [SUF]
+    suffix [MID] middle with negative sentinel ids. The oracle checks the
+    EXACT transformed sequences order-sensitively via the comma-joined
+    token string."""
+    from ballet_ray.stages.sequences import fim_transform
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.cast(pc.utf8_length(words.flatten()), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tokens": pa.ListArray.from_arrays(words.offsets, lens)})
+
+    out = fim_transform(ds.map_batches(toks, batch_format="pyarrow"),
+                        rate=0.5, method="md5")
+
+    def shape(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat_str = pc.cast(col.flatten(), pa.string())
+        offs = col.offsets
+        joined = pc.binary_join(pa.ListArray.from_arrays(offs, flat_str), ",")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+                         "toks": joined})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_FIM_TRANSFORM_DOCS = """
+WITH tk AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(len(w) AS BIGINT)) AS tok
+            FROM documents),
+p AS (SELECT doc_id, tok,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0 AS us,
+        CAST(FLOOR(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS UBIGINT) / 4294967296.0 * (len(tok) + 1)) AS BIGINT) AS a,
+        CAST(FLOOR(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8)) AS UBIGINT) / 4294967296.0 * (len(tok) + 1)) AS BIGINT) AS b
+      FROM tk),
+q AS (SELECT doc_id,
+        CASE WHEN us < 0.5 THEN
+            [CAST(-1 AS BIGINT)] || tok[1:least(a, b)]
+            || [CAST(-2 AS BIGINT)] || tok[greatest(a, b) + 1:len(tok)]
+            || [CAST(-3 AS BIGINT)] || tok[least(a, b) + 1:greatest(a, b)]
+        ELSE tok END AS tokens
+      FROM p)
+SELECT doc_id, len(tokens) AS n_tok, array_to_string(tokens, ',') AS toks
+FROM q
+"""
+
+
 def q_shuffle_index_docs(sf_dir: str):
     """Deterministic epoch-order assignment: dense 0..N-1 rank under
     ORDER BY md5(doc_id), doc_id — a reproducible global permutation
@@ -3801,6 +3860,7 @@ LIMIT 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
     "token_contamination_docs": q_token_contamination_docs,
+    "fim_transform_docs": q_fim_transform_docs,
     "strip_html_docs": q_strip_html_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "normalize_text_docs": q_normalize_text_docs,
@@ -4026,4 +4086,5 @@ ORACLE_SQL = {
     "dedup_sentences_docs": SQL_DEDUP_SENTENCES_DOCS,
     "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
     "token_contamination_docs": SQL_TOKEN_CONTAMINATION_DOCS,
+    "fim_transform_docs": SQL_FIM_TRANSFORM_DOCS,
 }

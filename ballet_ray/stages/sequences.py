@@ -310,3 +310,107 @@ def pack_sequences(
     if batch_size is not None:
         mb["batch_size"] = batch_size
     return ds.map_batches(f, **mb)
+
+
+def _gather_seg(out: np.ndarray, src: np.ndarray, dst_start: np.ndarray,
+                src_start: np.ndarray, seg_len: np.ndarray) -> None:
+    """``out[dst_start_i : +len_i] = src[src_start_i : +len_i]`` for every
+    row i, as ONE vectorized gather (repeat/arange indexing) — the same
+    trick chunk_table uses; no Python loop over rows."""
+    m = seg_len > 0
+    if not m.any():
+        return
+    d, s, ln = dst_start[m], src_start[m], seg_len[m]
+    tot = int(ln.sum())
+    rel = np.arange(tot, dtype=np.int64) - np.repeat(_exclusive_cumsum(ln), ln)
+    out[np.repeat(d, ln) + rel] = src[np.repeat(s, ln) + rel]
+
+
+def _fim_uniforms(ids, method: str):
+    """Three per-row uniforms in [0,1) derived from the row id —
+    (selection, split a, split b). ``siphash`` is the vectorized scale
+    mode; ``md5`` is the row-wise SQL-audit mode with DuckDB parity
+    ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), k, 8) AS UBIGINT)
+    / 2^32`` at k = 1, 9, 17 (one md5 yields all three)."""
+    if method == "md5":
+        import hashlib
+
+        hexes = [hashlib.md5(str(k).encode()).hexdigest() for k in ids]
+        den = float(2 ** 32)
+        us = np.fromiter((int(h[:8], 16) for h in hexes), np.float64, len(hexes)) / den
+        ua = np.fromiter((int(h[8:16], 16) for h in hexes), np.float64, len(hexes)) / den
+        ub = np.fromiter((int(h[16:24], 16) for h in hexes), np.float64, len(hexes)) / den
+        return us, ua, ub
+    from ballet_ray.functions.hashing import splitmix64
+    from ballet_ray.functions.partition import stable_hash_array
+
+    h = stable_hash_array(ids)
+    h2 = splitmix64(h)
+    h3 = splitmix64(h2)
+    den = float(2 ** 64)
+    return (h.astype(np.float64) / den, h2.astype(np.float64) / den,
+            h3.astype(np.float64) / den)
+
+
+def fim_transform(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+                  rate: float = 0.5, pre_id: int = -1, suf_id: int = -2,
+                  mid_id: int = -3, method: str = "siphash"):
+    """Fill-in-the-middle transform (Bavarian et al. 2022,
+    arXiv:2207.14255): with probability ``rate`` per document
+    (deterministic in the row id — reproducible under any repartitioning,
+    rows decide, not blocks), cut the token sequence at two uniform split
+    points u <= v and reorder to the PSM layout
+
+        [PRE] tokens[:u] [SUF] tokens[v:] [MID] tokens[u:v]
+
+    so an autoregressive model learns to infill. Sentinel ids default to
+    negative values (out of any real vocab); untouched rows pass through
+    verbatim; ``n_tok`` is recomputed (selected rows grow by 3).
+
+    Scale shape: pure one-pass ``map_batches`` — zero shuffle, zero
+    per-row Python in ``siphash`` mode (three splitmix64 chains off one
+    vectorized hash; segment moves are the same repeat/arange gather
+    chunk_table uses). ``method='md5'`` is the row-wise SQL-audit mode
+    the DuckDB oracle reproduces."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+
+    def fim(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        values, lens, row_starts = _list_parts(col)
+        if pa.types.is_null(values.type):
+            values = values.cast(pa.int64())
+        flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        us, ua, ub = _fim_uniforms(ids, method)
+        sel = us < rate
+        a = np.floor(ua * (lens + 1)).astype(np.int64)
+        b = np.floor(ub * (lens + 1)).astype(np.int64)
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        out_lens = lens + np.where(sel, 3, 0)
+        out_starts = _exclusive_cumsum(out_lens) if len(out_lens) else out_lens
+        out = np.empty(int(out_lens.sum()), np.int64)
+
+        un = ~sel
+        if un.any():
+            _gather_seg(out, flat, out_starts[un], row_starts[un], lens[un])
+        if sel.any():
+            os_, rs_ = out_starts[sel], row_starts[sel]
+            L_, u_, v_ = lens[sel], u[sel], v[sel]
+            out[os_] = pre_id
+            out[os_ + 1 + u_] = suf_id
+            out[os_ + 2 + u_ + (L_ - v_)] = mid_id
+            _gather_seg(out, flat, os_ + 1, rs_, u_)                           # prefix
+            _gather_seg(out, flat, os_ + 2 + u_, rs_ + v_, L_ - v_)            # suffix
+            _gather_seg(out, flat, os_ + 3 + u_ + (L_ - v_), rs_ + u_, v_ - u_)  # middle
+        vals = pa.array(out)
+        if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
+            vals = vals.cast(values.type)  # preserve the canonical int32
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)), vals
+        )
+        return pa.table({id_col: t.column(id_col), tokens_col: toks,
+                         "n_tok": pa.array(out_lens)})
+
+    return ds.select_columns([id_col, tokens_col]).map_batches(fim, batch_format="pyarrow")
