@@ -85,7 +85,7 @@ from ballet_ray.stages.sampling import (
     stratified_sample,
 )
 from ballet_ray.stages.sequences import (chunk_sequences, fim_transform,
-                                          pack_sequences)
+                                          pack_sequences, span_corruption)
 from ballet_ray.stages.similarity import (
     assign_topic_clusters,
     cluster_embeddings,
@@ -234,6 +234,7 @@ __all__ = [
     "budget_sample",
     "chunk_sequences",
     "fim_transform",
+    "span_corruption",
     "corpus_divergence",
     "corpus_report",
     "tokenizer_report",

@@ -622,6 +622,31 @@ def q_bytebpe_tokenize_docs(sf_dir: str):
     return apply_byte_bpe(ds, tok).select_columns(["doc_id", "n_tok"])
 
 
+def q_span_corruption_docs(sf_dir: str):
+    """T5 span corruption (Raffel 2020) over the pre-tokenized column
+    (word lengths stand in for token ids): mask random token spans,
+    emit (inputs, targets) with negative sentinels. Rows-only (the
+    keyed-gap segmentation is splitmix64 math, not SQL-expressible);
+    exact per-row reference parity + layout-invariant pytest in
+    tests/test_span_corruption.py."""
+    from ballet_ray.stages.sequences import span_corruption
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.cast(pc.utf8_length(words.flatten()), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tokens": pa.ListArray.from_arrays(words.offsets, lens)})
+
+    out = span_corruption(ds.map_batches(toks, batch_format="pyarrow"),
+                          noise_density=0.15, mean_span_len=3.0)
+    return out.select_columns(["doc_id", "n_in", "n_tgt"])
+
+
 def q_unigram_tokenize_docs(sf_dir: str):
     """Train-and-apply unigram-LM tokenizer (Kudo 2018 / SentencePiece).
     Rows-only (EM fits are not SQL-expressible); Viterbi-optimality,
@@ -3980,6 +4005,7 @@ QUERIES = {
     "jamesstein_encode_priority": q_jamesstein_encode_priority,
     "normalize_lineitem": q_normalize_lineitem,
     "bytebpe_tokenize_docs": q_bytebpe_tokenize_docs,  # rows-only: tokenizer
+    "span_corruption_docs": q_span_corruption_docs,    # rows-only: splitmix math
 }
 
 ORACLE_SQL = {

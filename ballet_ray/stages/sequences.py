@@ -414,3 +414,136 @@ def fim_transform(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
                          "n_tok": pa.array(out_lens)})
 
     return ds.select_columns([id_col, tokens_col]).map_batches(fim, batch_format="pyarrow")
+
+
+def _seg_excl_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-row exclusive cumsum of a row-major flat array (``counts``
+    entries per row): global exclusive cumsum minus each row's base."""
+    cs = np.concatenate([[0], np.cumsum(x)[:-1]])
+    base = cs[_exclusive_cumsum(counts)] if len(counts) else cs
+    return cs - np.repeat(base, counts)
+
+
+def _random_segmentation(m: np.ndarray, k: np.ndarray, h: np.ndarray,
+                         salt: int) -> np.ndarray:
+    """T5's ``_random_segmentation`` vectorized across rows: partition
+    ``m_i`` items into exactly ``k_i`` parts, each >= 1, uniformly at
+    random — by choosing ``k_i - 1`` cut gaps out of the ``m_i - 1``
+    candidates with the smallest deterministic keys
+    ``mix(row_hash, gap_index, salt)``. Returns the part lengths as one
+    row-major flat array (``k_i`` entries per row). No RNG state: pure
+    function of (row hash, salt), so any shard reproduces independently."""
+    from ballet_ray.functions.hashing import mix
+
+    g = m - 1
+    tot = int(g.sum())
+    row_starts = _exclusive_cumsum(g) if len(g) else g
+    gap_rel = np.arange(tot, dtype=np.int64) - np.repeat(row_starts, g)
+    key = mix(np.repeat(h, g), gap_rel.astype(np.uint64), np.uint64(salt))
+    row_of_gap = np.repeat(np.arange(len(g)), g)
+    order = np.lexsort((key, row_of_gap))     # grouped by row, key-ascending
+    rank = np.arange(tot, dtype=np.int64) - np.repeat(row_starts, g)
+    chosen = order[rank < np.repeat(k - 1, g)]
+    # ascending cut positions per row
+    o2 = np.lexsort((gap_rel[chosen], row_of_gap[chosen]))
+    cuts = gap_rel[chosen][o2] + 1            # cut after item c: c in [1, m-1]
+    # bounds per row = [cuts..., m]; lengths = diff against shifted bounds
+    k_tot = int(k.sum())
+    w = np.arange(k_tot, dtype=np.int64) - np.repeat(_exclusive_cumsum(k) if len(k) else k, k)
+    ends = np.empty(k_tot, np.int64)
+    is_last = w == np.repeat(k - 1, k)
+    ends[~is_last] = cuts
+    ends[is_last] = m  # one last-segment slot per row, in row order
+    starts = np.empty(k_tot, np.int64)
+    starts[w == 0] = 0
+    starts[1:][w[1:] > 0] = ends[:-1][w[1:] > 0]
+    return ends - starts
+
+
+def span_corruption(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+                    noise_density: float = 0.15, mean_span_len: float = 3.0,
+                    seed: int = 2718):
+    """T5 span corruption (Raffel 2020, arXiv:1910.10683 §3.1.4; UL2's
+    R/X denoisers are parameterizations of the same transform): mask
+    random token spans and emit the (inputs, targets) pair
+
+        inputs:  p_1 [S1] p_2 [S2] ... p_k [Sk]
+        targets: [S1] q_1 [S2] q_2 ... [Sk] q_k [T]
+
+    where p/q are the interleaved keep/noise spans (sequence starts with
+    a keep span and ends with a noise span, exactly T5's layout), span
+    count and lengths follow T5's rounding rules (num_noise =
+    round(L·density) clamped to [1, L-1]; num_spans =
+    round(num_noise / mean_span) clamped so every span on both sides is
+    >= 1), and both segmentations are uniform via the deterministic
+    keyed-gap construction (:func:`_random_segmentation`). Sentinels are
+    negative: span k gets -(k+1), the terminal gets -(num_spans+1).
+
+    Deterministic in (row id, seed) — reproducible under any
+    repartitioning, any shard independently. Rows with fewer than 2
+    tokens pass through with empty targets. Scale shape: one map-only
+    pass, zero shuffle, zero per-row Python — segmentation is two
+    lexsorts over the gap keys, segment moves are repeat/arange gathers.
+    """
+    from ballet_ray.functions.hashing import mix
+    from ballet_ray.functions.partition import stable_hash_array
+
+    if not 0.0 < noise_density < 1.0:
+        raise ValueError("noise_density must be in (0, 1)")
+    if mean_span_len < 1.0:
+        raise ValueError("mean_span_len must be >= 1")
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        values, lens, row_starts = _list_parts(col)
+        if pa.types.is_null(values.type):
+            values = values.cast(pa.int64())
+        flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = mix(stable_hash_array(ids), np.uint64(seed))
+        L = lens
+        e = L >= 2
+        nn = np.clip(np.round(L * noise_density).astype(np.int64), 1,
+                     np.maximum(L - 1, 1))
+        ns = np.maximum(np.round(nn / mean_span_len).astype(np.int64), 1)
+        ns = np.minimum(np.minimum(ns, nn), np.maximum(L - nn, 1))
+        in_lens = np.where(e, L - nn + ns, L)
+        tgt_lens = np.where(e, nn + ns + 1, 0)
+        in_starts = _exclusive_cumsum(in_lens) if len(in_lens) else in_lens
+        tgt_starts = _exclusive_cumsum(tgt_lens) if len(tgt_lens) else tgt_lens
+        inputs = np.empty(int(in_lens.sum()), np.int64)
+        targets = np.empty(int(tgt_lens.sum()), np.int64)
+
+        if (~e).any():
+            _gather_seg(inputs, flat, in_starts[~e], row_starts[~e], L[~e])
+        if e.any():
+            he, Le, nne, nse = h[e], L[e], nn[e], ns[e]
+            rs_, is_, ts_ = row_starts[e], in_starts[e], tgt_starts[e]
+            p = _random_segmentation(Le - nne, nse, he, seed * 2 + 1)  # keep spans
+            q = _random_segmentation(nne, nse, he, seed * 2 + 2)      # noise spans
+            rep = np.repeat(np.arange(len(nse)), nse)
+            w = np.arange(int(nse.sum()), dtype=np.int64) - np.repeat(
+                _exclusive_cumsum(nse) if len(nse) else nse, nse)
+            src_p = rs_[rep] + _seg_excl_cumsum(p + q, nse)            # p_k source
+            src_q = src_p + p                                          # q_k source
+            dst_p = is_[rep] + _seg_excl_cumsum(p + 1, nse)            # p_k in inputs
+            _gather_seg(inputs, flat, dst_p, src_p, p)
+            inputs[dst_p + p] = -(w + 1)                               # [Sk] in inputs
+            dst_s = ts_[rep] + _seg_excl_cumsum(q + 1, nse)            # [Sk] in targets
+            targets[dst_s] = -(w + 1)
+            _gather_seg(targets, flat, dst_s + 1, src_q, q)
+            targets[ts_ + nne + nse] = -(nse + 1)                      # terminal
+
+        ivals, tvals = pa.array(inputs), pa.array(targets)
+        if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
+            ivals = ivals.cast(values.type)
+            tvals = tvals.cast(values.type)
+        mk = lambda v, ln: pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ln)]).astype(np.int64)), v)
+        return pa.table({id_col: t.column(id_col),
+                         "inputs": mk(ivals, in_lens),
+                         "targets": mk(tvals, tgt_lens),
+                         "n_in": pa.array(in_lens),
+                         "n_tgt": pa.array(tgt_lens)})
+
+    return ds.select_columns([id_col, tokens_col]).map_batches(corrupt, batch_format="pyarrow")
