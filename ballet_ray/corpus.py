@@ -85,7 +85,8 @@ from ballet_ray.stages.sampling import (
     stratified_sample,
 )
 from ballet_ray.stages.sequences import (chunk_sequences, fim_transform,
-                                          pack_sequences, span_corruption)
+                                          pack_sequences, span_corruption,
+                                          apply_vocab_prune, fit_vocab_prune)
 from ballet_ray.stages.similarity import (
     assign_topic_clusters,
     cluster_embeddings,
@@ -235,6 +236,8 @@ __all__ = [
     "chunk_sequences",
     "fim_transform",
     "span_corruption",
+    "fit_vocab_prune",
+    "apply_vocab_prune",
     "corpus_divergence",
     "corpus_report",
     "tokenizer_report",

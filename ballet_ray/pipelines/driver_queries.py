@@ -3270,6 +3270,63 @@ FROM q
 """
 
 
+def q_vocab_prune_docs(sf_dir: str):
+    """Vocabulary pruning over the pre-tokenized column (word lengths
+    stand in for token ids): corpus-wide id-frequency fit (per-batch
+    np.unique combiners → one bounded groupby, deterministic (count desc,
+    id asc) cap), keep the top 10, remap kept ids to dense ranks 1..10,
+    everything else → UNK 0. Order-sensitive full oracle via the
+    comma-joined remapped sequences + per-doc UNK counts."""
+    from ballet_ray.stages.sequences import apply_vocab_prune, fit_vocab_prune
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.cast(pc.utf8_length(words.flatten()), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tokens": pa.ListArray.from_arrays(words.offsets, lens)})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    kept, new = fit_vocab_prune(tok_ds, keep=10)
+    out = apply_vocab_prune(tok_ds, kept, new)
+
+    def shape(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(col.offsets, pc.cast(col.flatten(), pa.string())), ",")
+        return pa.table({"doc_id": t.column("doc_id"), "toks": joined,
+                         "n_unk": pc.cast(t.column("n_unk"), pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_VOCAB_PRUNE_DOCS = """
+WITH tk AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(len(w) AS BIGINT)) AS tok
+            FROM documents),
+cnt AS (SELECT tok[u.i] AS t, COUNT(*) AS c
+        FROM tk, UNNEST(generate_series(1, len(tok))) AS u(i)
+        GROUP BY tok[u.i]),
+v AS (SELECT t, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS nid
+      FROM cnt QUALIFY nid <= 10),
+m0 AS (SELECT doc_id, u.i AS ord, tok[u.i] AS t
+       FROM tk, UNNEST(generate_series(1, len(tok))) AS u(i)),
+m AS (SELECT m0.doc_id, m0.ord, COALESCE(v.nid, 0) AS new
+      FROM m0 LEFT JOIN v ON v.t = m0.t)
+SELECT doc_id,
+       COALESCE(array_to_string(list(new ORDER BY ord), ','), '') AS toks,
+       CAST(COALESCE(SUM(CASE WHEN new = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_unk
+FROM m
+GROUP BY doc_id
+"""
+
+
 def q_shuffle_index_docs(sf_dir: str):
     """Deterministic epoch-order assignment: dense 0..N-1 rank under
     ORDER BY md5(doc_id), doc_id — a reproducible global permutation
@@ -3886,6 +3943,7 @@ LIMIT 50
 QUERIES = {
     "token_contamination_docs": q_token_contamination_docs,
     "fim_transform_docs": q_fim_transform_docs,
+    "vocab_prune_docs": q_vocab_prune_docs,
     "strip_html_docs": q_strip_html_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "normalize_text_docs": q_normalize_text_docs,
@@ -4113,4 +4171,5 @@ ORACLE_SQL = {
     "ppl_bucket_docs": SQL_PPL_BUCKET_DOCS,
     "token_contamination_docs": SQL_TOKEN_CONTAMINATION_DOCS,
     "fim_transform_docs": SQL_FIM_TRANSFORM_DOCS,
+    "vocab_prune_docs": SQL_VOCAB_PRUNE_DOCS,
 }

@@ -547,3 +547,77 @@ def span_corruption(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
                          "n_tgt": pa.array(tgt_lens)})
 
     return ds.select_columns([id_col, tokens_col]).map_batches(corrupt, batch_format="pyarrow")
+
+
+def fit_vocab_prune(ds, *, tokens_col: str = "tokens", keep: int):
+    """Fit half of vocabulary pruning: count token-id frequencies across
+    the corpus (per-batch np.unique combiners → one id-keyed groupby
+    bounded by the live vocab) and keep the ``keep`` most frequent ids
+    (count desc, id asc tie-break — deterministic at the cap boundary).
+
+    Returns ``(kept_ids_sorted_ascending, new_ids)`` numpy arrays: kept id
+    ``kept_ids[j]`` remaps to dense id ``new_ids[j]`` in 1..keep (rank
+    order), everything else maps to the UNK id. The artifact is O(keep) —
+    broadcast it, never the counts table."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.values.type if hasattr(col, "values") else col.type):
+            return pa.table({"tok": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    agg = (ds.select_columns([tokens_col])
+           .map_batches(counts, batch_format="pyarrow")
+           .groupby("tok").sum("c"))
+    top = (agg.sort(["sum(c)", "tok"], descending=[True, False])
+           .limit(int(keep)).to_pandas())
+    order = top["tok"].to_numpy().astype(np.int64)        # rank order
+    new_ids = np.arange(1, len(order) + 1, dtype=np.int64)
+    asc = np.argsort(order)
+    return order[asc], new_ids[asc]
+
+
+def apply_vocab_prune(ds, kept_ids: np.ndarray, new_ids: np.ndarray, *,
+                      tokens_col: str = "tokens", id_col: str = "doc_id",
+                      unk_id: int = 0):
+    """Apply half: remap every token through the pruned vocabulary
+    (sorted-array binary search per batch; out-of-vocab → ``unk_id``) and
+    recount ``n_unk``. Map-only — the O(keep) remap table rides each task
+    via one ``ray.put``; the token payload never shuffles."""
+    import ray as _ray
+
+    ref = _ray.put((np.asarray(kept_ids, np.int64), np.asarray(new_ids, np.int64)))
+
+    def remap(t: pa.Table) -> pa.Table:
+        kept, new = _ray.get(ref)
+        col = t.column(tokens_col)
+        values, lens, _ = _list_parts(col)
+        if pa.types.is_null(values.type):
+            values = values.cast(pa.int64())
+        flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.full(len(flat), unk_id, np.int64)
+        if len(kept) and len(flat):
+            pos = np.searchsorted(kept, flat)
+            pos[pos >= len(kept)] = len(kept) - 1
+            hit = kept[pos] == flat
+            out[hit] = new[pos[hit]]
+        vals = pa.array(out)
+        if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
+            vals = vals.cast(values.type)
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)), vals)
+        n_unk = np.zeros(len(lens), np.int64)
+        if len(flat):
+            miss = (out == unk_id).astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(miss)])
+            ends = np.cumsum(lens)
+            n_unk = cs[ends] - cs[ends - lens]
+        return pa.table({id_col: t.column(id_col), tokens_col: toks,
+                         "n_unk": pa.array(n_unk)})
+
+    return ds.select_columns([id_col, tokens_col]).map_batches(remap, batch_format="pyarrow")
