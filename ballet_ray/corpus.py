@@ -86,7 +86,8 @@ from ballet_ray.stages.sampling import (
 )
 from ballet_ray.stages.sequences import (chunk_sequences, fim_transform,
                                           pack_sequences, span_corruption,
-                                          apply_vocab_prune, fit_vocab_prune)
+                                          apply_vocab_prune, fit_vocab_prune,
+                                          prefix_lm_split)
 from ballet_ray.stages.similarity import (
     assign_topic_clusters,
     cluster_embeddings,
@@ -236,6 +237,7 @@ __all__ = [
     "chunk_sequences",
     "fim_transform",
     "span_corruption",
+    "prefix_lm_split",
     "fit_vocab_prune",
     "apply_vocab_prune",
     "corpus_divergence",

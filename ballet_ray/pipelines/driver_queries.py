@@ -3327,6 +3327,61 @@ GROUP BY doc_id
 """
 
 
+def q_prefix_lm_docs(sf_dir: str):
+    """UL2 S-denoiser / prefix-LM split over the pre-tokenized column:
+    every doc splits at one uniform point c in [1, L-1] (md5 SQL-audit
+    mode, the second uniform of the FIM hash — substr 9..16), inputs =
+    tokens[:c], targets = tokens[c:]. Order-sensitive full oracle via the
+    comma-joined halves."""
+    from ballet_ray.stages.sequences import prefix_lm_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.cast(pc.utf8_length(words.flatten()), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "tokens": pa.ListArray.from_arrays(words.offsets, lens)})
+
+    out = prefix_lm_split(ds.map_batches(toks, batch_format="pyarrow"),
+                          rate=1.0, method="md5")
+
+    def shape(t: pa.Table) -> pa.Table:
+        def join(name):
+            col = t.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.binary_join(pa.ListArray.from_arrays(
+                col.offsets, pc.cast(col.flatten(), pa.string())), ",")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "inp": join("inputs"), "tgt": join("targets"),
+                         "n_in": pc.cast(t.column("n_in"), pa.int64()),
+                         "n_tgt": pc.cast(t.column("n_tgt"), pa.int64())})
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+SQL_PREFIX_LM_DOCS = """
+WITH tk AS (SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(len(w) AS BIGINT)) AS tok
+            FROM documents),
+p AS (SELECT doc_id, tok,
+        CASE WHEN len(tok) >= 2 THEN
+            1 + CAST(FLOOR(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS UBIGINT) / 4294967296.0 * (len(tok) - 1)) AS BIGINT)
+        ELSE len(tok) END AS c
+      FROM tk)
+SELECT doc_id,
+       array_to_string(tok[1:c], ',') AS inp,
+       array_to_string(tok[c+1:len(tok)], ',') AS tgt,
+       c AS n_in,
+       len(tok) - c AS n_tgt
+FROM p
+"""
+
+
 def q_shuffle_index_docs(sf_dir: str):
     """Deterministic epoch-order assignment: dense 0..N-1 rank under
     ORDER BY md5(doc_id), doc_id — a reproducible global permutation
@@ -3944,6 +3999,7 @@ QUERIES = {
     "token_contamination_docs": q_token_contamination_docs,
     "fim_transform_docs": q_fim_transform_docs,
     "vocab_prune_docs": q_vocab_prune_docs,
+    "prefix_lm_docs": q_prefix_lm_docs,
     "strip_html_docs": q_strip_html_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "normalize_text_docs": q_normalize_text_docs,
@@ -4172,4 +4228,5 @@ ORACLE_SQL = {
     "token_contamination_docs": SQL_TOKEN_CONTAMINATION_DOCS,
     "fim_transform_docs": SQL_FIM_TRANSFORM_DOCS,
     "vocab_prune_docs": SQL_VOCAB_PRUNE_DOCS,
+    "prefix_lm_docs": SQL_PREFIX_LM_DOCS,
 }

@@ -621,3 +621,48 @@ def apply_vocab_prune(ds, kept_ids: np.ndarray, new_ids: np.ndarray, *,
                          "n_unk": pa.array(n_unk)})
 
     return ds.select_columns([id_col, tokens_col]).map_batches(remap, batch_format="pyarrow")
+
+
+def prefix_lm_split(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+                    rate: float = 1.0, method: str = "siphash"):
+    """UL2's S-denoiser / prefix-LM objective (Tay 2022, arXiv:2205.05131;
+    the sequential denoiser of the R/S/X mixture — R and X are
+    :func:`span_corruption` parameterizations, FIM is the infilling
+    sibling): split each selected sequence at one uniform point c in
+    [1, L-1] so BOTH sides are non-empty, emitting ``inputs = tokens[:c]``
+    and ``targets = tokens[c:]``. Selection and the split point derive
+    from the row id exactly like :func:`fim_transform` (same first two
+    uniforms; ``method='md5'`` is the SQL-audit mode), so the transform is
+    reproducible under any repartitioning with no RNG state. Unselected
+    and too-short (L < 2) rows pass through with empty targets. Map-only,
+    zero shuffle, zero copies beyond the two list slices."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+
+    def split(t: pa.Table) -> pa.Table:
+        col = t.column(tokens_col)
+        values, lens, row_starts = _list_parts(col)
+        if pa.types.is_null(values.type):
+            values = values.cast(pa.int64())
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        us, ua, _ = _fim_uniforms(ids, method)
+        sel = (us < rate) & (lens >= 2)
+        c = np.where(sel, 1 + np.floor(ua * (lens - 1)).astype(np.int64), lens)
+        starts = row_starts + c
+        tgt_lens = lens - c
+        inputs = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(c)]).astype(np.int64)),
+            values.take(pa.array(
+                (np.repeat(row_starts, c)
+                 + (np.arange(int(c.sum())) - np.repeat(_exclusive_cumsum(c) if len(c) else c, c))))))
+        targets = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(tgt_lens)]).astype(np.int64)),
+            values.take(pa.array(
+                (np.repeat(starts, tgt_lens)
+                 + (np.arange(int(tgt_lens.sum()))
+                    - np.repeat(_exclusive_cumsum(tgt_lens) if len(tgt_lens) else tgt_lens, tgt_lens))))))
+        return pa.table({id_col: t.column(id_col), "inputs": inputs,
+                         "targets": targets, "n_in": pa.array(c),
+                         "n_tgt": pa.array(tgt_lens)})
+
+    return ds.select_columns([id_col, tokens_col]).map_batches(split, batch_format="pyarrow")
