@@ -229,6 +229,10 @@ class BpeEncoder:
             col = col.combine_chunks()
         if pa.types.is_null(col.type):
             col = col.cast(pa.string())
+        # null rows encode to the EMPTY sequence (contract shared with the
+        # null-typed-block guard above): fill to keep split_pattern happy,
+        # then drop the filler rows' word occurrences below
+        null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
         col = pc.fill_null(col, "")
         words = pc.split_pattern(col, " ")
         if isinstance(words, pa.ChunkedArray):
@@ -243,6 +247,11 @@ class BpeEncoder:
         codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = offsets - offsets[0]
+        if null_rows.any() and len(codes):
+            wl = np.diff(offsets)
+            codes = codes[~null_rows[np.repeat(np.arange(n, dtype=np.int64), wl)]]
+            wl = np.where(null_rows, 0, wl)
+            offsets = np.concatenate(([0], np.cumsum(wl)))
         if not len(codes):
             empty = pa.array([[]] * n, pa.list_(pa.int32()))
             return pa.table({self.id_col: t.column(self.id_col), self.out_col: empty,

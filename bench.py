@@ -295,6 +295,28 @@ def run_bench() -> dict:
             file=sys.stderr,
         )
 
+        # training-objective transforms over the full 4M-row corpus: FIM
+        # reordering and T5 span corruption — both pure map passes whose
+        # cost should track the corpus read (zero shuffle, deterministic
+        # id-derived randomness)
+        from ballet_ray.stages.sequences import fim_transform, span_corruption
+
+        def run_fim():
+            corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"])
+            fim_transform(corpus, rate=0.5).count()
+
+        def run_span_corruption():
+            corpus = rd.read_parquet(corpus_dir, columns=["doc_id", "tokens"])
+            span_corruption(corpus, noise_density=0.15, mean_span_len=3.0).count()
+
+        try:
+            qtimes["fim_4m_rows"] = best_time(run_fim)
+            qtimes["span_corruption_4m_rows"] = best_time(run_span_corruption)
+        except Exception as e:  # one flaky stage must not sink the record
+            print(f"# objective-transform bench failed: {e}", file=sys.stderr)
+            qtimes.setdefault("fim_4m_rows", -1.0)
+            qtimes["span_corruption_4m_rows"] = -1.0
+
         # epoch-order permutation over the full 4M-row corpus: siphash
         # (the default, one vectorized hash pass + one payload all-to-all)
         # vs md5 (the row-wise-Python SQL-audit mode) — the r3 verdict's
