@@ -326,25 +326,33 @@ def _gather_seg(out: np.ndarray, src: np.ndarray, dst_start: np.ndarray,
     out[np.repeat(d, ln) + rel] = src[np.repeat(s, ln) + rel]
 
 
-def _fim_uniforms(ids, method: str):
+def _fim_uniforms(ids, method: str, chunk=None):
     """Three per-row uniforms in [0,1) derived from the row id —
     (selection, split a, split b). ``siphash`` is the vectorized scale
     mode; ``md5`` is the row-wise SQL-audit mode with DuckDB parity
     ``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), k, 8) AS UBIGINT)
-    / 2^32`` at k = 1, 9, 17 (one md5 yields all three)."""
+    / 2^32`` at k = 1, 9, 17 (one md5 yields all three). With ``chunk``
+    (per-row chunk indices, for rows that are context windows of one
+    document) the key is (id, chunk) — md5 hashes ``"{id}#{chunk}"``
+    (still SQL-expressible), siphash mixes the chunk index in — so each
+    window of a document draws independently."""
     if method == "md5":
         import hashlib
 
-        hexes = [hashlib.md5(str(k).encode()).hexdigest() for k in ids]
+        keys = ([str(k) for k in ids] if chunk is None
+                else [f"{k}#{c}" for k, c in zip(ids, chunk)])
+        hexes = [hashlib.md5(k.encode()).hexdigest() for k in keys]
         den = float(2 ** 32)
         us = np.fromiter((int(h[:8], 16) for h in hexes), np.float64, len(hexes)) / den
         ua = np.fromiter((int(h[8:16], 16) for h in hexes), np.float64, len(hexes)) / den
         ub = np.fromiter((int(h[16:24], 16) for h in hexes), np.float64, len(hexes)) / den
         return us, ua, ub
-    from ballet_ray.functions.hashing import splitmix64
+    from ballet_ray.functions.hashing import mix, splitmix64
     from ballet_ray.functions.partition import stable_hash_array
 
     h = stable_hash_array(ids)
+    if chunk is not None:
+        h = mix(h, np.asarray(chunk, np.uint64))
     h2 = splitmix64(h)
     h3 = splitmix64(h2)
     den = float(2 ** 64)
@@ -376,44 +384,66 @@ def fim_transform(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
         raise ValueError("rate must be in [0, 1]")
 
     def fim(t: pa.Table) -> pa.Table:
-        col = t.column(tokens_col)
-        values, lens, row_starts = _list_parts(col)
-        if pa.types.is_null(values.type):
-            values = values.cast(pa.int64())
-        flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        us, ua, ub = _fim_uniforms(ids, method)
-        sel = us < rate
-        a = np.floor(ua * (lens + 1)).astype(np.int64)
-        b = np.floor(ub * (lens + 1)).astype(np.int64)
-        u = np.minimum(a, b)
-        v = np.maximum(a, b)
-        out_lens = lens + np.where(sel, 3, 0)
-        out_starts = _exclusive_cumsum(out_lens) if len(out_lens) else out_lens
-        out = np.empty(int(out_lens.sum()), np.int64)
-
-        un = ~sel
-        if un.any():
-            _gather_seg(out, flat, out_starts[un], row_starts[un], lens[un])
-        if sel.any():
-            os_, rs_ = out_starts[sel], row_starts[sel]
-            L_, u_, v_ = lens[sel], u[sel], v[sel]
-            out[os_] = pre_id
-            out[os_ + 1 + u_] = suf_id
-            out[os_ + 2 + u_ + (L_ - v_)] = mid_id
-            _gather_seg(out, flat, os_ + 1, rs_, u_)                           # prefix
-            _gather_seg(out, flat, os_ + 2 + u_, rs_ + v_, L_ - v_)            # suffix
-            _gather_seg(out, flat, os_ + 3 + u_ + (L_ - v_), rs_ + u_, v_ - u_)  # middle
-        vals = pa.array(out)
-        if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
-            vals = vals.cast(values.type)  # preserve the canonical int32
-        toks = pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)), vals
-        )
-        return pa.table({id_col: t.column(id_col), tokens_col: toks,
-                         "n_tok": pa.array(out_lens)})
+        return fim_table(t, tokens_col=tokens_col, id_col=id_col, rate=rate,
+                         pre_id=pre_id, suf_id=suf_id, mid_id=mid_id,
+                         method=method)
 
     return ds.select_columns([id_col, tokens_col]).map_batches(fim, batch_format="pyarrow")
+
+
+def fim_table(t: pa.Table, *, tokens_col: str = "tokens",
+              id_col: str = "doc_id", rate: float = 0.5, pre_id: int = -1,
+              suf_id: int = -2, mid_id: int = -3, method: str = "siphash",
+              chunk_col: str | None = None,
+              carry_cols: tuple[str, ...] = ()) -> pa.Table:
+    """Batch kernel for :func:`fim_transform` (exposed for reuse — the
+    pack job applies it between chunking and packing). With ``chunk_col``
+    the (id, chunk) pair keys the uniforms, so every context window of a
+    document draws its own selection and split points; ``carry_cols``
+    ride through untouched (row order preserved)."""
+    col = t.column(tokens_col)
+    values, lens, row_starts = _list_parts(col)
+    if pa.types.is_null(values.type):
+        values = values.cast(pa.int64())
+    flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    chunk = (t.column(chunk_col).to_numpy(zero_copy_only=False)
+             if chunk_col and chunk_col in t.column_names else None)
+    us, ua, ub = _fim_uniforms(ids, method, chunk=chunk)
+    sel = us < rate
+    a = np.floor(ua * (lens + 1)).astype(np.int64)
+    b = np.floor(ub * (lens + 1)).astype(np.int64)
+    u = np.minimum(a, b)
+    v = np.maximum(a, b)
+    out_lens = lens + np.where(sel, 3, 0)
+    out_starts = _exclusive_cumsum(out_lens) if len(out_lens) else out_lens
+    out = np.empty(int(out_lens.sum()), np.int64)
+
+    un = ~sel
+    if un.any():
+        _gather_seg(out, flat, out_starts[un], row_starts[un], lens[un])
+    if sel.any():
+        os_, rs_ = out_starts[sel], row_starts[sel]
+        L_, u_, v_ = lens[sel], u[sel], v[sel]
+        out[os_] = pre_id
+        out[os_ + 1 + u_] = suf_id
+        out[os_ + 2 + u_ + (L_ - v_)] = mid_id
+        _gather_seg(out, flat, os_ + 1, rs_, u_)                           # prefix
+        _gather_seg(out, flat, os_ + 2 + u_, rs_ + v_, L_ - v_)            # suffix
+        _gather_seg(out, flat, os_ + 3 + u_ + (L_ - v_), rs_ + u_, v_ - u_)  # middle
+    vals = pa.array(out)
+    if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
+        vals = vals.cast(values.type)  # preserve the canonical int32
+    toks = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)), vals
+    )
+    cols = {id_col: t.column(id_col)}
+    for c in carry_cols:
+        if c in t.column_names:
+            cols[c] = t.column(c)
+    cols[tokens_col] = toks
+    cols["n_tok"] = pa.array(out_lens)
+    return pa.table(cols)
 
 
 def _seg_excl_cumsum(x: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -383,7 +383,10 @@ class CheckpointedPack:
         pack_len: int = 2048, files_per_part: int = 2,
         tokens_col: str = "tokens", id_col: str = "doc_id",
         sep_token: int | None = None,
+        objective: str | None = None, objective_rate: float = 0.5,
     ):
+        if objective not in (None, "fim"):
+            raise ValueError("objective must be None or 'fim'")
         self.out_dir = out_dir
         self.examples_dir = os.path.join(out_dir, "examples")
         self.manifest_dir = os.path.join(out_dir, "manifest")
@@ -394,6 +397,8 @@ class CheckpointedPack:
         self.tokens_col = tokens_col
         self.id_col = id_col
         self.sep_token = sep_token
+        self.objective = objective
+        self.objective_rate = objective_rate
 
     def _completed(self) -> set[int]:
         if not os.path.isdir(self.manifest_dir):
@@ -425,6 +430,7 @@ class CheckpointedPack:
         examples_dir, manifest_dir = self.examples_dir, self.manifest_dir
         max_len, stride, pack_len = self.max_len, self.stride, self.pack_len
         tokens_col, id_col, sep_token = self.tokens_col, self.id_col, self.sep_token
+        objective, objective_rate = self.objective, self.objective_rate
 
         @ray.remote
         def process(k: int, group: list) -> dict:
@@ -434,6 +440,18 @@ class CheckpointedPack:
             chunked = chunk_table(
                 table, list_col=tokens_col, id_col=id_col, max_len=max_len, stride=stride
             )
+            if objective == "fim":
+                # document-level FIM per context window (the OpenAI recipe:
+                # applied after chunking, before packing) — (doc, chunk)
+                # keys the draws, so a rerun of the same partition is
+                # byte-identical and resume stays consistent
+                from ballet_ray.stages.sequences import fim_table
+
+                chunked = fim_table(
+                    chunked, tokens_col=tokens_col, id_col=id_col,
+                    rate=objective_rate, chunk_col="chunk_id",
+                    carry_cols=("chunk_id",),
+                )
             # pack in bounded slices: best-fit keeps a sorted open-pack
             # list whose insert cost grows with pack count, so one giant
             # group (250k rows -> ~33k open packs) is quadratic-ish;
@@ -460,6 +478,7 @@ class CheckpointedPack:
             out_tokens = int(pc.sum(packed.column("n_tok")).as_py() or 0)
             man = {
                 "part": k,
+                "objective": objective,
                 "input_files": [os.path.basename(f) for f in group],
                 "rows_in": table.num_rows,
                 "chunks": chunked.num_rows,

@@ -120,6 +120,16 @@ def _apply_blocklist(ds, args, have_cols: list[str]):
     return ds.select_columns(have_cols)
 
 
+def _objective_kwargs(args) -> dict:
+    """CheckpointedPack objective plumbing: --fim-rate R applies the
+    fill-in-the-middle transform to that fraction of context windows
+    between chunking and packing (ingest / curate / pack modes)."""
+    r = getattr(args, "fim_rate", None)
+    if r is None:
+        return {}
+    return {"objective": "fim", "objective_rate": float(r)}
+
+
 def _tokenizer_fn(args, vocab, keep=()):
     """Per-batch tokenize function for the jobs: hash tokenization by
     default, or — with ``--tokenizer <artifact.pkl>`` — a persisted fitted
@@ -299,7 +309,7 @@ def run_ingest(args) -> None:
         pack_summary = CheckpointedPack(
             os.path.join(out, "packs"), max_len=args.max_len, stride=args.stride,
             pack_len=args.pack_len, files_per_part=args.files_per_part,
-            sep_token=args.sep_token,
+            sep_token=args.sep_token, **_objective_kwargs(args),
         ).run(tokens_dir)
     else:  # everything suppressed by the index (a pure replay) or filtered
         pack_summary = {"partitions_total": 0, "partitions_processed": 0,
@@ -942,7 +952,7 @@ def run_curate(args) -> None:
         pack_summary = CheckpointedPack(
             os.path.join(out, "packs"), max_len=args.max_len, stride=args.stride,
             pack_len=args.pack_len, files_per_part=args.files_per_part,
-            sep_token=args.sep_token,
+            sep_token=args.sep_token, **_objective_kwargs(args),
         ).run(tokens_dir)
     else:
         pack_summary = {"partitions_total": 0, "partitions_processed": 0,
@@ -1089,6 +1099,10 @@ def main() -> None:
     ap.add_argument("--pack-len", type=int, default=2048)
     ap.add_argument("--files-per-part", type=int, default=2)
     ap.add_argument("--sep-token", type=int, default=None)
+    ap.add_argument("--fim-rate", type=float, default=None,
+                    help="apply the fill-in-the-middle transform to this "
+                         "fraction of context windows between chunking and "
+                         "packing (ingest/curate/pack modes)")
     args = ap.parse_args()
     if args.input_format != "parquet" and args.mode not in ("ingest", "curate"):
         ap.error(f"--input-format {args.input_format} is supported by --mode "
@@ -1141,7 +1155,7 @@ def main() -> None:
         summary = CheckpointedPack(
             args.out, max_len=args.max_len, stride=args.stride,
             pack_len=args.pack_len, files_per_part=args.files_per_part,
-            sep_token=args.sep_token,
+            sep_token=args.sep_token, **_objective_kwargs(args),
         ).run(args.input)
         dt = time.time() - t0
         summary["wall_s_total"] = round(dt, 3)
