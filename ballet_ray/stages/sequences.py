@@ -157,8 +157,16 @@ def pack_table(
     id_col: str,
     max_len: int,
     sep_token: int | None = None,
+    member_cols: tuple[str, ...] = (),
 ) -> pa.Table:
     """Batch kernel for :func:`pack_sequences`.
+
+    ``member_cols`` names per-row scalar columns to carry into the pack
+    as list columns aligned with ``doc_ids``/``span_lens`` (one entry per
+    pack member, in member order) — e.g. a per-window ``n_prefix`` loss
+    boundary. Incompatible with the long-row pre-chunk fallback
+    (splitting a row would invalidate its scalar metadata), so every
+    input row must already fit ``max_len`` when member columns ride.
 
     Best-fit-decreasing over the batch's rows (rows longer than
     ``max_len`` are pre-chunked): each row goes to the open pack with the
@@ -182,6 +190,13 @@ def pack_table(
         # pre-chunk long rows so every candidate fits a bin (skipped when
         # nothing exceeds max_len — the common case after an upstream
         # chunk_sequences — saving a full values gather per batch)
+        if member_cols:
+            raise ValueError(
+                f"rows longer than max_len={max_len} with member_cols="
+                f"{member_cols}: pre-chunking would split rows and "
+                "invalidate their scalar metadata — chunk upstream or "
+                "raise max_len"
+            )
         table = chunk_table(table, list_col=list_col, id_col=id_col, max_len=eff_max)
         values, lens, row_starts = _list_parts(table.column(list_col))
     n = len(lens)
@@ -262,16 +277,22 @@ def pack_table(
         pack_id = pc.binary_join_element_wise(
             pc.cast(pack_id, pa.string()), pc.cast(ck.take(first_rows), pa.string()), "#"
         )
-    return pa.table(
-        {
-            "pack_id": pack_id,
-            list_col: tokens,
-            "doc_ids": member_ids,
-            "span_lens": span_lens,
-            "n_docs": pa.array(docs_per_bin.astype(np.int32)),
-            "n_tok": pa.array(tok_per_bin.astype(np.int32)),
-        }
-    )
+    cols = {
+        "pack_id": pack_id,
+        list_col: tokens,
+        "doc_ids": member_ids,
+        "span_lens": span_lens,
+        "n_docs": pa.array(docs_per_bin.astype(np.int32)),
+        "n_tok": pa.array(tok_per_bin.astype(np.int32)),
+    }
+    for c in member_cols:
+        mc = table.column(c)
+        if isinstance(mc, pa.ChunkedArray):
+            mc = mc.combine_chunks()
+        cols[c] = pa.ListArray.from_arrays(
+            pa.array(bin_doc_offsets, type=pa.int32()), mc.take(pa.array(packed_rows))
+        )
+    return pa.table(cols)
 
 
 def pack_sequences(
@@ -282,6 +303,7 @@ def pack_sequences(
     max_len: int,
     batch_size: int | None = None,
     sep_token: int | None = None,
+    member_cols: tuple[str, ...] = (),
 ):
     """Pack rows into ≤``max_len`` training examples, partition-locally.
 
@@ -304,7 +326,8 @@ def pack_sequences(
     """
 
     def f(t: pa.Table) -> pa.Table:
-        return pack_table(t, list_col=list_col, id_col=id_col, max_len=max_len, sep_token=sep_token)
+        return pack_table(t, list_col=list_col, id_col=id_col, max_len=max_len,
+                          sep_token=sep_token, member_cols=member_cols)
 
     mb: dict = {"batch_format": "pyarrow"}
     if batch_size is not None:
@@ -515,6 +538,35 @@ def span_corruption(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
     pass, zero shuffle, zero per-row Python — segmentation is two
     lexsorts over the gap keys, segment moves are repeat/arange gathers.
     """
+    if not 0.0 < noise_density < 1.0:
+        raise ValueError("noise_density must be in (0, 1)")
+    if mean_span_len < 1.0:
+        raise ValueError("mean_span_len must be >= 1")
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        return span_corruption_table(
+            t, tokens_col=tokens_col, id_col=id_col,
+            noise_density=noise_density, mean_span_len=mean_span_len,
+            seed=seed)
+
+    return ds.select_columns([id_col, tokens_col]).map_batches(corrupt, batch_format="pyarrow")
+
+
+def span_corruption_table(t: pa.Table, *, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", noise_density: float = 0.15,
+                          mean_span_len: float = 3.0, seed: int = 2718,
+                          chunk_col: str | None = None,
+                          carry_cols: tuple[str, ...] = (),
+                          layout: str = "pair") -> pa.Table:
+    """Batch kernel for :func:`span_corruption` (exposed for reuse — the
+    pack job applies it between chunking and packing). With ``chunk_col``
+    the hash is keyed by (id, chunk), so each context window of a
+    document segments independently; ``carry_cols`` ride through
+    untouched. ``layout='pair'`` emits (inputs, targets) columns;
+    ``layout='decoder'`` concatenates them back into ``tokens_col``
+    (the decoder-only UL2 shape: ``inputs ⊕ targets`` as one stream, the
+    sentinels delimiting the corrupted spans) plus ``n_in`` — the loss
+    boundary (positions ≥ n_in are the prediction targets)."""
     from ballet_ray.functions.hashing import mix
     from ballet_ray.functions.partition import stable_hash_array
 
@@ -522,61 +574,80 @@ def span_corruption(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
         raise ValueError("noise_density must be in (0, 1)")
     if mean_span_len < 1.0:
         raise ValueError("mean_span_len must be >= 1")
+    if layout not in ("pair", "decoder"):
+        raise ValueError("layout must be 'pair' or 'decoder'")
+    col = t.column(tokens_col)
+    values, lens, row_starts = _list_parts(col)
+    if pa.types.is_null(values.type):
+        values = values.cast(pa.int64())
+    flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    h = mix(stable_hash_array(ids), np.uint64(seed))
+    if chunk_col and chunk_col in t.column_names:
+        chunk = t.column(chunk_col).to_numpy(zero_copy_only=False)
+        h = mix(h, np.asarray(chunk, np.uint64))
+    L = lens
+    e = L >= 2
+    nn = np.clip(np.round(L * noise_density).astype(np.int64), 1,
+                 np.maximum(L - 1, 1))
+    ns = np.maximum(np.round(nn / mean_span_len).astype(np.int64), 1)
+    ns = np.minimum(np.minimum(ns, nn), np.maximum(L - nn, 1))
+    in_lens = np.where(e, L - nn + ns, L)
+    tgt_lens = np.where(e, nn + ns + 1, 0)
+    in_starts = _exclusive_cumsum(in_lens) if len(in_lens) else in_lens
+    tgt_starts = _exclusive_cumsum(tgt_lens) if len(tgt_lens) else tgt_lens
+    inputs = np.empty(int(in_lens.sum()), np.int64)
+    targets = np.empty(int(tgt_lens.sum()), np.int64)
 
-    def corrupt(t: pa.Table) -> pa.Table:
-        col = t.column(tokens_col)
-        values, lens, row_starts = _list_parts(col)
-        if pa.types.is_null(values.type):
-            values = values.cast(pa.int64())
-        flat = values.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        h = mix(stable_hash_array(ids), np.uint64(seed))
-        L = lens
-        e = L >= 2
-        nn = np.clip(np.round(L * noise_density).astype(np.int64), 1,
-                     np.maximum(L - 1, 1))
-        ns = np.maximum(np.round(nn / mean_span_len).astype(np.int64), 1)
-        ns = np.minimum(np.minimum(ns, nn), np.maximum(L - nn, 1))
-        in_lens = np.where(e, L - nn + ns, L)
-        tgt_lens = np.where(e, nn + ns + 1, 0)
-        in_starts = _exclusive_cumsum(in_lens) if len(in_lens) else in_lens
-        tgt_starts = _exclusive_cumsum(tgt_lens) if len(tgt_lens) else tgt_lens
-        inputs = np.empty(int(in_lens.sum()), np.int64)
-        targets = np.empty(int(tgt_lens.sum()), np.int64)
+    if (~e).any():
+        _gather_seg(inputs, flat, in_starts[~e], row_starts[~e], L[~e])
+    if e.any():
+        he, Le, nne, nse = h[e], L[e], nn[e], ns[e]
+        rs_, is_, ts_ = row_starts[e], in_starts[e], tgt_starts[e]
+        p = _random_segmentation(Le - nne, nse, he, seed * 2 + 1)  # keep spans
+        q = _random_segmentation(nne, nse, he, seed * 2 + 2)      # noise spans
+        rep = np.repeat(np.arange(len(nse)), nse)
+        w = np.arange(int(nse.sum()), dtype=np.int64) - np.repeat(
+            _exclusive_cumsum(nse) if len(nse) else nse, nse)
+        src_p = rs_[rep] + _seg_excl_cumsum(p + q, nse)            # p_k source
+        src_q = src_p + p                                          # q_k source
+        dst_p = is_[rep] + _seg_excl_cumsum(p + 1, nse)            # p_k in inputs
+        _gather_seg(inputs, flat, dst_p, src_p, p)
+        inputs[dst_p + p] = -(w + 1)                               # [Sk] in inputs
+        dst_s = ts_[rep] + _seg_excl_cumsum(q + 1, nse)            # [Sk] in targets
+        targets[dst_s] = -(w + 1)
+        _gather_seg(targets, flat, dst_s + 1, src_q, q)
+        targets[ts_ + nne + nse] = -(nse + 1)                      # terminal
 
-        if (~e).any():
-            _gather_seg(inputs, flat, in_starts[~e], row_starts[~e], L[~e])
-        if e.any():
-            he, Le, nne, nse = h[e], L[e], nn[e], ns[e]
-            rs_, is_, ts_ = row_starts[e], in_starts[e], tgt_starts[e]
-            p = _random_segmentation(Le - nne, nse, he, seed * 2 + 1)  # keep spans
-            q = _random_segmentation(nne, nse, he, seed * 2 + 2)      # noise spans
-            rep = np.repeat(np.arange(len(nse)), nse)
-            w = np.arange(int(nse.sum()), dtype=np.int64) - np.repeat(
-                _exclusive_cumsum(nse) if len(nse) else nse, nse)
-            src_p = rs_[rep] + _seg_excl_cumsum(p + q, nse)            # p_k source
-            src_q = src_p + p                                          # q_k source
-            dst_p = is_[rep] + _seg_excl_cumsum(p + 1, nse)            # p_k in inputs
-            _gather_seg(inputs, flat, dst_p, src_p, p)
-            inputs[dst_p + p] = -(w + 1)                               # [Sk] in inputs
-            dst_s = ts_[rep] + _seg_excl_cumsum(q + 1, nse)            # [Sk] in targets
-            targets[dst_s] = -(w + 1)
-            _gather_seg(targets, flat, dst_s + 1, src_q, q)
-            targets[ts_ + nne + nse] = -(nse + 1)                      # terminal
-
-        ivals, tvals = pa.array(inputs), pa.array(targets)
-        if pa.types.is_integer(values.type) and values.type.bit_width >= 32:
-            ivals = ivals.cast(values.type)
-            tvals = tvals.cast(values.type)
-        mk = lambda v, ln: pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(ln)]).astype(np.int64)), v)
-        return pa.table({id_col: t.column(id_col),
-                         "inputs": mk(ivals, in_lens),
-                         "targets": mk(tvals, tgt_lens),
-                         "n_in": pa.array(in_lens),
-                         "n_tgt": pa.array(tgt_lens)})
-
-    return ds.select_columns([id_col, tokens_col]).map_batches(corrupt, batch_format="pyarrow")
+    mk = lambda v, ln: pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(ln)]).astype(np.int64)), v)
+    narrow = pa.types.is_integer(values.type) and values.type.bit_width >= 32
+    cols: dict = {id_col: t.column(id_col)}
+    for c in carry_cols:
+        if c in t.column_names:
+            cols[c] = t.column(c)
+    if layout == "decoder":
+        out_lens = in_lens + tgt_lens
+        out_starts = _exclusive_cumsum(out_lens) if len(out_lens) else out_lens
+        out = np.empty(int(out_lens.sum()), np.int64)
+        _gather_seg(out, inputs, out_starts, in_starts, in_lens)
+        _gather_seg(out, targets, out_starts + in_lens, tgt_starts, tgt_lens)
+        vals = pa.array(out)
+        if narrow:
+            vals = vals.cast(values.type)
+        cols[tokens_col] = mk(vals, out_lens)
+        cols["n_in"] = pa.array(in_lens.astype(np.int32))
+        cols["n_tok"] = pa.array(out_lens)
+        return pa.table(cols)
+    ivals, tvals = pa.array(inputs), pa.array(targets)
+    if narrow:
+        ivals = ivals.cast(values.type)
+        tvals = tvals.cast(values.type)
+    cols["inputs"] = mk(ivals, in_lens)
+    cols["targets"] = mk(tvals, tgt_lens)
+    cols["n_in"] = pa.array(in_lens)
+    cols["n_tgt"] = pa.array(tgt_lens)
+    return pa.table(cols)
 
 
 def fit_vocab_prune(ds, *, tokens_col: str = "tokens", keep: int):
@@ -696,3 +767,35 @@ def prefix_lm_split(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
                          "n_tgt": pa.array(tgt_lens)})
 
     return ds.select_columns([id_col, tokens_col]).map_batches(split, batch_format="pyarrow")
+
+def prefix_lm_mark_table(t: pa.Table, *, tokens_col: str = "tokens",
+                         id_col: str = "doc_id", rate: float = 1.0,
+                         method: str = "siphash",
+                         chunk_col: str | None = None,
+                         carry_cols: tuple[str, ...] = ()) -> pa.Table:
+    """Decoder-only marking form of :func:`prefix_lm_split`: tokens pass
+    through UNCHANGED and the split point rides as ``n_prefix`` — the
+    loss boundary (positions < n_prefix are the bidirectional prefix,
+    positions >= n_prefix are the causal targets; n_prefix == len means
+    "no targets", the unselected/too-short passthrough). Same uniforms as
+    the split form (with ``chunk_col``, keyed by (id, chunk) so every
+    context window of a document draws independently — the pack-job
+    shape). One column append, zero copies of the token payload."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    col = t.column(tokens_col)
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    chunk = (t.column(chunk_col).to_numpy(zero_copy_only=False)
+             if chunk_col and chunk_col in t.column_names else None)
+    us, ua, _ = _fim_uniforms(ids, method, chunk=chunk)
+    sel = (us < rate) & (lens >= 2)
+    c = np.where(sel, 1 + np.floor(ua * (lens - 1)).astype(np.int64), lens)
+    cols: dict = {id_col: t.column(id_col)}
+    for cc in carry_cols:
+        if cc in t.column_names:
+            cols[cc] = t.column(cc)
+    cols[tokens_col] = col
+    cols["n_prefix"] = pa.array(c.astype(np.int32))
+    return pa.table(cols)

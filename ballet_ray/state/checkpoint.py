@@ -384,9 +384,30 @@ class CheckpointedPack:
         tokens_col: str = "tokens", id_col: str = "doc_id",
         sep_token: int | None = None,
         objective: str | None = None, objective_rate: float = 0.5,
+        noise_density: float = 0.15, mean_span_len: float = 3.0,
     ):
-        if objective not in (None, "fim"):
-            raise ValueError("objective must be None or 'fim'")
+        if objective not in (None, "fim", "prefix_lm", "span"):
+            raise ValueError("objective must be None, 'fim', 'prefix_lm' or 'span'")
+        if objective == "fim" and pack_len < max_len + 3:
+            raise ValueError(
+                f"objective='fim' grows a window by 3 sentinels: need "
+                f"pack_len >= max_len + 3 (got {pack_len} < {max_len + 3})")
+        if objective == "span":
+            # exact worst-case decoder length over window sizes 1..max_len
+            # (T5's clamped rounding; decoder = inputs ⊕ targets = L+2·ns+1)
+            import numpy as _np
+
+            L = _np.arange(1, max_len + 1, dtype=_np.int64)
+            nn = _np.clip(_np.round(L * noise_density).astype(_np.int64), 1,
+                          _np.maximum(L - 1, 1))
+            ns = _np.maximum(_np.round(nn / mean_span_len).astype(_np.int64), 1)
+            ns = _np.minimum(_np.minimum(ns, nn), _np.maximum(L - nn, 1))
+            worst = int((_np.where(L >= 2, L + 2 * ns + 1, L)).max())
+            if pack_len < worst:
+                raise ValueError(
+                    f"objective='span' can grow a {max_len}-token window to "
+                    f"{worst} tokens at these parameters: need pack_len >= "
+                    f"{worst} (got {pack_len})")
         self.out_dir = out_dir
         self.examples_dir = os.path.join(out_dir, "examples")
         self.manifest_dir = os.path.join(out_dir, "manifest")
@@ -399,6 +420,8 @@ class CheckpointedPack:
         self.sep_token = sep_token
         self.objective = objective
         self.objective_rate = objective_rate
+        self.noise_density = noise_density
+        self.mean_span_len = mean_span_len
 
     def _completed(self) -> set[int]:
         if not os.path.isdir(self.manifest_dir):
@@ -431,6 +454,8 @@ class CheckpointedPack:
         max_len, stride, pack_len = self.max_len, self.stride, self.pack_len
         tokens_col, id_col, sep_token = self.tokens_col, self.id_col, self.sep_token
         objective, objective_rate = self.objective, self.objective_rate
+        noise_density, mean_span_len = self.noise_density, self.mean_span_len
+        member_cols = {"prefix_lm": ("n_prefix",), "span": ("n_in",)}.get(objective, ())
 
         @ray.remote
         def process(k: int, group: list) -> dict:
@@ -440,17 +465,39 @@ class CheckpointedPack:
             chunked = chunk_table(
                 table, list_col=tokens_col, id_col=id_col, max_len=max_len, stride=stride
             )
+            # objective transforms sit between chunking and packing — the
+            # published recipes' placement (FIM: Bavarian 2022 applies to
+            # context windows; span/prefix-LM: UL2's denoisers over fixed
+            # windows) — keyed by (doc, chunk) so a rerun of the same
+            # partition is byte-identical and resume stays consistent
             if objective == "fim":
-                # document-level FIM per context window (the OpenAI recipe:
-                # applied after chunking, before packing) — (doc, chunk)
-                # keys the draws, so a rerun of the same partition is
-                # byte-identical and resume stays consistent
                 from ballet_ray.stages.sequences import fim_table
 
                 chunked = fim_table(
                     chunked, tokens_col=tokens_col, id_col=id_col,
                     rate=objective_rate, chunk_col="chunk_id",
                     carry_cols=("chunk_id",),
+                )
+            elif objective == "prefix_lm":
+                # tokens unchanged; the split point packs alongside each
+                # member as n_prefix (the loss boundary)
+                from ballet_ray.stages.sequences import prefix_lm_mark_table
+
+                chunked = prefix_lm_mark_table(
+                    chunked, tokens_col=tokens_col, id_col=id_col,
+                    rate=objective_rate, chunk_col="chunk_id",
+                    carry_cols=("chunk_id",),
+                )
+            elif objective == "span":
+                # decoder layout: inputs ⊕ targets as one stream, n_in
+                # packs alongside each member (loss on positions >= n_in)
+                from ballet_ray.stages.sequences import span_corruption_table
+
+                chunked = span_corruption_table(
+                    chunked, tokens_col=tokens_col, id_col=id_col,
+                    noise_density=noise_density, mean_span_len=mean_span_len,
+                    chunk_col="chunk_id", carry_cols=("chunk_id",),
+                    layout="decoder",
                 )
             # pack in bounded slices: best-fit keeps a sorted open-pack
             # list whose insert cost grows with pack count, so one giant
@@ -461,10 +508,11 @@ class CheckpointedPack:
             for lo in range(0, chunked.num_rows, 8192):
                 parts.append(
                     pack_table(chunked.slice(lo, 8192), list_col=tokens_col, id_col=id_col,
-                               max_len=pack_len, sep_token=sep_token)
+                               max_len=pack_len, sep_token=sep_token, member_cols=member_cols)
                 )
             packed = pa.concat_tables(parts) if parts else pack_table(
-                chunked, list_col=tokens_col, id_col=id_col, max_len=pack_len, sep_token=sep_token
+                chunked, list_col=tokens_col, id_col=id_col, max_len=pack_len,
+                sep_token=sep_token, member_cols=member_cols
             )
             tmp = os.path.join(examples_dir, f".tmp-part={k}")
             final = os.path.join(examples_dir, f"part={k}")

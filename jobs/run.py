@@ -121,13 +121,28 @@ def _apply_blocklist(ds, args, have_cols: list[str]):
 
 
 def _objective_kwargs(args) -> dict:
-    """CheckpointedPack objective plumbing: --fim-rate R applies the
-    fill-in-the-middle transform to that fraction of context windows
-    between chunking and packing (ingest / curate / pack modes)."""
+    """CheckpointedPack objective plumbing (ingest / curate / pack modes):
+    ``--objective fim|prefix_lm|span`` applies that transform per context
+    window between chunking and packing — FIM reorders to PSM with
+    sentinel triples, prefix_lm marks a split point (n_prefix member
+    column, tokens unchanged), span emits the T5 corruption in decoder
+    layout (inputs ⊕ targets, n_in member column). ``--fim-rate R`` is
+    shorthand for ``--objective fim --objective-rate R``."""
+    obj = getattr(args, "objective", None)
     r = getattr(args, "fim_rate", None)
-    if r is None:
+    if r is not None:
+        if obj not in (None, "fim"):
+            raise SystemExit("--fim-rate conflicts with --objective " + obj)
+        return {"objective": "fim", "objective_rate": float(r)}
+    if obj is None:
         return {}
-    return {"objective": "fim", "objective_rate": float(r)}
+    kw: dict = {"objective": obj}
+    if args.objective_rate is not None:
+        kw["objective_rate"] = float(args.objective_rate)
+    if obj == "span":
+        kw["noise_density"] = float(args.noise_density)
+        kw["mean_span_len"] = float(args.mean_span_len)
+    return kw
 
 
 def _tokenizer_fn(args, vocab, keep=()):
@@ -1102,7 +1117,22 @@ def main() -> None:
     ap.add_argument("--fim-rate", type=float, default=None,
                     help="apply the fill-in-the-middle transform to this "
                          "fraction of context windows between chunking and "
-                         "packing (ingest/curate/pack modes)")
+                         "packing (ingest/curate/pack modes); shorthand for "
+                         "--objective fim --objective-rate R")
+    ap.add_argument("--objective", choices=["fim", "prefix_lm", "span"],
+                    default=None,
+                    help="objective transform applied per context window "
+                         "between chunking and packing: fim (PSM sentinel "
+                         "reorder), prefix_lm (n_prefix loss boundary per "
+                         "pack member, tokens unchanged), span (T5 span "
+                         "corruption in decoder layout with n_in per member)")
+    ap.add_argument("--objective-rate", type=float, default=None,
+                    help="fraction of windows the fim/prefix_lm objective "
+                         "transforms (default 0.5)")
+    ap.add_argument("--noise-density", type=float, default=0.15,
+                    help="span objective: fraction of tokens masked")
+    ap.add_argument("--mean-span-len", type=float, default=3.0,
+                    help="span objective: mean corrupted-span length")
     args = ap.parse_args()
     if args.input_format != "parquet" and args.mode not in ("ingest", "curate"):
         ap.error(f"--input-format {args.input_format} is supported by --mode "
