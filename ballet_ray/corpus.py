@@ -101,6 +101,7 @@ from ballet_ray.stages.similarity import (
     pq_encode,
     pq_fit,
     pq_knn,
+    semantic_decontaminate,
     semantic_dedup,
 )
 from ballet_ray.stages.streaming_dedup import (
@@ -275,6 +276,7 @@ __all__ = [
     "pq_knn",
     "pca_transform_embeddings",
     "remove_duplicate_spans",
+    "semantic_decontaminate",
     "semantic_dedup",
     "simhash_pairs",
     "stratified_sample",

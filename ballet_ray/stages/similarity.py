@@ -705,3 +705,45 @@ def ivf_pq_knn(ds, queries: np.ndarray, centroids: np.ndarray, codebooks: np.nda
         np.asarray(queries, dtype=np.float64), codebooks,
         embedding_col=embedding_col, id_col=id_col, k=k,
     )
+
+def semantic_decontaminate(ds, eval_vectors: np.ndarray, *,
+                           embedding_col: str, threshold: float = 0.95,
+                           action: str = "drop", score_col: str = "max_eval_sim"):
+    """Embedding-space benchmark decontamination: score every corpus row
+    by its MAX cosine similarity against the eval-set vectors and (with
+    ``action='drop'``) remove rows at or above ``threshold`` — the
+    semantic complement of the n-gram rules in
+    ``dedup.find_contaminated`` / ``find_contaminated_tokens``
+    (paraphrased or re-tokenized eval leakage that exact n-grams miss).
+
+    ``action='tag'`` keeps every row and appends ``score_col`` (float64)
+    for auditing / threshold calibration.
+
+    Scale shape: the eval matrix is normalized once on the driver and
+    broadcast via ``ray.put`` (benchmark suites are 10^4–10^6 rows — MBs
+    to ~1 GB in the object store, read zero-copy by every task); each
+    batch then does ONE dense GEMM and a row-max — map-only, no shuffle,
+    the corpus embeddings never leave their block. Beyond ~10^6 eval
+    rows, pre-cluster the eval side (``ivf_fit_centroids``) and probe
+    per-cell; at that point the eval set is itself a corpus and this
+    broadcast bound is documented rather than hidden.
+    """
+    if action not in ("drop", "tag"):
+        raise ValueError("action must be 'drop' or 'tag'")
+    ev = _normalize(np.asarray(eval_vectors, dtype=np.float64))
+    if ev.ndim != 2 or not len(ev):
+        raise ValueError("eval_vectors must be a non-empty (n, d) matrix")
+    evref = ray.put(ev)
+
+    def score(t: pa.Table) -> pa.Table:
+        e = ray.get(evref)
+        m = _normalize(_emb_matrix(t, embedding_col))
+        if not len(m):
+            sims = np.zeros(0, np.float64)
+        else:
+            sims = (m @ e.T).max(axis=1)
+        if action == "tag":
+            return t.append_column(score_col, pa.array(sims))
+        return t.filter(pa.array(sims < threshold))
+
+    return ds.map_batches(score, batch_format="pyarrow")

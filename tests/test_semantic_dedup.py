@@ -2,6 +2,7 @@
 transitive chains collapse to one representative."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -66,3 +67,35 @@ def test_diversity_sample_kcenter():
         n_centroids=4, kmeans_iters=2,
     ).to_pandas()
     assert sorted(zip(picked.vec_id, picked.pick_order)) == sorted(zip(again.vec_id, again.pick_order))
+
+def test_semantic_decontaminate_drop_and_tag():
+    from ballet_ray.stages.similarity import semantic_decontaminate
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(120, 16)).astype(np.float32)
+    ev = base[:4].astype(np.float64)           # eval set = first 4 vectors
+    near = ev[0] + rng.normal(scale=1e-3, size=16)  # a paraphrase-grade near copy
+    vecs = list(base) + [near.astype(np.float32)]
+    ids = list(range(120)) + [9000]
+
+    kept = semantic_decontaminate(
+        _ds(vecs, ids), ev, embedding_col="embedding", threshold=0.95
+    ).to_pandas()
+    # exactly the eval originals and the planted near-copy are gone
+    assert set(range(120)) - set(kept.vec_id) == {0, 1, 2, 3}
+    assert 9000 not in set(kept.vec_id)
+
+    # tag mode: scores match a brute numpy reference exactly
+    tagged = semantic_decontaminate(
+        _ds(vecs, ids), ev, embedding_col="embedding", action="tag"
+    ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    m = np.stack([np.asarray(v, np.float64) for v in vecs])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    e = ev / np.linalg.norm(ev, axis=1, keepdims=True)
+    want = (m @ e.T).max(axis=1)
+    order = np.argsort(ids)
+    np.testing.assert_allclose(tagged["max_eval_sim"].to_numpy(), want[order], rtol=0, atol=1e-12)
+    assert len(tagged) == len(vecs)
+
+    with pytest.raises(ValueError):
+        semantic_decontaminate(_ds(vecs, ids), ev, embedding_col="embedding", action="x")
