@@ -143,6 +143,22 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_export_tokenizer(args) -> int:
+    """Persisted BPE artifact → GPT-2 two-file format (vocab.json +
+    merges.txt) for interop with external tooling. No Ray session — the
+    artifact is a driver-side file."""
+    from ballet_ray.stages.tokenizer_io import export_bpe_files
+    from ballet_ray.state.persist import load_artifact
+
+    try:
+        vpath, mpath = export_bpe_files(load_artifact(args.artifact), args.out_dir)
+    except (TypeError, ValueError) as e:
+        print(json.dumps({"ok": False, "error": type(e).__name__, "detail": str(e)}))
+        return 1
+    print(json.dumps({"ok": True, "vocab": vpath, "merges": mpath}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ballet_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +188,13 @@ def main(argv: list[str] | None = None) -> int:
         v.add_argument(f"--{flag}", dest=dest, action="store_true", default=_env_flag(env))
         v.add_argument(f"--no-{flag}", dest=dest, action="store_false")
     v.set_defaults(fn=cmd_validate)
+
+    x = sub.add_parser("export-tokenizer",
+                       help="persisted BPE artifact → vocab.json + merges.txt "
+                            "(the published GPT-2 two-file format)")
+    x.add_argument("artifact", help="persisted fitted tokenizer artifact (.pkl)")
+    x.add_argument("out_dir")
+    x.set_defaults(fn=cmd_export_tokenizer)
 
     args = p.parse_args(argv)
     return args.fn(args)
