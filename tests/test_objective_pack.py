@@ -186,3 +186,35 @@ def test_span_pack_job(tmp_path):
                   zip(want_tbl["tokens"].to_pylist(), want_tbl["n_in"].to_pylist()))
     assert _member_multiset(ex, "n_in") == want
     assert s["tokens_out"] == sum(len(t) for t, _ in want)
+
+@pytest.mark.slow
+def test_objective_threads_through_ingest(tmp_path):
+    """--objective fim through --mode ingest: the pack phase applies the
+    transform (sentinels present, manifest records it)."""
+    rng = np.random.RandomState(3)
+    words = [f"w{j}" for j in range(80)]
+    docs = pd.DataFrame([
+        {"doc_id": i,
+         "text": " ".join(np.random.RandomState(3 + i).choice(words, 40))}
+        for i in range(30)
+    ])
+    inp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(inp)
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "ingest", "--input", inp,
+         "--out", out, "--num-cpus", "4", "--max-len", "16", "--pack-len", "64",
+         "--bloom-bits", str(1 << 20), "--objective", "fim",
+         "--objective-rate", "1.0"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    s = json.loads(r.stdout.strip().splitlines()[-1])
+    assert s["pack"]["packs"] > 0
+    ex = _read_examples(os.path.join(out, "packs"))
+    flat = np.concatenate([np.asarray(t) for t in ex["tokens"]])
+    assert (flat == -1).sum() > 0 and (flat == -2).sum() == (flat == -1).sum()
+    mans = [json.load(open(os.path.join(out, "packs", "manifest", f)))
+            for f in os.listdir(os.path.join(out, "packs", "manifest"))]
+    assert all(m["objective"] == "fim" for m in mans)
