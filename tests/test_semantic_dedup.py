@@ -99,3 +99,39 @@ def test_semantic_decontaminate_drop_and_tag():
 
     with pytest.raises(ValueError):
         semantic_decontaminate(_ds(vecs, ids), ev, embedding_col="embedding", action="x")
+
+def test_in_context_ordering_composition():
+    """In-context pretraining order (Shi 2023, arXiv:2310.10638): topic
+    clustering composed with the curriculum form of the deterministic
+    global order — docs of one topic get a CONTIGUOUS shuffle_idx range,
+    so downstream (order-preserving) chunk+pack fills each pack with
+    related docs. Pure composition of existing stages: cluster_embeddings
+    → global_shuffle_index(bucket_col='cluster')."""
+    from ballet_ray.stages.sampling import global_shuffle_index
+    from ballet_ray.stages.similarity import cluster_embeddings
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 12)) * 10
+    vecs, labels = [], []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(scale=0.05, size=(50, 12))
+        vecs += list(pts.astype(np.float32))
+        labels += [ci] * 50
+    ids = list(range(len(vecs)))
+
+    tagged, cents = cluster_embeddings(
+        _ds(vecs, ids), embedding_col="embedding", n_clusters=4,
+        sample_size=64, iters=4)
+    k = len(cents)
+    ordered = global_shuffle_index(
+        tagged, key_col="vec_id", bucket_col="cluster", n_buckets=k
+    ).to_pandas().sort_values("shuffle_idx")
+
+    # dense 0..N-1 permutation, and each k-means cell is one contiguous run
+    assert list(ordered["shuffle_idx"]) == list(range(len(vecs)))
+    runs = ordered["cluster"].to_numpy()
+    assert (np.diff(runs) >= 0).all()          # cells in sequence
+    # the planted clusters are recovered: every cell maps to ONE label
+    by_cell = ordered.groupby("cluster")["vec_id"].apply(
+        lambda s: {labels[i] for i in s})
+    assert all(len(v) == 1 for v in by_cell)
