@@ -147,11 +147,20 @@ def cmd_export_tokenizer(args) -> int:
     """Persisted BPE artifact → GPT-2 two-file format (vocab.json +
     merges.txt) for interop with external tooling. No Ray session — the
     artifact is a driver-side file."""
-    from ballet_ray.stages.tokenizer_io import export_bpe_files
+    from ballet_ray.stages.tokenizer_io import (
+        export_bpe_files,
+        export_wordpiece_vocab,
+    )
+    from ballet_ray.stages.wordpiece import WordPieceTokenizer
     from ballet_ray.state.persist import load_artifact
 
+    tok = load_artifact(args.artifact)
     try:
-        vpath, mpath = export_bpe_files(load_artifact(args.artifact), args.out_dir)
+        if isinstance(tok, WordPieceTokenizer):
+            path = export_wordpiece_vocab(tok, args.out_dir)
+            print(json.dumps({"ok": True, "vocab": path}))
+            return 0
+        vpath, mpath = export_bpe_files(tok, args.out_dir)
     except (TypeError, ValueError) as e:
         print(json.dumps({"ok": False, "error": type(e).__name__, "detail": str(e)}))
         return 1
@@ -190,8 +199,9 @@ def main(argv: list[str] | None = None) -> int:
     v.set_defaults(fn=cmd_validate)
 
     x = sub.add_parser("export-tokenizer",
-                       help="persisted BPE artifact → vocab.json + merges.txt "
-                            "(the published GPT-2 two-file format)")
+                       help="persisted tokenizer artifact → published format: "
+                            "BPE families write vocab.json + merges.txt "
+                            "(GPT-2), WordPiece writes vocab.txt (BERT)")
     x.add_argument("artifact", help="persisted fitted tokenizer artifact (.pkl)")
     x.add_argument("out_dir")
     x.set_defaults(fn=cmd_export_tokenizer)

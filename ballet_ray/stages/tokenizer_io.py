@@ -104,3 +104,36 @@ def load_bpe_files(in_dir: str, *, byte_level: bool | None = None):
             "merges.txt — files are inconsistent or from an unsupported "
             "layout")
     return tok
+
+def export_wordpiece_vocab(tok, out_dir: str) -> str:
+    """Write a fitted :class:`~ballet_ray.stages.wordpiece.WordPieceTokenizer`
+    as BERT's ``vocab.txt`` (one piece per line, line number = id — the
+    format BERT-family tools read). Returns the path. Pieces containing a
+    newline cannot be represented and raise."""
+    from ballet_ray.stages.wordpiece import WordPieceTokenizer
+
+    if not isinstance(tok, WordPieceTokenizer):
+        raise TypeError(
+            f"vocab.txt export covers WordPiece only, got {type(tok).__name__}")
+    if any("\n" in p for p in tok.id_to_piece):
+        raise ValueError("a piece contains a newline and cannot be written")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "vocab.txt")
+    with open(path, "w", encoding="utf-8") as fh:
+        for p in tok.id_to_piece:
+            fh.write(p + "\n")
+    return path
+
+
+def load_wordpiece_vocab(in_dir: str):
+    """Rebuild a WordPiece tokenizer from a ``vocab.txt`` directory (or a
+    direct file path). Encoding depends only on the piece set, so the
+    rebuilt object segments identically to the exporter."""
+    from ballet_ray.stages.wordpiece import WordPieceTokenizer
+
+    path = in_dir if in_dir.endswith(".txt") else os.path.join(in_dir, "vocab.txt")
+    with open(path, encoding="utf-8") as fh:
+        pieces = [l.rstrip("\n") for l in fh]
+    while pieces and pieces[-1] == "":
+        pieces.pop()
+    return WordPieceTokenizer.from_pieces(pieces)

@@ -60,6 +60,22 @@ class WordPieceTokenizer:
             (len(p) - (len(CONT) if p.startswith(CONT) else 0)
              for p in toks[1:]), default=1)
 
+    @classmethod
+    def from_pieces(cls, pieces: list) -> "WordPieceTokenizer":
+        """Rebuild from an ordered piece list (the BERT ``vocab.txt``
+        shape — id 0 must be ``[UNK]``). Encoding needs only the piece
+        set, so the merge history is empty on the rebuilt object."""
+        if not pieces or pieces[0] != "[UNK]":
+            raise ValueError("piece list must start with [UNK] at id 0")
+        tok = cls.__new__(cls)
+        tok.merges = []
+        tok.id_to_piece = list(pieces)
+        tok.piece_to_id = {t: i for i, t in enumerate(tok.id_to_piece)}
+        tok.max_piece_chars = max(
+            (len(p) - (len(CONT) if p.startswith(CONT) else 0)
+             for p in tok.id_to_piece[1:]), default=1)
+        return tok
+
     def vocab_size(self) -> int:
         return len(self.id_to_piece)
 

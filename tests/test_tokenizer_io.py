@@ -95,3 +95,42 @@ def test_cli_export(tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["ok"] is True
     assert load_bpe_files(out).encode_word("the") == tok.encode_word("the")
+
+def test_wordpiece_vocab_txt_roundtrip(tmp_path):
+    from ballet_ray.stages.tokenizer_io import (
+        export_wordpiece_vocab,
+        load_wordpiece_vocab,
+    )
+    from ballet_ray.stages.wordpiece import train_wordpiece
+
+    tok = train_wordpiece(_corpus(), vocab_size=80)
+    path = export_wordpiece_vocab(tok, str(tmp_path))
+    lines = open(path, encoding="utf-8").read().splitlines()
+    assert lines[0] == "[UNK]" and len(lines) == tok.vocab_size()
+    back = load_wordpiece_vocab(str(tmp_path))
+    assert back.id_to_piece == tok.id_to_piece
+    for s in SAMPLES + ["unbreakable zzz"]:
+        for w in s.split(" "):
+            assert back.encode_word(w) == tok.encode_word(w)
+    ids = tok.encode_word("quick")
+    assert back.decode(ids) == tok.decode(ids)
+    with pytest.raises(TypeError):
+        export_wordpiece_vocab(object(), str(tmp_path))
+
+def test_cli_export_wordpiece(tmp_path):
+    import subprocess
+    import sys
+
+    from ballet_ray.stages.tokenizer_io import load_wordpiece_vocab
+    from ballet_ray.stages.wordpiece import train_wordpiece
+    from ballet_ray.state.persist import save_artifact
+
+    tok = train_wordpiece(_corpus(), vocab_size=60)
+    art = str(tmp_path / "wp.pkl")
+    save_artifact(tok, art)
+    out = str(tmp_path / "bert")
+    r = subprocess.run([sys.executable, "-m", "ballet_ray", "export-tokenizer", art, out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["ok"] is True
+    assert load_wordpiece_vocab(out).encode_word("quick") == tok.encode_word("quick")
