@@ -149,8 +149,10 @@ def cmd_export_tokenizer(args) -> int:
     artifact is a driver-side file."""
     from ballet_ray.stages.tokenizer_io import (
         export_bpe_files,
+        export_unigram_vocab,
         export_wordpiece_vocab,
     )
+    from ballet_ray.stages.unigram import UnigramTokenizer
     from ballet_ray.stages.wordpiece import WordPieceTokenizer
     from ballet_ray.state.persist import load_artifact
 
@@ -158,6 +160,10 @@ def cmd_export_tokenizer(args) -> int:
     try:
         if isinstance(tok, WordPieceTokenizer):
             path = export_wordpiece_vocab(tok, args.out_dir)
+            print(json.dumps({"ok": True, "vocab": path}))
+            return 0
+        if isinstance(tok, UnigramTokenizer):
+            path = export_unigram_vocab(tok, args.out_dir)
             print(json.dumps({"ok": True, "vocab": path}))
             return 0
         vpath, mpath = export_bpe_files(tok, args.out_dir)
@@ -201,7 +207,9 @@ def main(argv: list[str] | None = None) -> int:
     x = sub.add_parser("export-tokenizer",
                        help="persisted tokenizer artifact → published format: "
                             "BPE families write vocab.json + merges.txt "
-                            "(GPT-2), WordPiece writes vocab.txt (BERT)")
+                            "(GPT-2), WordPiece writes vocab.txt (BERT), "
+                            "Unigram writes unigram.vocab (SentencePiece "
+                            "piece<TAB>logprob)")
     x.add_argument("artifact", help="persisted fitted tokenizer artifact (.pkl)")
     x.add_argument("out_dir")
     x.set_defaults(fn=cmd_export_tokenizer)

@@ -137,3 +137,59 @@ def load_wordpiece_vocab(in_dir: str):
     while pieces and pieces[-1] == "":
         pieces.pop()
     return WordPieceTokenizer.from_pieces(pieces)
+
+def export_unigram_vocab(tok, out_dir: str) -> str:
+    """Write a fitted :class:`~ballet_ray.stages.unigram.UnigramTokenizer`
+    as SentencePiece's text ``.vocab`` shape: one ``piece<TAB>logprob``
+    line per id, in id order (``<unk>`` at id 0 with score 0, as
+    SentencePiece prints it). Scores use ``repr`` so float64 round-trips
+    exactly. Returns the path."""
+    from ballet_ray.stages.unigram import UnigramTokenizer
+
+    if not isinstance(tok, UnigramTokenizer):
+        raise TypeError(
+            f".vocab export covers Unigram only, got {type(tok).__name__}")
+    if any("\n" in p or "\t" in p for p in tok.id_to_piece):
+        raise ValueError("a piece contains a tab/newline and cannot be written")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "unigram.vocab")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("<unk>\t0\n")
+        for p in tok.id_to_piece[1:]:
+            fh.write(f"{p}\t{tok.logp[p]!r}\n")
+    return path
+
+
+def load_unigram_vocab(in_dir: str):
+    """Rebuild a Unigram tokenizer from a ``unigram.vocab`` directory (or
+    direct file path). The constructor re-derives ids from (logp, piece);
+    the rebuilt order must reproduce the file's id order exactly or the
+    load fails loudly (a reordered/edited file must not silently shift
+    ids)."""
+    from ballet_ray.stages.unigram import UnigramTokenizer
+
+    path = (in_dir if in_dir.endswith(".vocab")
+            else os.path.join(in_dir, "unigram.vocab"))
+    pieces = {}
+    order = []
+    with open(path, encoding="utf-8") as fh:
+        for ln, l in enumerate(fh):
+            l = l.rstrip("\n")
+            if not l:
+                continue
+            p, sep, s = l.partition("\t")
+            if not sep:
+                raise ValueError(f"malformed .vocab line {ln}: {l!r}")
+            if ln == 0:
+                if p != "<unk>":
+                    raise ValueError("first .vocab line must be <unk>")
+                continue
+            pieces[p] = float(s)
+            order.append(p)
+    tok = UnigramTokenizer(pieces)
+    if tok.id_to_piece[1:] != order:
+        raise ValueError(
+            ".vocab id order does not match the (logp, piece) order the "
+            "constructor derives — file is edited or from an unsupported "
+            "layout")
+    return tok

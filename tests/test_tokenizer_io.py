@@ -134,3 +134,26 @@ def test_cli_export_wordpiece(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["ok"] is True
     assert load_wordpiece_vocab(out).encode_word("quick") == tok.encode_word("quick")
+
+def test_unigram_vocab_roundtrip(tmp_path):
+    from ballet_ray.stages.tokenizer_io import (
+        export_unigram_vocab,
+        load_unigram_vocab,
+    )
+    from ballet_ray.stages.unigram import train_unigram
+
+    tok = train_unigram(_corpus(), vocab_size=70)
+    path = export_unigram_vocab(tok, str(tmp_path))
+    lines = open(path, encoding="utf-8").read().splitlines()
+    assert lines[0] == "<unk>\t0" and len(lines) == tok.vocab_size()
+    back = load_unigram_vocab(str(tmp_path))
+    assert back.id_to_piece == tok.id_to_piece
+    assert back.logp == tok.logp          # exact float64 round-trip
+    for s in SAMPLES:
+        for w in s.split(" "):
+            assert back.encode_word(w) == tok.encode_word(w)
+    # edited order must refuse
+    open(path, "w", encoding="utf-8").write(
+        "\n".join([lines[0]] + lines[2:] + [lines[1]]) + "\n")
+    with pytest.raises(ValueError, match="order"):
+        load_unigram_vocab(str(tmp_path))
