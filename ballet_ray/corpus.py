@@ -129,6 +129,7 @@ from ballet_ray.stages.sketches import (
     approx_top_k,
     count_min,
 )
+from ballet_ray.stages.knlm import kn_logprob_scores
 from ballet_ray.stages.text import (
     HTML_ENTITIES,
     PII_PATTERNS,
@@ -233,6 +234,7 @@ __all__ = [
     "apply_wordpiece",
     "assign_topic_clusters",
     "bigram_logprob_scores",
+    "kn_logprob_scores",
     "bm25_top_terms",
     "budget_sample",
     "chunk_sequences",

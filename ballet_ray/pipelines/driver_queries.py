@@ -544,6 +544,63 @@ FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
 """
 
 
+def q_kn_logprob_docs(sf_dir: str):
+    """CCNet's real filter shape: per-doc logprob / mean / perplexity under
+    an interpolated Kneser–Ney TRIGRAM LM fit on the corpus (Chen & Goodman
+    1999 interpolated KN with Ney discounts D = n1/(n1+2n2) per order — the
+    family KenLM implements; the bigram query above is the cheap stand-in).
+    Fit = one corpus-wide trigram groupby + coarse-partition context
+    kernels; scoring shuffle-free. Full SQL oracle recomputes the entire
+    fit in DuckDB."""
+    from ballet_ray.stages.knlm import kn_logprob_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return kn_logprob_scores(ds, alpha=0.5, round_to=4)
+
+
+SQL_KN_LOGPROB_DOCS = """
+WITH docs AS (SELECT doc_id, string_split('<s> <s> ' || text, ' ') AS w FROM documents),
+tris AS (
+    SELECT doc_id, w[i] AS u, w[i + 1] AS v, w[i + 2] AS t3
+    FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+tc AS (SELECT u, v, t3, COUNT(*)::DOUBLE AS c FROM tris GROUP BY u, v, t3),
+cof3 AS (SELECT SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::DOUBLE AS n2 FROM tc),
+d3 AS (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d FROM cof3),
+ctx3 AS (SELECT u, v, SUM(c) AS tot, COUNT(*)::DOUBLE AS np FROM tc GROUP BY u, v),
+k AS (SELECT v, t3, COUNT(*)::DOUBLE AS kc FROM tc GROUP BY v, t3),
+cof2 AS (SELECT SUM(CASE WHEN kc = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                SUM(CASE WHEN kc = 2 THEN 1 ELSE 0 END)::DOUBLE AS n2 FROM k),
+d2 AS (SELECT CASE WHEN n1 + 2 * n2 > 0 THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d FROM cof2),
+ctx2 AS (SELECT v, SUM(kc) AS tot, COUNT(*)::DOUBLE AS nw FROM k GROUP BY v),
+cw AS (SELECT t3, COUNT(*)::DOUBLE AS c FROM k GROUP BY t3),
+nb AS (SELECT COUNT(*)::DOUBLE AS n FROM k),
+vv AS (SELECT COUNT(*)::DOUBLE AS v FROM cw),
+lp AS (
+    SELECT tr.doc_id,
+           ln(GREATEST(tc.c - d3.d, 0) / ctx3.tot
+              + d3.d * ctx3.np / ctx3.tot
+                * (GREATEST(k.kc - d2.d, 0) / ctx2.tot
+                   + d2.d * ctx2.nw / ctx2.tot
+                     * ((cw.c + 0.5) / (nb.n + 0.5 * (vv.v + 1))))) AS l
+    FROM tris tr
+    JOIN tc ON tc.u = tr.u AND tc.v = tr.v AND tc.t3 = tr.t3
+    JOIN ctx3 ON ctx3.u = tr.u AND ctx3.v = tr.v
+    JOIN k ON k.v = tr.v AND k.t3 = tr.t3
+    JOIN ctx2 ON ctx2.v = tr.v
+    JOIN cw ON cw.t3 = tr.t3
+    CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN nb CROSS JOIN vv
+),
+agg AS (SELECT doc_id, SUM(l) AS s, COUNT(*) AS np FROM lp GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(COALESCE(agg.s, 0), 4) AS logprob,
+       ROUND(COALESCE(agg.s / agg.np, 0), 4) AS mean_logprob,
+       ROUND(EXP(-COALESCE(agg.s / agg.np, 0)), 4) AS ppl
+FROM docs d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def q_ppl_bucket_docs(sf_dir: str):
     """CCNet head/middle/tail split (Wenzek et al. 2020 §3.3): score every
     doc with the corpus-fit interpolated bigram LM, then cut the
@@ -4034,6 +4091,7 @@ WHERE (SELECT MAX(list_cosine_similarity(c.embedding, e.embedding)) FROM ev e) <
 # therefore listed FIRST so round 5 records them. The long-certified 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "kn_logprob_docs": q_kn_logprob_docs,
     "token_contamination_docs": q_token_contamination_docs,
     "fim_transform_docs": q_fim_transform_docs,
     "vocab_prune_docs": q_vocab_prune_docs,
@@ -4254,6 +4312,7 @@ ORACLE_SQL = {
     "dsir_logw_docs": SQL_DSIR_LOGW_DOCS,
     "dsir_resample_docs": SQL_DSIR_RESAMPLE_DOCS,
     "bigram_logprob_docs": SQL_BIGRAM_LOGPROB_DOCS,
+    "kn_logprob_docs": SQL_KN_LOGPROB_DOCS,
     "canonicalize_url_docs": SQL_CANONICALIZE_URL_DOCS,
     "warc_pipeline_docs": SQL_WARC_PIPELINE_DOCS,
     "domain_filter_docs": SQL_DOMAIN_FILTER_DOCS,

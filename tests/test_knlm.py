@@ -1,0 +1,151 @@
+"""Interpolated Kneser–Ney trigram LM (knlm.kn_logprob_scores) vs an
+independent pure-Python reference implementation of Chen & Goodman's
+interpolated KN with Ney discounts."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from ballet_ray.stages.knlm import kn_logprob_scores
+
+DOCS = [
+    ("a", "the cat sat on the mat"),
+    ("b", "the cat sat on the mat again and again"),
+    ("c", "mat the on sat cat the"),       # same words, shuffled order
+    ("d", "one"),                          # single word: one BOS-context position
+    ("e", "x y x y x y x y"),
+    ("f", "the cat sat on the mat"),       # exact repeat lifts trigram counts
+    ("g", ""),                             # empty text: one '' position
+]
+ALPHA = 0.5
+BOS = "<s>"
+
+
+def _brute():
+    """Independent dict-based fit + score (no shared code with the stage)."""
+    tri = {}
+    for _, t in DOCS:
+        w = [BOS, BOS] + t.split(" ")
+        for i in range(len(w) - 2):
+            k = (w[i], w[i + 1], w[i + 2])
+            tri[k] = tri.get(k, 0) + 1
+
+    def disc(counts):
+        n1 = sum(1 for c in counts if c == 1)
+        n2 = sum(1 for c in counts if c == 2)
+        return n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
+
+    d3 = disc(tri.values())
+    ctx_tot, ctx_n = {}, {}
+    for (u, v, w), c in tri.items():
+        ctx_tot[(u, v)] = ctx_tot.get((u, v), 0) + c
+        ctx_n[(u, v)] = ctx_n.get((u, v), 0) + 1
+    k = {}
+    for (u, v, w) in tri:
+        k[(v, w)] = k.get((v, w), 0) + 1
+    d2 = disc(k.values())
+    v_tot, v_n = {}, {}
+    for (v, w), c in k.items():
+        v_tot[v] = v_tot.get(v, 0) + c
+        v_n[v] = v_n.get(v, 0) + 1
+    cw = {}
+    for (v, w) in k:
+        cw[w] = cw.get(w, 0) + 1
+    nb = len(k)
+    vocab = len(cw)
+    denom = nb + ALPHA * (vocab + 1.0)
+
+    def p(u, v, w):
+        p1 = (cw.get(w, 0) + ALPHA) / denom
+        if v in v_tot:
+            p2 = max(k.get((v, w), 0) - d2, 0.0) / v_tot[v]
+            g2 = d2 * v_n[v] / v_tot[v]
+        else:
+            p2, g2 = 0.0, 1.0
+        if (u, v) in ctx_tot:
+            p3 = max(tri.get((u, v, w), 0) - d3, 0.0) / ctx_tot[(u, v)]
+            g3 = d3 * ctx_n[(u, v)] / ctx_tot[(u, v)]
+        else:
+            p3, g3 = 0.0, 1.0
+        return p3 + g3 * (p2 + g2 * p1)
+
+    out = {}
+    for i, t in DOCS:
+        w = [BOS, BOS] + t.split(" ")
+        ls = [np.log(p(w[j], w[j + 1], w[j + 2])) for j in range(len(w) - 2)]
+        tot = float(np.sum(ls))
+        mean = tot / len(ls)
+        out[i] = (tot, mean, float(np.exp(-mean)))
+    return out
+
+
+def _ds(parts=3):
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in DOCS]).repartition(parts)
+
+
+def test_matches_brute_force():
+    got = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id")
+    exp = _brute()
+    for key, (tot, mean, ppl) in exp.items():
+        assert got.loc[key, "logprob"] == pytest.approx(tot, abs=1e-10), key
+        assert got.loc[key, "mean_logprob"] == pytest.approx(mean, abs=1e-10)
+        assert got.loc[key, "ppl"] == pytest.approx(ppl, abs=1e-10)
+
+
+def test_partition_invariance():
+    a = kn_logprob_scores(_ds(1), round_to=None).to_pandas().set_index("doc_id").sort_index()
+    b = kn_logprob_scores(_ds(7), round_to=None).to_pandas().set_index("doc_id").sort_index()
+    for col in ("logprob", "mean_logprob", "ppl"):
+        np.testing.assert_allclose(a[col].to_numpy(), b[col].to_numpy(),
+                                   rtol=0, atol=1e-12)
+
+
+def test_non_binding_caps_identical():
+    base = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id").sort_index()
+    capped = kn_logprob_scores(
+        _ds(), round_to=None, max_trigrams=10_000, max_bigrams=10_000,
+        max_vocab=10_000).to_pandas().set_index("doc_id").sort_index()
+    np.testing.assert_array_equal(base["logprob"].to_numpy(),
+                                  capped["logprob"].to_numpy())
+
+
+def test_binding_trigram_cap_backs_off_not_crashes():
+    # cap keeps only the 3 most frequent trigrams; scores stay finite and
+    # docs whose grams all survive are unchanged
+    capped = kn_logprob_scores(
+        _ds(), round_to=None, max_trigrams=3).to_pandas().set_index("doc_id")
+    assert np.isfinite(capped["logprob"].to_numpy()).all()
+    assert (capped["ppl"].to_numpy() > 0).all()
+
+
+def test_fluent_beats_shuffled():
+    # doc a (seen fluent trigrams, reinforced by doc f) must out-score the
+    # shuffled-word doc c — the CCNet motivation for the filter
+    got = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id")
+    assert got.loc["a", "ppl"] < got.loc["c", "ppl"]
+
+
+def test_single_and_empty_docs():
+    got = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id")
+    # single word doc scores exactly one position (BOS BOS -> w)
+    assert got.loc["d", "logprob"] != 0.0
+    assert got.loc["d", "mean_logprob"] == pytest.approx(
+        got.loc["d", "logprob"], abs=1e-12)
+    # empty text scores one '' position, still finite
+    assert np.isfinite(got.loc["g", "logprob"])
+
+
+def test_null_text_rows():
+    ds = rd.from_items([{"doc_id": "a", "text": "x y z"},
+                        {"doc_id": "n", "text": None}]).repartition(2)
+    got = kn_logprob_scores(ds, round_to=None).to_pandas().set_index("doc_id")
+    assert got.loc["n", "logprob"] == 0.0
+    assert got.loc["n", "ppl"] == 1.0
+
+
+def test_keep_cols_carried():
+    ds = rd.from_items([{"doc_id": "a", "text": "x y", "lang": "en"},
+                        {"doc_id": "b", "text": "y x", "lang": "de"}])
+    got = kn_logprob_scores(ds, keep_cols=["lang"]).to_pandas().set_index("doc_id")
+    assert got.loc["a", "lang"] == "en" and got.loc["b", "lang"] == "de"
