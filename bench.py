@@ -489,6 +489,22 @@ def run_bench() -> dict:
             print(f"# bpe bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             qtimes["bpe_fit_apply_1m_docs"] = -1.0
 
+        # interpolated Kneser-Ney trigram LM (CCNet's real filter shape)
+        # fit + score over the same 1M-doc text corpus: one corpus-wide
+        # trigram-keyed groupby + coarse-partition context kernels, then a
+        # shuffle-free scoring pass
+        from ballet_ray.stages.knlm import kn_logprob_scores
+
+        def run_kn_lm():
+            docs = rd.read_parquet(ingest_dir, columns=["doc_id", "text"])
+            kn_logprob_scores(docs).count()
+
+        try:
+            qtimes["kn_logprob_1m_docs"] = best_time(run_kn_lm)
+        except Exception as e:
+            print(f"# kn lm bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+            qtimes["kn_logprob_1m_docs"] = -1.0
+
     ray.shutdown()
     return {
         "metric": "feature_materialization_sec",

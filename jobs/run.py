@@ -773,10 +773,16 @@ def run_curate(args) -> None:
             # below-threshold filter is map-only over the materialized
             # scored corpus — no doc-keyed join back
             carry = [c for c in ds.schema().names if c != "doc_id"]
-            if args.lm == "bigram":
-                from ballet_ray.stages.text import bigram_logprob_scores
+            if args.lm in ("bigram", "kn"):
+                if args.lm == "kn":
+                    # the real CCNet filter shape: interpolated Kneser-Ney
+                    # trigram (KenLM's family) — its trigram-keyed fit
+                    # exchange is the largest of the three LM options
+                    from ballet_ray.stages.knlm import kn_logprob_scores as _lm
+                else:
+                    from ballet_ray.stages.text import bigram_logprob_scores as _lm
 
-                scored = bigram_logprob_scores(
+                scored = _lm(
                     ds, text_col="text", id_col="doc_id", round_to=None,
                     keep_cols=carry,
                 ).materialize()
@@ -818,7 +824,7 @@ def run_curate(args) -> None:
                     batch_format="pyarrow",
                 )
                 thr = ppl_buckets
-            elif args.lm == "bigram":
+            elif args.lm in ("bigram", "kn"):
                 thr = float(approx_quantiles(scored, "ppl", [args.ppl_keep])[0])
                 filtered = scored.map_batches(
                     lambda t, thr=thr: t.filter(
@@ -1049,10 +1055,13 @@ def main() -> None:
                          "rank docs by LM score within the mixture group, "
                          "cut into thirds, keep this comma list of buckets "
                          "(e.g. 'head,middle'); replaces --ppl-keep")
-    ap.add_argument("--lm", choices=["unigram", "bigram"], default="unigram",
+    ap.add_argument("--lm", choices=["unigram", "bigram", "kn"],
+                    default="unigram",
                     help="curate mode: perplexity-filter model (unigram = "
                          "vocab-bounded model table, scale-safe default; "
-                         "bigram = CCNet-style interpolated model)")
+                         "bigram = CCNet-style interpolated model; kn = "
+                         "interpolated Kneser-Ney trigram, the KenLM family "
+                         "CCNet actually uses)")
     ap.add_argument("--quality-model", default=None,
                     help="curate mode: path to a persisted fit_text_logreg "
                          "artifact; applies the classifier filter after the "

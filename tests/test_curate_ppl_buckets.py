@@ -87,6 +87,40 @@ def test_ppl_buckets_head_middle(tmp_path):
 
 
 @pytest.mark.slow
+def test_ppl_buckets_kn_lm(tmp_path):
+    """--lm kn routes the CCNet selection through the interpolated
+    Kneser-Ney trigram scorer (score values parity-tested in
+    tests/test_knlm.py; here: the job's ranking/keep set is internally
+    consistent with its own all-buckets run)."""
+    import pyarrow.parquet as pq
+
+    inp = tmp_path / "docs.parquet"
+    df = _docs(n=60)
+    df.to_parquet(inp)
+
+    full = _run(str(inp), str(tmp_path / "full"), "--stop-after", "lm",
+                "--lm", "kn", "--ppl-buckets", "head,middle,tail")
+    assert full.returncode == 0, full.stderr[-3000:]
+    allb = pq.read_table(os.path.join(str(tmp_path / "full"), "lm")).to_pandas()
+
+    r = _run(str(inp), str(tmp_path / "out"), "--stop-after", "lm",
+             "--lm", "kn", "--ppl-buckets", "head")
+    assert r.returncode == 0, r.stderr[-3000:]
+    lm = pq.read_table(os.path.join(str(tmp_path / "out"), "lm")).to_pandas()
+    assert set(lm.ppl_bucket) == {"head"}
+
+    def pct_rank(g):
+        rk = g["ppl"].rank(method="min") - 1
+        n = len(g)
+        return rk / (n - 1) if n > 1 else rk * 0.0
+
+    pr = allb.groupby("source", group_keys=False)[["ppl", "doc_id", "source"]].apply(
+        lambda g: g.assign(pr=pct_rank(g)))
+    want = set(pr.loc[pr.pr < 1.0 / 3, "doc_id"])
+    assert set(lm.doc_id) == want
+
+
+@pytest.mark.slow
 def test_redact_pii_in_clean_stage(tmp_path):
     import pyarrow.parquet as pq
 
