@@ -21,58 +21,58 @@ ALPHA = 0.5
 BOS = "<s>"
 
 
-def _brute():
-    """Independent dict-based fit + score (no shared code with the stage)."""
-    tri = {}
+def _brute(order=3):
+    """Independent dict-based fit + score (no shared code with the stage):
+    generic-order interpolated KN with Ney discounts and continuation
+    counts derived level by level."""
+    top = {}
     for _, t in DOCS:
-        w = [BOS, BOS] + t.split(" ")
-        for i in range(len(w) - 2):
-            k = (w[i], w[i + 1], w[i + 2])
-            tri[k] = tri.get(k, 0) + 1
+        w = [BOS] * (order - 1) + t.split(" ")
+        for i in range(len(w) - order + 1):
+            g = tuple(w[i:i + order])
+            top[g] = top.get(g, 0) + 1
 
     def disc(counts):
         n1 = sum(1 for c in counts if c == 1)
         n2 = sum(1 for c in counts if c == 2)
         return n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
 
-    d3 = disc(tri.values())
-    ctx_tot, ctx_n = {}, {}
-    for (u, v, w), c in tri.items():
-        ctx_tot[(u, v)] = ctx_tot.get((u, v), 0) + c
-        ctx_n[(u, v)] = ctx_n.get((u, v), 0) + 1
-    k = {}
-    for (u, v, w) in tri:
-        k[(v, w)] = k.get((v, w), 0) + 1
-    d2 = disc(k.values())
-    v_tot, v_n = {}, {}
-    for (v, w), c in k.items():
-        v_tot[v] = v_tot.get(v, 0) + c
-        v_n[v] = v_n.get(v, 0) + 1
-    cw = {}
-    for (v, w) in k:
-        cw[w] = cw.get(w, 0) + 1
-    nb = len(k)
+    pmods, tbl = {}, top
+    for k in range(order, 1, -1):
+        d = disc(tbl.values())
+        ctx_tot, ctx_n = {}, {}
+        for g, c in tbl.items():
+            ctx_tot[g[:-1]] = ctx_tot.get(g[:-1], 0) + c
+            ctx_n[g[:-1]] = ctx_n.get(g[:-1], 0) + 1
+        pmods[k] = (d, dict(tbl), ctx_tot, ctx_n)
+        nxt = {}
+        for g in tbl:
+            nxt[g[1:]] = nxt.get(g[1:], 0) + 1
+        tbl = nxt
+    cw = tbl                      # level-1 continuation counts, keys (w,)
+    nb = sum(cw.values())
     vocab = len(cw)
     denom = nb + ALPHA * (vocab + 1.0)
 
-    def p(u, v, w):
-        p1 = (cw.get(w, 0) + ALPHA) / denom
-        if v in v_tot:
-            p2 = max(k.get((v, w), 0) - d2, 0.0) / v_tot[v]
-            g2 = d2 * v_n[v] / v_tot[v]
-        else:
-            p2, g2 = 0.0, 1.0
-        if (u, v) in ctx_tot:
-            p3 = max(tri.get((u, v, w), 0) - d3, 0.0) / ctx_tot[(u, v)]
-            g3 = d3 * ctx_n[(u, v)] / ctx_tot[(u, v)]
-        else:
-            p3, g3 = 0.0, 1.0
-        return p3 + g3 * (p2 + g2 * p1)
+    def p(gram):
+        acc = (cw.get(gram[-1:], 0) + ALPHA) / denom
+        for k in range(2, order + 1):
+            d, tb, ct, cn = pmods[k]
+            sfx = gram[order - k:]
+            ctx = sfx[:-1]
+            if ctx in ct:
+                pk = max(tb.get(sfx, 0) - d, 0.0) / ct[ctx]
+                gk = d * cn[ctx] / ct[ctx]
+            else:
+                pk, gk = 0.0, 1.0
+            acc = pk + gk * acc
+        return acc
 
     out = {}
     for i, t in DOCS:
-        w = [BOS, BOS] + t.split(" ")
-        ls = [np.log(p(w[j], w[j + 1], w[j + 2])) for j in range(len(w) - 2)]
+        w = [BOS] * (order - 1) + t.split(" ")
+        ls = [np.log(p(tuple(w[j:j + order])))
+              for j in range(len(w) - order + 1)]
         tot = float(np.sum(ls))
         mean = tot / len(ls)
         out[i] = (tot, mean, float(np.exp(-mean)))
@@ -84,9 +84,11 @@ def _ds(parts=3):
         [{"doc_id": i, "text": t} for i, t in DOCS]).repartition(parts)
 
 
-def test_matches_brute_force():
-    got = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id")
-    exp = _brute()
+@pytest.mark.parametrize("order", [2, 3, 5])
+def test_matches_brute_force(order):
+    got = kn_logprob_scores(
+        _ds(), order=order, round_to=None).to_pandas().set_index("doc_id")
+    exp = _brute(order)
     for key, (tot, mean, ppl) in exp.items():
         assert got.loc[key, "logprob"] == pytest.approx(tot, abs=1e-10), key
         assert got.loc[key, "mean_logprob"] == pytest.approx(mean, abs=1e-10)
@@ -104,7 +106,7 @@ def test_partition_invariance():
 def test_non_binding_caps_identical():
     base = kn_logprob_scores(_ds(), round_to=None).to_pandas().set_index("doc_id").sort_index()
     capped = kn_logprob_scores(
-        _ds(), round_to=None, max_trigrams=10_000, max_bigrams=10_000,
+        _ds(), round_to=None, max_ngrams=10_000,
         max_vocab=10_000).to_pandas().set_index("doc_id").sort_index()
     np.testing.assert_array_equal(base["logprob"].to_numpy(),
                                   capped["logprob"].to_numpy())
@@ -114,7 +116,7 @@ def test_binding_trigram_cap_backs_off_not_crashes():
     # cap keeps only the 3 most frequent trigrams; scores stay finite and
     # docs whose grams all survive are unchanged
     capped = kn_logprob_scores(
-        _ds(), round_to=None, max_trigrams=3).to_pandas().set_index("doc_id")
+        _ds(), round_to=None, max_ngrams=3).to_pandas().set_index("doc_id")
     assert np.isfinite(capped["logprob"].to_numpy()).all()
     assert (capped["ppl"].to_numpy() > 0).all()
 
