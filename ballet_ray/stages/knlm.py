@@ -98,20 +98,39 @@ def _ngram_strings(words, order: int):
 
 
 def _count_of_counts(ds, col: str):
-    """(n1, n2) = # rows with count 1 / 2 — two tiny partial-sum reductions."""
+    """(n1, n2, n3, n4) = # rows with count 1/2/3/4 — tiny partial-sum
+    reductions over the distinct-gram table."""
 
     def partial(t: pa.Table) -> pa.Table:
         c = t.column(col).to_numpy(zero_copy_only=False)
-        return pa.table({"n1": pa.array([int((c == 1).sum())], pa.int64()),
-                         "n2": pa.array([int((c == 2).sum())], pa.int64())})
+        return pa.table({f"n{j}": pa.array([int((c == j).sum())], pa.int64())
+                         for j in (1, 2, 3, 4)})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").sum(["n1", "n2"])
-    return float(agg["sum(n1)"]), float(agg["sum(n2)"])
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n1", "n2", "n3", "n4"])
+    return tuple(float(agg[f"sum(n{j})"]) for j in (1, 2, 3, 4))
 
 
 def _discount(n1: float, n2: float) -> float:
     d = n1 + 2.0 * n2
     return n1 / d if d > 0 else 0.5
+
+
+def _modified_discounts(n1, n2, n3, n4):
+    """Modified-KN discounts D1/D2/D3+ (Chen & Goodman 1999 eq. 26, the
+    scheme KenLM ships): Y = n1/(n1+2n2), D_j = j − (j+1)·Y·n_{j+1}/n_j,
+    clamped into [0, j] for robustness (KenLM refuses ill-formed
+    discounts; we clamp and keep going). Returns None when any needed
+    count-of-count is zero — the caller falls back to the single Ney
+    discount for that level (tiny or degenerate corpora)."""
+    if n1 <= 0 or n2 <= 0 or n3 <= 0 or n4 <= 0:
+        return None
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = 1.0 - 2.0 * y * n2 / n1
+    d2 = 2.0 - 3.0 * y * n3 / n2
+    d3 = 3.0 - 4.0 * y * n4 / n3
+    return (min(max(d1, 0.0), 1.0), min(max(d2, 0.0), 2.0),
+            min(max(d3, 0.0), 3.0))
 
 
 def _prefix_suffix(gcol, k: int):
@@ -137,6 +156,7 @@ def _capped_pandas(ds, count_col: str, key_col: str, cap: int | None):
 
 def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       order: int = 3, alpha: float = 0.5,
+                      discount: str = "ney",
                       round_to: int | None = 4,
                       max_ngrams: int | None = 5_000_000,
                       max_vocab: int | None = 2_000_000,
@@ -152,11 +172,18 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     ``keep_cols``: extra input columns carried through the scoring map
     unchanged (join-free filter-by-score, as in the other LM scorers).
+
+    ``discount``: ``"ney"`` (single D per level, Chen & Goodman's
+    interpolated KN — the SQL-auditable default) or ``"modified"``
+    (D1/D2/D3+ per level, the modified-KN scheme KenLM ships; levels with
+    degenerate counts-of-counts fall back to the single discount).
     """
     import ray as _ray
 
     if order < 2:
         raise ValueError("kn_logprob_scores needs order >= 2")
+    if discount not in ("ney", "modified"):
+        raise ValueError(f"unknown discount scheme {discount!r}")
 
     # ---- fit: corpus-wide N-gram counts (the one big exchange) ----
     def top_counts(t: pa.Table) -> pa.Table:
@@ -188,7 +215,9 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         count_col = "sum(n)"
 
         for k in range(order, 1, -1):
-            n1, n2 = _count_of_counts(tbl, count_col)
+            n1, n2, n3, n4 = _count_of_counts(tbl, count_col)
+            dmod = (_modified_discounts(n1, n2, n3, n4)
+                    if discount == "modified" else None)
             dk = _discount(n1, n2)
 
             def add_keys(t: pa.Table, k=k, cc=count_col) -> pa.Table:
@@ -199,15 +228,33 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                  "tail": tail, "c": t.column(cc),
                                  "__part": part})
 
-            def ctx_kernel(df: pd.DataFrame, dk=dk) -> pd.DataFrame:
-                grp = df.groupby("ctx", sort=False)["c"]
-                tot = grp.transform("sum").to_numpy(np.float64)
-                npg = grp.transform("size").to_numpy(np.float64)
+            def ctx_kernel(df: pd.DataFrame, dk=dk,
+                           dmod=dmod) -> pd.DataFrame:
+                grp = df.groupby("ctx", sort=False)
+                tot = grp["c"].transform("sum").to_numpy(np.float64)
                 c = df["c"].to_numpy(np.float64)
+                if dmod is None:
+                    npg = grp["c"].transform("size").to_numpy(np.float64)
+                    p = np.maximum(c - dk, 0.0) / tot
+                    gam = dk * npg / tot
+                else:
+                    d1, d2, d3 = dmod
+                    dc = np.where(c == 1, d1, np.where(c == 2, d2, d3))
+                    p = np.maximum(c - dc, 0.0) / tot
+                    # γ(ctx) = (D1·N1(ctx) + D2·N2(ctx) + D3·N3+(ctx))/tot
+                    is1 = (c == 1).astype(np.float64)
+                    is2 = (c == 2).astype(np.float64)
+                    is3 = (c >= 3).astype(np.float64)
+                    tdf = pd.DataFrame({"ctx": df["ctx"].to_numpy(),
+                                        "i1": is1, "i2": is2, "i3": is3})
+                    tg = tdf.groupby("ctx", sort=False)
+                    gam = (d1 * tg["i1"].transform("sum").to_numpy(np.float64)
+                           + d2 * tg["i2"].transform("sum").to_numpy(np.float64)
+                           + d3 * tg["i3"].transform("sum").to_numpy(np.float64)
+                           ) / tot
                 return pd.DataFrame({
                     "g": df["g"], "ctx": df["ctx"], "c": df["c"],
-                    "p": np.maximum(c - dk, 0.0) / tot,
-                    "gam": dk * npg / tot})
+                    "p": p, "gam": gam})
 
             keyed = tbl.map_batches(add_keys, batch_format="pyarrow")
             model = (keyed.select_columns(["g", "ctx", "c", "__part"])

@@ -21,30 +21,38 @@ ALPHA = 0.5
 BOS = "<s>"
 
 
-def _brute(order=3):
+def _brute(docs=DOCS, order=3, discount="ney"):
     """Independent dict-based fit + score (no shared code with the stage):
-    generic-order interpolated KN with Ney discounts and continuation
-    counts derived level by level."""
+    generic-order interpolated KN, Ney single discount or modified-KN
+    D1/D2/D3+, continuation counts derived level by level."""
     top = {}
-    for _, t in DOCS:
+    for _, t in docs:
         w = [BOS] * (order - 1) + t.split(" ")
         for i in range(len(w) - order + 1):
             g = tuple(w[i:i + order])
             top[g] = top.get(g, 0) + 1
 
-    def disc(counts):
-        n1 = sum(1 for c in counts if c == 1)
-        n2 = sum(1 for c in counts if c == 2)
-        return n1 / (n1 + 2 * n2) if (n1 + 2 * n2) > 0 else 0.5
-
     pmods, tbl = {}, top
     for k in range(order, 1, -1):
-        d = disc(tbl.values())
-        ctx_tot, ctx_n = {}, {}
+        counts = list(tbl.values())
+        nj = [sum(1 for c in counts if c == j) for j in (1, 2, 3, 4)]
+        dsingle = (nj[0] / (nj[0] + 2 * nj[1])
+                   if (nj[0] + 2 * nj[1]) > 0 else 0.5)
+        dm = None
+        if discount == "modified" and all(x > 0 for x in nj):
+            y = nj[0] / (nj[0] + 2 * nj[1])
+            dm = (min(max(1 - 2 * y * nj[1] / nj[0], 0.0), 1.0),
+                  min(max(2 - 3 * y * nj[2] / nj[1], 0.0), 2.0),
+                  min(max(3 - 4 * y * nj[3] / nj[2], 0.0), 3.0))
+        ctx_tot, ctx_n1, ctx_n2, ctx_n3, ctx_n = {}, {}, {}, {}, {}
         for g, c in tbl.items():
-            ctx_tot[g[:-1]] = ctx_tot.get(g[:-1], 0) + c
-            ctx_n[g[:-1]] = ctx_n.get(g[:-1], 0) + 1
-        pmods[k] = (d, dict(tbl), ctx_tot, ctx_n)
+            ctx = g[:-1]
+            ctx_tot[ctx] = ctx_tot.get(ctx, 0) + c
+            ctx_n[ctx] = ctx_n.get(ctx, 0) + 1
+            key = ctx_n1 if c == 1 else (ctx_n2 if c == 2 else ctx_n3)
+            key[ctx] = key.get(ctx, 0) + 1
+        pmods[k] = (dsingle, dm, dict(tbl), ctx_tot, ctx_n,
+                    ctx_n1, ctx_n2, ctx_n3)
         nxt = {}
         for g in tbl:
             nxt[g[1:]] = nxt.get(g[1:], 0) + 1
@@ -57,19 +65,26 @@ def _brute(order=3):
     def p(gram):
         acc = (cw.get(gram[-1:], 0) + ALPHA) / denom
         for k in range(2, order + 1):
-            d, tb, ct, cn = pmods[k]
+            d, dm, tb, ct, cn, c1, c2, c3 = pmods[k]
             sfx = gram[order - k:]
             ctx = sfx[:-1]
             if ctx in ct:
-                pk = max(tb.get(sfx, 0) - d, 0.0) / ct[ctx]
-                gk = d * cn[ctx] / ct[ctx]
+                c = tb.get(sfx, 0)
+                if dm is None:
+                    pk = max(c - d, 0.0) / ct[ctx]
+                    gk = d * cn[ctx] / ct[ctx]
+                else:
+                    dc = dm[0] if c == 1 else (dm[1] if c == 2 else dm[2])
+                    pk = max(c - dc, 0.0) / ct[ctx]
+                    gk = (dm[0] * c1.get(ctx, 0) + dm[1] * c2.get(ctx, 0)
+                          + dm[2] * c3.get(ctx, 0)) / ct[ctx]
             else:
                 pk, gk = 0.0, 1.0
             acc = pk + gk * acc
         return acc
 
     out = {}
-    for i, t in DOCS:
+    for i, t in docs:
         w = [BOS] * (order - 1) + t.split(" ")
         ls = [np.log(p(tuple(w[j:j + order])))
               for j in range(len(w) - order + 1)]
@@ -77,6 +92,14 @@ def _brute(order=3):
         mean = tot / len(ls)
         out[i] = (tot, mean, float(np.exp(-mean)))
     return out
+
+
+def _rep_docs():
+    """Corpus engineered so counts-of-counts n1..n4 are all populated at
+    every level (the modified-discount estimates are non-degenerate)."""
+    rng = np.random.RandomState(7)
+    words = [f"t{j}" for j in range(8)]
+    return [(f"m{i}", " ".join(rng.choice(words, 7))) for i in range(50)]
 
 
 def _ds(parts=3):
@@ -88,11 +111,28 @@ def _ds(parts=3):
 def test_matches_brute_force(order):
     got = kn_logprob_scores(
         _ds(), order=order, round_to=None).to_pandas().set_index("doc_id")
-    exp = _brute(order)
+    exp = _brute(order=order)
     for key, (tot, mean, ppl) in exp.items():
         assert got.loc[key, "logprob"] == pytest.approx(tot, abs=1e-10), key
         assert got.loc[key, "mean_logprob"] == pytest.approx(mean, abs=1e-10)
         assert got.loc[key, "ppl"] == pytest.approx(ppl, abs=1e-10)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_modified_discounts_match_brute(order):
+    docs = _rep_docs()
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs]).repartition(4)
+    got = kn_logprob_scores(ds, order=order, discount="modified",
+                            round_to=None).to_pandas().set_index("doc_id")
+    exp = _brute(docs, order=order, discount="modified")
+    for key, (tot, mean, ppl) in exp.items():
+        assert got.loc[key, "logprob"] == pytest.approx(tot, abs=1e-9), key
+        assert got.loc[key, "ppl"] == pytest.approx(ppl, abs=1e-9)
+    # guard against vacuity: on this corpus modified must actually differ
+    # from the single-discount model (counts-of-counts are non-degenerate)
+    ney = _brute(docs, order=order, discount="ney")
+    assert any(abs(exp[k][0] - ney[k][0]) > 1e-9 for k in exp)
 
 
 def test_partition_invariance():
