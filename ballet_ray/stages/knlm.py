@@ -160,6 +160,8 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       round_to: int | None = 4,
                       max_ngrams: int | None = 5_000_000,
                       max_vocab: int | None = 2_000_000,
+                      prune_min_count: int = 1,
+                      concurrency: int | tuple | None = (1, 8),
                       keep_cols: list[str] | None = None):
     """Per-document ``logprob`` / ``mean_logprob`` / ``ppl`` under an
     interpolated Kneser–Ney ``order``-gram LM fit on the corpus itself
@@ -177,6 +179,18 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
     interpolated KN — the SQL-auditable default) or ``"modified"``
     (D1/D2/D3+ per level, the modified-KN scheme KenLM ships; levels with
     degenerate counts-of-counts fall back to the single discount).
+
+    ``prune_min_count``: KenLM-style count pruning — drop level-≥2 grams
+    whose (continuation) count is below it BEFORE the top-K cap, after
+    all statistics are final: kept-gram probabilities are unchanged and
+    dropped grams back off exactly (on low-reuse corpora a threshold of 2
+    collapses the broadcast model by the singleton fraction). Default 1 =
+    keep everything.
+
+    ``concurrency``: actor-pool size for the scoring stage — the model
+    dicts deserialize ONCE per actor in ``__init__`` (a plain task pool
+    would re-deserialize the broadcast model for every batch; at the 5M
+    default caps that is ~1 GB per task). Tuple = autoscaling pool.
     """
     import ray as _ray
 
@@ -203,10 +217,10 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
     tbl = (ds.select_columns([text_col])
            .map_batches(top_counts, batch_format="pyarrow")
            .groupby("g").sum("n").materialize())
-    empty_model = tbl.count() == 0
+    empty_model = tbl.count() == 0  # model_ref stays None -> scorer emits 0/0/1
 
-    p_refs: list = []      # level k=order..2 → (p dict ref, gamma dict ref)
-    uref = None
+    levels_out: list = []  # level k=order..2 → (p dict, gamma dict)
+    model_ref = None
     denom = 1.0
     if not empty_model:
         from ballet_ray.functions.partition import (default_coarse_parts,
@@ -260,11 +274,15 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
             model = (keyed.select_columns(["g", "ctx", "c", "__part"])
                      .groupby("__part").map_groups(ctx_kernel,
                                                    batch_format="pandas"))
+            if prune_min_count > 1:
+                model = model.map_batches(
+                    lambda t, pm=prune_min_count: t.filter(
+                        pc.greater_equal(t.column("c"), pm)),
+                    batch_format="pyarrow")
             mdf = _capped_pandas(model, "c", "g", max_ngrams)
-            p_refs.append((
-                _ray.put(dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64)))),
-                _ray.put(dict(zip(mdf["ctx"],
-                                  mdf["gam"].to_numpy(np.float64))))))
+            levels_out.append((
+                dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64))),
+                dict(zip(mdf["ctx"], mdf["gam"].to_numpy(np.float64)))))
 
             # derive level k−1: continuation counts over the distinct set
             def tail_partial(t: pa.Table) -> pa.Table:
@@ -289,31 +307,72 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         vocab = float(tbl.count())
         denom = nb + alpha * (vocab + 1.0)
         cwm = _capped_pandas(tbl, count_col, "g", max_vocab)
-        uref = _ray.put(dict(zip(cwm["g"],
-                                 cwm[count_col].to_numpy(np.float64))))
+        cwd = dict(zip(cwm["g"], cwm[count_col].to_numpy(np.float64)))
+        # ONE broadcast object: every scoring actor deserializes it once
+        model_ref = _ray.put({"levels": levels_out, "cwd": cwd})
 
-    # ---- score: one shuffle-free pass ----
-    def score(t: pa.Table) -> pa.Table:
-        col = _norm_text(t.column(text_col))
-        ids = t.column(id_col)
-        extra = {c: t.column(c) for c in (keep_cols or [])}
+    # ---- score: one shuffle-free actor-pool pass ----
+    in_cols = [id_col, text_col] + [c for c in (keep_cols or [])
+                                    if c not in (id_col, text_col)]
+    kwargs = dict(model_ref=model_ref, order=order, alpha=alpha,
+                  denom=denom, text_col=text_col, id_col=id_col,
+                  round_to=round_to, keep_cols=keep_cols)
+    projected = ds.select_columns(in_cols)
+    if concurrency is None:
+        scorer = KnScorer(**kwargs)
+        return projected.map_batches(scorer, batch_format="pyarrow")
+    return projected.map_batches(
+        KnScorer, fn_constructor_kwargs=kwargs,
+        concurrency=concurrency, batch_format="pyarrow")
+
+
+class KnScorer:
+    """Actor-pool scoring stage: the broadcast KN model (one ray.put
+    object holding every level's p/γ dict + the unigram table) is fetched
+    and deserialized ONCE per actor in ``__init__`` — at the default 5M
+    caps that is ~1 GB of dicts, which a plain task pool would pay again
+    for every batch. ``model_ref=None`` = empty corpus → 0/0/1 rows."""
+
+    def __init__(self, *, model_ref, order: int, alpha: float, denom: float,
+                 text_col: str, id_col: str, round_to: int | None,
+                 keep_cols: list[str] | None):
+        if model_ref is None:
+            self.levels = None
+            self.cwd = {}
+        else:
+            import ray as _ray
+
+            model = _ray.get(model_ref)
+            self.levels = model["levels"]
+            self.cwd = model["cwd"]
+        self.order = order
+        self.alpha = alpha
+        self.denom = denom
+        self.text_col = text_col
+        self.id_col = id_col
+        self.round_to = round_to
+        self.keep_cols = keep_cols or []
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        order, alpha, denom = self.order, self.alpha, self.denom
+        col = _norm_text(t.column(self.text_col))
+        ids = t.column(self.id_col)
+        extra = {c: t.column(c) for c in self.keep_cols}
         n = len(col)
         zeros = np.zeros(n)
 
         def empty_out():
-            return pa.table({id_col: ids, **extra,
+            return pa.table({self.id_col: ids, **extra,
                              "logprob": pa.array(zeros),
                              "mean_logprob": pa.array(zeros),
                              "ppl": pa.array(np.ones(n))})
 
-        if empty_model:
+        if self.levels is None:
             return empty_out()
         words = _padded_words(col, order)
         tg, offsets, valid = _ngram_strings(words, order)
         if tg is None:
             return empty_out()
-        levels = [( _ray.get(pr), _ray.get(gr)) for pr, gr in p_refs]
-        cwd = _ray.get(uref)
         d = tg.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dtg = d.dictionary
@@ -321,6 +380,7 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         parts = pc.split_pattern(dtg, " ")
         # innermost level first: unigram floor
         last = pc.list_element(parts, order - 1).to_pylist()
+        cwd = self.cwd
         cwv = np.array([cwd.get(w, 0.0) for w in last], np.float64)
         p_acc = (cwv + alpha) / denom
         # levels k=2..order wrap around it: p = p_k + γ_k·p_acc
@@ -328,7 +388,7 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
             j = order - k            # suffix start for level k
             sfx = pc.binary_join(pc.list_slice(parts, j, order), " ").to_pylist()
             ctx = pc.binary_join(pc.list_slice(parts, j, order - 1), " ").to_pylist()
-            pd_, gd_ = levels[order - k]   # p_refs stored k=order..2
+            pd_, gd_ = self.levels[order - k]   # levels stored k=order..2
             pkv = np.array([pd_.get(g, 0.0) for g in sfx], np.float64)
             gkv = np.array([gd_.get(g, 1.0) for g in ctx], np.float64)
             p_acc = pkv + gkv * p_acc
@@ -342,14 +402,11 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
             weights=logp[valid], minlength=n).astype(np.float64)
         mean = np.divide(tot, npos, out=np.zeros_like(tot), where=npos > 0)
         out_tot, out_mean, out_ppl = tot, mean, np.exp(-mean)
-        if round_to is not None:
-            out_tot = np.round(out_tot, round_to)
-            out_mean = np.round(out_mean, round_to)
-            out_ppl = np.round(out_ppl, round_to)
-        return pa.table({id_col: ids, **extra, "logprob": pa.array(out_tot),
+        if self.round_to is not None:
+            out_tot = np.round(out_tot, self.round_to)
+            out_mean = np.round(out_mean, self.round_to)
+            out_ppl = np.round(out_ppl, self.round_to)
+        return pa.table({self.id_col: ids, **extra,
+                         "logprob": pa.array(out_tot),
                          "mean_logprob": pa.array(out_mean),
                          "ppl": pa.array(out_ppl)})
-
-    in_cols = [id_col, text_col] + [c for c in (keep_cols or [])
-                                    if c not in (id_col, text_col)]
-    return ds.select_columns(in_cols).map_batches(score, batch_format="pyarrow")

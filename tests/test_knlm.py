@@ -21,10 +21,14 @@ ALPHA = 0.5
 BOS = "<s>"
 
 
-def _brute(docs=DOCS, order=3, discount="ney"):
+def _brute(docs=DOCS, order=3, discount="ney", prune=1):
     """Independent dict-based fit + score (no shared code with the stage):
     generic-order interpolated KN, Ney single discount or modified-KN
-    D1/D2/D3+, continuation counts derived level by level."""
+    D1/D2/D3+, continuation counts derived level by level. ``prune``
+    mirrors the stage's prune_min_count: level-≥2 grams with
+    (continuation) count below it are dropped AFTER all statistics —
+    they score as unseen (back off via γ(ctx), or 1.0 when the whole
+    context was pruned away)."""
     top = {}
     for _, t in docs:
         w = [BOS] * (order - 1) + t.split(" ")
@@ -62,14 +66,22 @@ def _brute(docs=DOCS, order=3, discount="ney"):
     vocab = len(cw)
     denom = nb + ALPHA * (vocab + 1.0)
 
+    # prune: drop low-count grams from the LOOKUP tables only (stats above
+    # were computed from the full tables); a context whose every gram was
+    # pruned loses its γ entry too (scores as unseen context, γ = 1)
+    kept_ctx = {k: {g[:-1] for g, c in pmods[k][2].items() if c >= prune}
+                for k in pmods}
+
     def p(gram):
         acc = (cw.get(gram[-1:], 0) + ALPHA) / denom
         for k in range(2, order + 1):
             d, dm, tb, ct, cn, c1, c2, c3 = pmods[k]
             sfx = gram[order - k:]
             ctx = sfx[:-1]
-            if ctx in ct:
+            if ctx in kept_ctx[k]:
                 c = tb.get(sfx, 0)
+                if c < prune:
+                    c = 0
                 if dm is None:
                     pk = max(c - d, 0.0) / ct[ctx]
                     gk = d * cn[ctx] / ct[ctx]
@@ -191,3 +203,47 @@ def test_keep_cols_carried():
                         {"doc_id": "b", "text": "y x", "lang": "de"}])
     got = kn_logprob_scores(ds, keep_cols=["lang"]).to_pandas().set_index("doc_id")
     assert got.loc["a", "lang"] == "en" and got.loc["b", "lang"] == "de"
+
+
+def test_prune_identity_at_one():
+    base = kn_logprob_scores(_ds(), round_to=None).to_pandas() \
+        .set_index("doc_id").sort_index()
+    pruned = kn_logprob_scores(
+        _ds(), round_to=None,
+        prune_min_count=1).to_pandas().set_index("doc_id").sort_index()
+    np.testing.assert_array_equal(base["logprob"].to_numpy(),
+                                  pruned["logprob"].to_numpy())
+
+
+@pytest.mark.parametrize("order,prune", [(2, 2), (3, 2), (3, 3)])
+def test_prune_matches_brute(order, prune):
+    # pruned model == brute reference with the same rule: kept grams keep
+    # their exact (full-stats) probabilities, pruned grams back off via
+    # gamma(ctx) (or 1.0 when the whole context was pruned). Uses the
+    # non-degenerate corpus: on DOCS at order 2 n2=0 makes D exactly 1,
+    # and singleton pruning is then provably a no-op (max(1-D,0)=0 and a
+    # singleton-only context's gamma = D*n/n = 1) — vacuous as a test.
+    docs = _rep_docs()
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs]).repartition(4)
+    got = kn_logprob_scores(
+        ds, order=order, round_to=None,
+        prune_min_count=prune).to_pandas().set_index("doc_id")
+    exp = _brute(docs, order=order, prune=prune)
+    for key, (tot, mean, ppl) in exp.items():
+        assert got.loc[key, "logprob"] == pytest.approx(tot, abs=1e-10), key
+        assert got.loc[key, "ppl"] == pytest.approx(ppl, abs=1e-10), key
+    # non-vacuity: pruning must actually change at least one doc's score
+    base = _brute(docs, order=order)
+    assert any(abs(exp[k][0] - base[k][0]) > 1e-9 for k in exp)
+
+
+def test_task_pool_matches_actor_pool():
+    # concurrency=None (plain task map) must agree bit-for-bit with the
+    # default autoscaling actor pool
+    a = kn_logprob_scores(_ds(), round_to=None).to_pandas() \
+        .set_index("doc_id").sort_index()
+    b = kn_logprob_scores(_ds(), round_to=None, concurrency=None) \
+        .to_pandas().set_index("doc_id").sort_index()
+    for col in ("logprob", "mean_logprob", "ppl"):
+        np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy())
