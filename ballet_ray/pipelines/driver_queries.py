@@ -1250,6 +1250,27 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
 
+def q_exact_dedup_best_events(sf_dir: str):
+    """Quality-aware exact dedup: one event per user_id, keeping the
+    HIGHEST-value copy (min event_id tiebreak, NULL values never beat a
+    scored copy) — the keep-the-best-copy retention real curation
+    pipelines use (keep longest / highest-scoring duplicate), exercised
+    through exact_dedup(keep_col=...)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = exact_dedup(ds, "user_id", "event_id", keep_col="value", keep="max")
+    return out.select_columns(["event_id", "user_id"])
+
+
+SQL_EXACT_DEDUP_BEST_EVENTS = """
+SELECT event_id, user_id FROM events
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id
+) = 1
+"""
+
+
 def q_distinct_lang_counts(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
     return ds.groupby("lang").count().map_batches(
@@ -4091,6 +4112,7 @@ WHERE (SELECT MAX(list_cosine_similarity(c.embedding, e.embedding)) FROM ev e) <
 # therefore listed FIRST so round 5 records them. The long-certified 50
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
+    "exact_dedup_best_events": q_exact_dedup_best_events,
     "kn_logprob_docs": q_kn_logprob_docs,
     "token_contamination_docs": q_token_contamination_docs,
     "fim_transform_docs": q_fim_transform_docs,
@@ -4250,6 +4272,7 @@ ORACLE_SQL = {
     "unigram_logprob_docs": SQL_UNIGRAM_LOGPROB_DOCS,
     "ngram_repetition_docs": SQL_NGRAM_REPETITION_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "exact_dedup_best_events": SQL_EXACT_DEDUP_BEST_EVENTS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
     "cumcount_events": SQL_CUMCOUNT_EVENTS,

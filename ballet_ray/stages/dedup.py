@@ -432,13 +432,21 @@ def add_content_hash(ds, col: str, out: str = "content_h"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_partitions: int | None = None):
-    """Keep one row per distinct value of ``col`` (the min ``id_col`` —
-    deterministic; works for string and integer ids).
+def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast",
+                num_partitions: int | None = None,
+                keep_col: str | None = None, keep: str = "max"):
+    """Keep one row per distinct value of ``col``.
 
-    Only (hash128, id) is shuffled; the grouped pass emits the LOSER ids
-    (every id but the winner), a set bounded by the duplicate count — the
-    inverse of collecting the near-corpus-sized winner set.
+    Winner selection: by default the min ``id_col`` (deterministic; works
+    for string and integer ids). With ``keep_col`` the winner is instead
+    the row with the ``keep`` ("max"/"min") value of that column — the
+    quality-aware retention real curation pipelines use (keep the longest
+    / highest-scoring copy per canonical key, e.g. per canonical URL),
+    with min-id tiebreak so the choice stays deterministic under ties.
+
+    Only (hash128, id[, keep]) is shuffled; the grouped pass emits the
+    LOSER ids (every id but the winner), a set bounded by the duplicate
+    count — the inverse of collecting the near-corpus-sized winner set.
 
     resolve="broadcast" (default): losers are broadcast and anti-filtered —
     right when duplicates are a small fraction of the corpus.
@@ -448,10 +456,12 @@ def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_pa
     """
     from ballet_ray.stages.joins import default_join_partitions
 
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
     num_partitions = default_join_partitions(num_partitions)
-    hashed = add_content_hash(ds.select_columns([col, id_col]), col).select_columns(
-        ["content_h1", "content_h2", id_col]
-    )
+    narrow = [col, id_col] + ([keep_col] if keep_col else [])
+    keep_out = ["content_h1", "content_h2", id_col] + ([keep_col] if keep_col else [])
+    hashed = add_content_hash(ds.select_columns(narrow), col).select_columns(keep_out)
 
     # coarse-partition loser kernel: hash-partition on h1 so all rows of a
     # content hash co-locate, then ONE vectorized pandas pass per partition
@@ -466,7 +476,17 @@ def exact_dedup(ds, col: str, id_col: str, *, resolve: str = "broadcast", num_pa
         )
 
     def losers_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["content_h1", "content_h2", id_col])
+        if keep_col is None:
+            df = df.sort_values(["content_h1", "content_h2", id_col])
+        else:
+            # winner first within each content group: best keep_col value,
+            # min-id tiebreak (NaN scores sort last → never win over a
+            # scored copy)
+            df = df.sort_values(
+                ["content_h1", "content_h2", keep_col, id_col],
+                ascending=[True, True, keep == "min", True],
+                na_position="last",
+            )
         dup = df.duplicated(subset=["content_h1", "content_h2"], keep="first")
         return df.loc[dup, [id_col]]
 

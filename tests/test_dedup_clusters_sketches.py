@@ -74,6 +74,59 @@ def test_exact_dedup_string_ids():
         assert sorted(out["doc_id"]) == ["d01", "d02", "d04"], resolve
 
 
+def test_exact_dedup_keep_best():
+    """Quality-aware winner selection: keep_col picks the best copy per
+    content group (keep='max'/'min'), min-id tiebreak, NaN scores never win
+    over a scored copy — brute pandas reference parity, both resolve modes."""
+    from ballet_ray.stages.dedup import exact_dedup
+
+    rng = np.random.default_rng(7)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(n).astype(np.int64),
+            "key": [f"k{i % 37}" for i in range(n)],
+            "score": rng.normal(size=n).round(3),
+        }
+    )
+    # ties at the top of one group + NaN scores sprinkled in
+    df.loc[df["key"] == "k3", "score"] = 5.0
+    df.loc[rng.choice(n, 20, replace=False), "score"] = np.nan
+
+    def brute(keep: str) -> list:
+        s = df.sort_values(
+            ["key", "score", "doc_id"],
+            ascending=[True, keep == "min", True],
+            na_position="last",
+        )
+        return sorted(s.groupby("key", sort=False).head(1)["doc_id"])
+
+    ds = rd.from_pandas(df).repartition(4)
+    for keep in ("max", "min"):
+        want = brute(keep)
+        for resolve in ("broadcast", "join"):
+            got = exact_dedup(
+                ds, "key", "doc_id", resolve=resolve, keep_col="score", keep=keep
+            ).to_pandas()
+            assert sorted(got["doc_id"]) == want, (keep, resolve)
+            # full rows survive, not just ids
+            assert set(got.columns) == {"doc_id", "key", "score"}
+
+    # all-NaN group still keeps exactly one row (min-id)
+    df2 = pd.DataFrame(
+        {"doc_id": [9, 4, 7], "key": ["z", "z", "z"], "score": [np.nan] * 3}
+    )
+    out = exact_dedup(
+        rd.from_pandas(df2), "key", "doc_id", keep_col="score"
+    ).to_pandas()
+    assert list(out["doc_id"]) == [4]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_dedup(ds, "key", "doc_id", keep_col="score", keep="best")
+
+
 def test_assign_clusters_string_ids():
     pairs = rd.from_items(
         [
