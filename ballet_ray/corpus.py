@@ -49,6 +49,7 @@ from ballet_ray.stages.decomposition import (
 )
 from ballet_ray.stages.dedup import (
     assign_clusters,
+    cluster_losers,
     dedup_by_minhash,
     duplicate_passages,
     duplication_scores,
@@ -248,6 +249,7 @@ __all__ = [
     "tokenizer_report",
     "correlation_matrix",
     "count_min",
+    "cluster_losers",
     "dedup_by_minhash",
     "diversity_sample",
     "dsir_log_weights",

@@ -1245,12 +1245,75 @@ def assign_clusters(
     return _rename(labels, [id_col, "cluster_rep"])
 
 
+def cluster_losers(
+    clusters, ds=None, *, id_col: str = "doc_id", keep_col: str | None = None,
+    keep: str = "max", num_partitions: int | None = None,
+):
+    """(id, cluster_rep) membership → the ids to DROP, one winner per
+    cluster.
+
+    Default winner = the representative itself (the component's min id).
+    With ``keep_col`` the winner is instead the member with the ``keep``
+    ("max"/"min") value of that ``ds`` column — quality-aware retention
+    (keep the longest / highest-scoring near-duplicate), min-id tiebreak,
+    NaN scores sort last so they never beat a scored copy.
+
+    Scale shape: member scores attach via ONE distributed hash join
+    (cluster membership is bounded by the duplicate count, never
+    corpus-sized), then one coarse-partition vectorized pandas pass keyed
+    on cluster_rep — never a per-cluster map_groups."""
+    from ballet_ray.stages.joins import default_join_partitions
+
+    if keep_col is None:
+        return clusters.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column(id_col), t.column("cluster_rep"))
+            ).select([id_col]),
+            batch_format="pyarrow",
+        )
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    if ds is None:
+        raise ValueError("keep_col requires the source dataset (ds)")
+    num_partitions = default_join_partitions(num_partitions)
+    scored = clusters.join(
+        ds.select_columns([id_col, keep_col]),
+        join_type="inner", num_partitions=num_partitions, on=(id_col,),
+    )
+    n_parts = max(8, num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        rep = t.column("cluster_rep").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(rep.astype(object), categorize=False)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def losers_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_rep", keep_col, id_col],
+            ascending=[True, keep == "min", True],
+            na_position="last",
+        )
+        dup = df.duplicated(subset=["cluster_rep"], keep="first")
+        return df.loc[dup, [id_col]]
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(losers_part, batch_format="pandas")
+    )
+
+
 def dedup_by_minhash(
     ds, *, text_col: str = "text", id_col: str = "doc_id", resolve: str = "broadcast",
-    num_partitions: int | None = None, **lsh_kwargs,
+    num_partitions: int | None = None, keep_col: str | None = None, keep: str = "max",
+    **lsh_kwargs,
 ):
     """End-to-end near-dedup: MinHash-LSH candidate pairs → connected
-    components → keep one representative row (the min id) per cluster.
+    components → keep one representative row per cluster (the min id by
+    default; the best ``keep_col`` member with ``keep_col=...`` — see
+    :func:`cluster_losers`).
 
     The loser set (ids whose cluster_rep differs) is bounded by the
     duplicate count. resolve="broadcast" anti-filters via a broadcast id
@@ -1262,9 +1325,11 @@ def dedup_by_minhash(
     num_partitions = default_join_partitions(num_partitions)
     pairs = minhash_lsh_pairs(ds, text_col=text_col, id_col=id_col, **lsh_kwargs)
     clusters = assign_clusters(pairs, id_col=id_col, num_partitions=num_partitions)
-    loser_ds = clusters.map_batches(
-        lambda t: t.filter(pc.not_equal(t.column(id_col), t.column("cluster_rep"))).select([id_col]),
-        batch_format="pyarrow",
+    if keep_col is not None and clusters.count() == 0:
+        return ds  # no near-dups at all (empty clusters can be schema-less)
+    loser_ds = cluster_losers(
+        clusters, ds, id_col=id_col, keep_col=keep_col, keep=keep,
+        num_partitions=num_partitions,
     )
     if resolve == "broadcast":
         losers_df = loser_ds.to_pandas()

@@ -213,14 +213,17 @@ def _cell_pair_finder(embedding_col: str, id_col: str, threshold: float, max_buc
 def semantic_dedup(
     ds, *, embedding_col: str, id_col: str, dim: int, threshold: float = 0.95,
     n_centroids: int = 64, max_bucket: int = 4096, kmeans_iters: int = 3,
-    seed: int = 1754,
+    seed: int = 1754, keep_col: str | None = None, keep: str = "max",
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, search near-duplicate
     pairs only WITHIN each cluster, connect pairs into components, keep
     the minimum id per component (deterministic representative — the
     paper's choice of keeper is arbitrary; min-id makes the result
-    oracle-able).
+    oracle-able). With ``keep_col`` the keeper is instead the component
+    member with the best value of that ``ds`` column (min-id tiebreak) —
+    quality-aware retention via
+    :func:`ballet_ray.stages.dedup.cluster_losers`.
 
     Returns the ids to DROP, i.e. every component member except its
     representative. Scale shape: centroid fit is `ivf_fit_centroids`
@@ -250,14 +253,13 @@ def semantic_dedup(
         pairs_fn, batch_format="pandas"
     )
     comps = assign_clusters(pairs, id_col=id_col)  # (id, cluster_rep)
+    from ballet_ray.stages.dedup import cluster_losers
 
-    def losers(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if keep_col is not None and comps.count() == 0:
+        import ray.data as _rdata
 
-        keep = pc.equal(t.column(id_col), t.column("cluster_rep"))
-        return t.filter(pc.invert(keep)).select([id_col])
-
-    return comps.map_batches(losers, batch_format="pyarrow")
+        return _rdata.from_pandas(pd.DataFrame({id_col: []}))
+    return cluster_losers(comps, ds, id_col=id_col, keep_col=keep_col, keep=keep)
 
 
 def _priority_sample_matrix(ds, embedding_col: str, sample_size: int, seed: int) -> np.ndarray:

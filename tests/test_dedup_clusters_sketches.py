@@ -74,6 +74,70 @@ def test_exact_dedup_string_ids():
         assert sorted(out["doc_id"]) == ["d01", "d02", "d04"], resolve
 
 
+def test_cluster_losers_keep_best():
+    """Quality-aware cluster retention: the winner per connected component
+    is the best keep_col member (min-id tiebreak), not the min id."""
+    from ballet_ray.stages.dedup import cluster_losers
+
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 7, "id_b": 9},
+        ]
+    )
+    clusters = assign_clusters(pairs)  # comps {1,2,3}, {7,9}
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 5, 7, 9],
+                "score": [0.1, 0.9, 0.5, 0.0, 0.4, 0.4],  # 7/9 tie → min id 7
+            }
+        )
+    ).repartition(2)
+    dropped = cluster_losers(
+        clusters, ds, keep_col="score", keep="max"
+    ).to_pandas()
+    assert sorted(dropped["doc_id"]) == [1, 3, 9]  # winners: 2 (best), 7 (tie)
+    dropped_min = cluster_losers(
+        clusters, ds, keep_col="score", keep="min"
+    ).to_pandas()
+    assert sorted(dropped_min["doc_id"]) == [2, 3, 9]  # winners: 1 (0.1), 7
+
+    # default (no keep_col) stays the min-id representative
+    dropped_def = cluster_losers(clusters).to_pandas()
+    assert sorted(dropped_def["doc_id"]) == [2, 3, 9]
+
+
+def test_dedup_by_minhash_keep_best():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base, "totally different words about arrow and shuffles everywhere", base],
+            "quality": [0.1, 0.9, 0.2, 0.5],
+        }
+    )
+    kept = dedup_by_minhash(
+        rd.from_pandas(df).repartition(2), est_threshold=0.8, concurrency=2,
+        keep_col="quality",
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]  # best-quality copy wins, not min id
+
+    # no near-dups at all → identity (empty clusters can be schema-less)
+    df2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, "totally different words about arrow and shuffles everywhere"],
+            "quality": [0.1, 0.9],
+        }
+    )
+    kept2 = dedup_by_minhash(
+        rd.from_pandas(df2), est_threshold=0.8, concurrency=1, keep_col="quality"
+    ).to_pandas()
+    assert sorted(kept2["doc_id"]) == [1, 2]
+
+
 def test_exact_dedup_keep_best():
     """Quality-aware winner selection: keep_col picks the best copy per
     content group (keep='max'/'min'), min-id tiebreak, NaN scores never win

@@ -39,6 +39,44 @@ def test_semantic_dedup_transitive_component():
     assert sorted(dropped.vec_id) == [100, 200, 300]
 
 
+def test_semantic_dedup_keep_best():
+    """keep_col retention: the kept component member is the best-scoring
+    copy, not the min id."""
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    ids = list(range(40)) + [100, 200, 300]
+    vecs = list(base) + [base[7], base[7], base[7]]
+    scores = [0.0] * 43
+    scores[ids.index(200)] = 9.0  # id 200 is the highest-quality copy
+    t = pa.table(
+        {
+            "vec_id": ids,
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "score": scores,
+        }
+    )
+    dropped = semantic_dedup(
+        rd.from_arrow(t).repartition(4), embedding_col="embedding",
+        id_col="vec_id", dim=8, threshold=0.999, n_centroids=4, kmeans_iters=2,
+        keep_col="score",
+    ).to_pandas()
+    assert sorted(dropped.vec_id) == [7, 100, 300]
+
+    # no near-dups: empty drop set, not a crash on schema-less components
+    t2 = pa.table(
+        {
+            "vec_id": list(range(20)),
+            "embedding": pa.array([v.tolist() for v in base[:20]], pa.list_(pa.float32())),
+            "score": [0.0] * 20,
+        }
+    )
+    dropped2 = semantic_dedup(
+        rd.from_arrow(t2), embedding_col="embedding", id_col="vec_id", dim=8,
+        threshold=0.999, n_centroids=4, kmeans_iters=2, keep_col="score",
+    ).to_pandas()
+    assert len(dropped2) == 0
+
+
 def test_diversity_sample_kcenter():
     from ballet_ray.stages.similarity import diversity_sample
 
