@@ -627,9 +627,26 @@ def run_curate(args) -> None:
         if args.dedup == "minhash":
             from ballet_ray.stages.dedup import dedup_by_minhash
 
+            kw = {}
+            if getattr(args, "dedup_keep", "min_id") == "longest":
+                # keep-the-longest-copy retention: near-duplicate cluster
+                # members differ in length (boilerplate trims, truncations);
+                # the longest copy is the canonical choice. The length
+                # column is computed map-only and dropped right after —
+                # only (id, len) rides cluster_losers' membership join.
+                def _with_len(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "__len", pc.utf8_length(t.column("text"))
+                    )
+
+                cleaned = cleaned.map_batches(_with_len, batch_format="pyarrow")
+                kw = {"keep_col": "__len", "keep": "max"}
             cleaned = dedup_by_minhash(
-                cleaned, text_col="text", id_col="doc_id", resolve="broadcast"
+                cleaned, text_col="text", id_col="doc_id", resolve="broadcast",
+                **kw,
             )
+            if kw:
+                cleaned = cleaned.select_columns(["doc_id", "text", *carry])
         elif args.dedup == "exact":
             from ballet_ray.stages.dedup import exact_dedup
 
@@ -1026,6 +1043,12 @@ def main() -> None:
                     help="curate mode: near-dedup strategy (minhash = batch "
                          "LSH cluster dedup, deterministic; streaming = "
                          "sharded-Bloom online index with checkpointed state)")
+    ap.add_argument("--dedup-keep", choices=["min_id", "longest"],
+                    default="min_id",
+                    help="curate mode, --dedup minhash: which near-dup "
+                         "cluster member survives (min_id = deterministic "
+                         "representative; longest = keep the longest copy, "
+                         "min-id tiebreak)")
     ap.add_argument("--ppl-keep", type=float, default=0.9,
                     help="curate mode: keep the best this-fraction of docs by "
                          "LM score (1.0 disables the filter)")

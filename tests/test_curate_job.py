@@ -96,6 +96,40 @@ def test_curate_clean_vs_resumed_identical(tmp_path):
 
 
 @pytest.mark.slow
+def test_curate_dedup_keep_longest(tmp_path):
+    """--dedup-keep longest: the surviving near-dup cluster member is the
+    LONGEST copy (here the higher id), not the min id; default min_id keeps
+    the representative."""
+    import pyarrow.parquet as pq
+
+    base = _docs(range(20))
+    long_copy = base[base.doc_id == 5].assign(
+        doc_id=1005, text=lambda d: d.text + " zz yy xx ww vv"
+    )
+    df = pd.concat([base, long_copy], ignore_index=True)
+
+    def clean_ids(out_dir, *extra):
+        inp = tmp_path / f"in_{len(extra)}.parquet"
+        df.to_parquet(inp)
+        r = subprocess.run(
+            [sys.executable, "jobs/run.py", "--mode", "curate",
+             "--input", str(inp), "--out", out_dir, "--num-cpus", "4",
+             "--min-words", "5", "--stop-after", "clean", *extra],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        kept = pq.read_table(os.path.join(out_dir, "clean"), columns=["doc_id"])
+        return set(kept.column("doc_id").to_pylist())
+
+    ids_longest = clean_ids(str(tmp_path / "o1"), "--dedup-keep", "longest")
+    assert 1005 in ids_longest and 5 not in ids_longest
+    ids_default = clean_ids(str(tmp_path / "o2"))
+    assert 5 in ids_default and 1005 not in ids_default
+    # everything else identical between the two retention policies
+    assert ids_longest - {1005} == ids_default - {5}
+
+
 def test_curate_dsir_mix(tmp_path):
     inp = tmp_path / "docs.parquet"
     _docs(range(40)).to_parquet(inp)
