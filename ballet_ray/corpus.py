@@ -80,6 +80,8 @@ from ballet_ray.stages.sampling import (
     filter_groups,
     temperature_rates,
     temperature_sample,
+    unimax_rates,
+    unimax_sample,
     weighted_sample,
     global_shuffle_index,
     hash_rate_filter,
@@ -191,6 +193,8 @@ __all__ = [
     "streaming_image_dedup",
     "temperature_rates",
     "temperature_sample",
+    "unimax_rates",
+    "unimax_sample",
     "fit_text_logreg",
     "quality_filter_by_model",
     "score_text_logreg",

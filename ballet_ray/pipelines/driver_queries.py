@@ -3044,6 +3044,54 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_unimax_mixture_docs(sf_dir: str):
+    """UniMax mixture allocation (Chung 2023): water-fill a 1.3×-corpus
+    budget across languages with a 2-epoch cap — the smallest language
+    hits the cap (2 full epochs), mid languages get one full pass plus a
+    fractional hash-sampled second epoch, the largest is down-sampled.
+    Exercises the whole algorithm: driver water-fill, map-only epoch
+    expansion, deterministic md5 fractional draw."""
+    from ballet_ray.stages.sampling import unimax_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    budget = 1.3 * ds.count()
+    return unimax_sample(
+        ds, group_col="lang", key_col="doc_id", budget=budget,
+        max_epochs=2.0, salt="umx:", method="md5",
+    )
+
+
+SQL_UNIMAX_MIXTURE_DOCS = """
+WITH sizes AS (
+    SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY lang
+), budget AS (
+    SELECT 1.3 * SUM(c) AS b FROM sizes
+), ord AS (
+    SELECT lang, c, 2.0 * c AS cap,
+           ROW_NUMBER() OVER (ORDER BY 2.0 * c, lang) AS rn,
+           SUM(2.0 * c) OVER (ORDER BY 2.0 * c, lang ROWS UNBOUNDED PRECEDING) AS cum,
+           LAG(2.0 * c, 1, 0.0) OVER (ORDER BY 2.0 * c, lang) AS prev_cap,
+           COUNT(*) OVER () AS k
+    FROM sizes
+), lvl AS (
+    SELECT MAX((b - (cum - cap)) / (k - rn + 1)) AS t
+    FROM ord, budget
+    WHERE (b - (cum - cap)) / (k - rn + 1) >= prev_cap
+      AND (b - (cum - cap)) / (k - rn + 1) <= cap
+), rates AS (
+    SELECT lang, LEAST(cap, COALESCE((SELECT t FROM lvl), cap)) / c AS r FROM ord
+)
+SELECT doc_id, lang, UNNEST(range(0, reps)) AS epoch
+FROM (
+    SELECT d.doc_id, d.lang,
+           CAST(floor(r) AS BIGINT)
+           + CASE WHEN CAST(('0x' || substr(md5('umx:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       / 4294967296.0 < r - floor(r) THEN 1 ELSE 0 END AS reps
+    FROM documents d JOIN rates USING (lang)
+)
+"""
+
+
 def q_percent_rank_orders(sf_dir: str):
     """RANK/PERCENT_RANK of order price within priority via the
     distinct-value route (rank = 1 + Σ counts of smaller values; the
@@ -4113,6 +4161,7 @@ WHERE (SELECT MAX(list_cosine_similarity(c.embedding, e.embedding)) FROM ev e) <
 # follow (they keep pytest + tools/check_oracles.py full-sweep coverage).
 QUERIES = {
     "exact_dedup_best_events": q_exact_dedup_best_events,
+    "unimax_mixture_docs": q_unimax_mixture_docs,
     "kn_logprob_docs": q_kn_logprob_docs,
     "token_contamination_docs": q_token_contamination_docs,
     "fim_transform_docs": q_fim_transform_docs,
@@ -4273,6 +4322,7 @@ ORACLE_SQL = {
     "ngram_repetition_docs": SQL_NGRAM_REPETITION_DOCS,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "exact_dedup_best_events": SQL_EXACT_DEDUP_BEST_EVENTS,
+    "unimax_mixture_docs": SQL_UNIMAX_MIXTURE_DOCS,
     "distinct_lang_counts": SQL_DISTINCT_LANG_COUNTS,
     "knn_embeddings": SQL_KNN_EMBEDDINGS,
     "cumcount_events": SQL_CUMCOUNT_EVENTS,

@@ -439,6 +439,96 @@ def temperature_sample(ds, *, group_col: str, key_col: str, alpha: float = 0.3,
                             group_col=group_col, salt=salt, method=method)
 
 
+def unimax_rates(ds, *, group_col: str, budget: float, max_epochs: float = 1.0,
+                 count_col: str | None = None) -> dict:
+    """Per-group sampling rates for UniMax mixture allocation (Chung et
+    al. 2023, arXiv:2304.09151): distribute ``budget`` rows/tokens as
+    UNIFORMLY as possible across groups, subject to a per-group cap of
+    ``max_epochs`` passes over its data — the fairness-first multilingual
+    recipe (temperature sampling over-samples mid-resource groups and
+    still starves the tail; UniMax gives every group the same allocation
+    unless its epoch cap binds first).
+
+    Water-filling: find the level ``t`` with ``Σ_g min(max_epochs·c_g, t)
+    = budget``; group g's allocation is ``min(max_epochs·c_g, t)`` and its
+    rate ``alloc_g / c_g ∈ (0, max_epochs]`` — rates above 1 mean
+    up-sampling (extra epochs), materialized by :func:`unimax_sample`.
+
+    One tiny grouped reduction (the driver sees one row per group, then a
+    k-element water-fill). ``count_col`` switches sizes to token units
+    (e.g. ``n_tok``). The fill mirrors the SQL-oracle formulation
+    term-for-term (same candidate expression, same (cap, group) ordering,
+    same max-over-feasible-candidates) so both sides agree bit-for-bit.
+    """
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    if count_col:
+        sizes = grouped_reduce(
+            ds.select_columns([group_col, count_col]), group_col,
+            {count_col: "sum"}, pre_combine=True,
+        ).to_pandas().rename(columns={count_col: "n"})
+    else:
+        def ones(t: pa.Table) -> pa.Table:
+            return t.append_column("__one", pa.array(np.ones(len(t), np.int64)))
+
+        sizes = grouped_reduce(
+            ds.select_columns([group_col]).map_batches(ones, batch_format="pyarrow"),
+            group_col, {"__one": "sum"}, pre_combine=True,
+        ).to_pandas().rename(columns={"__one": "n"})
+    if not len(sizes) or "n" not in sizes.columns:
+        return {}
+    # ascending (cap, group) order — the cum/candidate arithmetic below
+    # must match the SQL oracle's window ordering exactly
+    sizes = sizes.assign(__cap=sizes["n"].astype(np.float64) * max_epochs)
+    sizes = sizes.sort_values(["__cap", group_col]).reset_index(drop=True)
+    c = sizes["n"].to_numpy(dtype=np.float64)
+    cap = sizes["__cap"].to_numpy()
+    k = len(cap)
+    cum = np.cumsum(cap)
+    prev_cap = np.concatenate([[0.0], cap[:-1]])
+    cand = (budget - (cum - cap)) / (k - np.arange(k))
+    valid = (cand >= prev_cap) & (cand <= cap)
+    level = float(cand[valid].max()) if valid.any() else None
+    alloc = cap if level is None else np.minimum(cap, level)
+    rates = alloc / c
+    return {g: float(r) for g, r in zip(sizes[group_col], rates)}
+
+
+def unimax_sample(ds, *, group_col: str, key_col: str, budget: float,
+                  max_epochs: float = 1.0, count_col: str | None = None,
+                  salt: str = "", method: str = "siphash",
+                  epoch_col: str = "epoch"):
+    """UniMax mixture in one pass: :func:`unimax_rates`, then a map-only
+    epoch expansion — each row appears ``floor(r)`` times (epochs
+    0..floor(r)-1) plus once more when its deterministic hash uniform is
+    below the fractional remainder, with the epoch number in
+    ``epoch_col``. Rates ≤ 1 degenerate to a plain streaming filter
+    (epoch 0 only); rates > 1 up-sample (the cap-bound tail groups get
+    whole extra passes). Deterministic, partition-invariant, resume-safe
+    — no shuffle anywhere."""
+    rates = unimax_rates(ds, group_col=group_col, budget=budget,
+                         max_epochs=max_epochs, count_col=count_col)
+
+    def f(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        r = np.asarray([rates.get(x, 0.0) for x in g], dtype=np.float64)
+        e_full = np.floor(r).astype(np.int64)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        u = _priority_u(keys, salt, method)
+        reps = e_full + (u < (r - e_full))
+        idx = np.repeat(np.arange(len(reps)), reps)
+        out = t.take(pa.array(idx))
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        epoch = np.arange(len(idx), dtype=np.int64) - starts
+        return out.append_column(epoch_col, pa.array(epoch))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def weighted_sample(
     ds, *, key_col: str, weight_col: str, n: int, group_col: str | None = None,
     salt: str = "", method: str = "siphash",
