@@ -893,6 +893,23 @@ def run_curate(args) -> None:
                 target_total=args.mix_total, salt="curate",
             )
             rows = _write_stage(mixed, mix_dir)
+        elif args.mix == "unimax":
+            from ballet_ray.stages.sampling import unimax_sample
+
+            if not args.mix_total:
+                raise SystemExit("--mix unimax requires --mix-total (the budget)")
+            # max_epochs pinned to 1 inside the job: epoch expansion
+            # duplicates doc_ids, which the downstream shuffle/tokenize
+            # stages key on — up-sampling is a library-level op
+            # (unimax_sample(max_epochs>1)), not a curate stage. At cap 1
+            # this is the fair water-fill DOWN-sampler: every group gets
+            # the same allocation unless it is smaller than the level.
+            cols = ds.schema().names
+            mixed = unimax_sample(
+                ds, group_col=group_col, key_col="doc_id",
+                budget=args.mix_total, max_epochs=1.0, salt="curate",
+            ).select_columns(cols)
+            rows = _write_stage(mixed, mix_dir)
         elif args.mix == "dsir":
             from ballet_ray.stages.dsir import dsir_resample
 
@@ -1090,7 +1107,7 @@ def main() -> None:
                          "artifact; applies the classifier filter after the "
                          "perplexity filter")
     ap.add_argument("--quality-threshold", type=float, default=0.5)
-    ap.add_argument("--mix", choices=["temperature", "dsir", "none"],
+    ap.add_argument("--mix", choices=["temperature", "dsir", "unimax", "none"],
                     default="temperature")
     ap.add_argument("--mix-group", default="source",
                     help="curate mode: mixture group column (re-joined from "

@@ -130,6 +130,54 @@ def test_curate_dedup_keep_longest(tmp_path):
     assert ids_longest - {1005} == ids_default - {5}
 
 
+def test_curate_unimax_mix(tmp_path):
+    """--mix unimax: the mix stage keeps exactly the water-fill selection
+    over the lm-stage survivors (recomputed independently here from the
+    lm parquet + the library's hash priorities)."""
+    import pyarrow.parquet as pq
+
+    from ballet_ray.stages.sampling import _priority_u, unimax_rates
+
+    inp = tmp_path / "docs.parquet"
+    _docs(range(90)).to_parquet(inp)
+    out = str(tmp_path / "o")
+    r = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input",
+         str(inp), "--out", out, "--num-cpus", "4", "--min-words", "5",
+         "--mix", "unimax", "--mix-total", "40", "--stop-after", "mix"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    lm = pq.read_table(os.path.join(out, "lm")).to_pandas()
+    mixed = pq.read_table(os.path.join(out, "mix")).to_pandas()
+    assert "epoch" not in mixed.columns  # cap-1 form: no expansion column
+
+    import ray.data as rd
+
+    rates = unimax_rates(rd.from_pandas(lm), group_col="source", budget=40.0,
+                         max_epochs=1.0)
+    u = _priority_u(lm["doc_id"].to_numpy(), "curate", "siphash")
+    want = set(lm.loc[u < lm["source"].map(rates).to_numpy(), "doc_id"])
+    assert set(mixed["doc_id"]) == want
+    # the smaller source is below the water level → kept whole
+    by = lm.groupby("source").size()
+    small = by.idxmin()
+    if by[small] <= 40 / len(by):
+        assert rates[small] == 1.0
+
+    # --mix unimax without a budget fails loudly
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run.py", "--mode", "curate", "--input",
+         str(inp), "--out", str(tmp_path / "o2"), "--num-cpus", "4",
+         "--min-words", "5", "--mix", "unimax", "--stop-after", "mix"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r2.returncode != 0 and "requires --mix-total" in r2.stderr
+
+
 def test_curate_dsir_mix(tmp_path):
     inp = tmp_path / "docs.parquet"
     _docs(range(40)).to_parquet(inp)
