@@ -63,10 +63,16 @@ def _merge_bucket(
     key = table.column(by).to_numpy(zero_copy_only=False)
     ts = _ts_us(table.column(on))
 
-    # on ts ties: carry rows always first; real right rows before left iff
-    # exact matches allowed
+    # on ts ties: carry rows always first (they stand for data strictly
+    # BEFORE the tied timestamp, so both a real right row and — in strict
+    # mode — a left row at that ts must beat them); real right rows before
+    # left iff exact matches allowed. Carry strictly before real right in
+    # BOTH modes: a real right row at the same ts is fresher than the
+    # carry's strictly-earlier source, and leaving them tied lets input
+    # order decide — a left row later in the slice then matched the stale
+    # carry value instead of the tied real right row.
     if allow_exact:
-        tie_rank = np.where(side == 1, 1, 0)
+        tie_rank = np.where(side == 1, 2, np.where(side == 0, 1, 0))
     else:
         tie_rank = np.where(side == 2, 0, np.where(side == 1, 1, 2))
     order = np.lexsort((tie_rank, ts, key))
