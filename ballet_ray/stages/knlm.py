@@ -144,6 +144,85 @@ def _prefix_suffix(gcol, k: int):
     return ctx, tail, last
 
 
+def _probe(hs: np.ndarray, vs: np.ndarray, qh: np.ndarray, default: float) -> np.ndarray:
+    """Vectorized lookup: value of each query hash in the sorted table,
+    ``default`` where absent."""
+    if len(hs) == 0 or len(qh) == 0:
+        return np.full(len(qh), default, np.float64)
+    pos = np.searchsorted(hs, qh)
+    posc = np.minimum(pos, len(hs) - 1)
+    hit = hs[posc] == qh
+    return np.where(hit, vs[posc], default)
+
+
+def _collect_level(model, cap):
+    """Cap-sort a level model and collect HASHED lookup tables — the gram
+    strings never reach the driver (the string collect of a 5M-row level
+    was ~700 MB and dominated fit wall time). Collision detection is
+    hash-side: grams are distinct by construction, so a duplicate gram
+    hash IS a collision; contexts legitimately repeat but carry one γ per
+    ctx, so two different γ values under one ctx hash is a collision.
+    Returns ("arr", (hg, p), (hc, gam)) or None on collision (caller
+    re-collects with strings and exact dicts — probability ~7e-7 at 5M).
+    """
+    from ballet_ray.functions.partition import stable_hash_array
+
+    model = model.materialize()
+    if cap is not None and model.count() > cap:
+        model = (model.sort(["c", "g"], descending=[True, False])
+                 .limit(cap).materialize())
+
+    def hash_cols(t: pa.Table) -> pa.Table:
+        hg = stable_hash_array(t.column("g").to_numpy(zero_copy_only=False))
+        hc = stable_hash_array(t.column("ctx").to_numpy(zero_copy_only=False))
+        return pa.table({"hg": pa.array(hg), "p": t.column("p"),
+                         "hc": pa.array(hc), "gam": t.column("gam")})
+
+    hdf = model.map_batches(hash_cols, batch_format="pyarrow").to_pandas()
+    hg = hdf["hg"].to_numpy()
+    p = hdf["p"].to_numpy(np.float64)
+    o = np.argsort(hg, kind="stable")
+    hg, p = hg[o], p[o]
+    if len(hg) and (hg[1:] == hg[:-1]).any():
+        return None
+    hc = hdf["hc"].to_numpy()
+    gam = hdf["gam"].to_numpy(np.float64)
+    o = np.argsort(hc, kind="stable")
+    hc, gam = hc[o], gam[o]
+    if len(hc):
+        dup = hc[1:] == hc[:-1]
+        if dup.any():
+            if (gam[1:][dup] != gam[:-1][dup]).any():
+                return None
+            keep = np.concatenate([[True], ~dup])
+            hc, gam = hc[keep], gam[keep]
+    return ("arr", (hg, p), (hc, gam))
+
+
+def _collect_unigram(tbl, count_col: str, cap):
+    """Hashed collect of the unigram table (unique keys: duplicate hash =
+    collision → None, caller falls back to the exact string/dict path)."""
+    from ballet_ray.functions.partition import stable_hash_array
+
+    tbl = tbl.materialize()
+    if cap is not None and tbl.count() > cap:
+        tbl = (tbl.sort([count_col, "g"], descending=[True, False])
+               .limit(cap).materialize())
+
+    def hash_cols(t: pa.Table, cc=count_col) -> pa.Table:
+        h = stable_hash_array(t.column("g").to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(h), "v": t.column(cc)})
+
+    hdf = tbl.map_batches(hash_cols, batch_format="pyarrow").to_pandas()
+    h = hdf["h"].to_numpy()
+    v = hdf["v"].to_numpy(np.float64)
+    o = np.argsort(h, kind="stable")
+    h, v = h[o], v[o]
+    if len(h) and (h[1:] == h[:-1]).any():
+        return None
+    return ("arr", (h, v))
+
+
 def _capped_pandas(ds, count_col: str, key_col: str, cap: int | None):
     """Deterministic top-``cap`` (count desc, key asc — partition/run
     independent ties) of a materialized model table, as pandas."""
@@ -214,9 +293,16 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "n": pa.array(np.bincount(codes, minlength=len(d.dictionary))
                           .astype(np.int64))})
 
-    tbl = (ds.select_columns([text_col])
-           .map_batches(top_counts, batch_format="pyarrow")
-           .groupby("g").sum("n").materialize())
+    from ballet_ray.functions.reduce import grouped_reduce
+
+    # coarse-partition reduce, not Ray's sort-based groupby: the trigram
+    # table is corpus-scale with string keys, where one vectorized pandas
+    # combine per partition beats the per-group combine by a wide margin
+    tbl = grouped_reduce(
+        ds.select_columns([text_col])
+        .map_batches(top_counts, batch_format="pyarrow"),
+        "g", {"n": "sum"}, num_parts=64,
+    ).materialize()
     empty_model = tbl.count() == 0  # model_ref stays None -> scorer emits 0/0/1
 
     levels_out: list = []  # level k=order..2 → (p dict, gamma dict)
@@ -226,7 +312,7 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         from ballet_ray.functions.partition import (default_coarse_parts,
                                                     stable_hash_array)
         n_parts = default_coarse_parts()
-        count_col = "sum(n)"
+        count_col = "n"
 
         for k in range(order, 1, -1):
             n1, n2, n3, n4 = _count_of_counts(tbl, count_col)
@@ -279,10 +365,13 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                     lambda t, pm=prune_min_count: t.filter(
                         pc.greater_equal(t.column("c"), pm)),
                     batch_format="pyarrow")
-            mdf = _capped_pandas(model, "c", "g", max_ngrams)
-            levels_out.append((
-                dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64))),
-                dict(zip(mdf["ctx"], mdf["gam"].to_numpy(np.float64)))))
+            lev = _collect_level(model, max_ngrams)
+            if lev is None:  # 64-bit collision: exact string/dict path
+                mdf = _capped_pandas(model, "c", "g", max_ngrams)
+                lev = ("dict",
+                       dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64))),
+                       dict(zip(mdf["ctx"], mdf["gam"].to_numpy(np.float64))))
+            levels_out.append(lev)
 
             # derive level k−1: continuation counts over the distinct set
             def tail_partial(t: pa.Table) -> pa.Table:
@@ -297,18 +386,25 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                                minlength=len(d.dictionary))
                                    .astype(np.int64))})
 
-            tbl = (keyed.select_columns(["tail"])
-                   .map_batches(tail_partial, batch_format="pyarrow")
-                   .groupby("g").sum("kc").materialize())
-            count_col = "sum(kc)"
+            tbl = grouped_reduce(
+                keyed.select_columns(["tail"])
+                .map_batches(tail_partial, batch_format="pyarrow"),
+                "g", {"kc": "sum"}, num_parts=64,
+            ).materialize()
+            count_col = "kc"
 
         # level 1: unigram continuation counts; Σc_1 = |distinct level-2 set|
         nb = float(tbl.sum(count_col))
         vocab = float(tbl.count())
         denom = nb + alpha * (vocab + 1.0)
-        cwm = _capped_pandas(tbl, count_col, "g", max_vocab)
-        cwd = dict(zip(cwm["g"], cwm[count_col].to_numpy(np.float64)))
+        cwd = _collect_unigram(tbl, count_col, max_vocab)
+        if cwd is None:  # 64-bit collision: exact string/dict path
+            cwm = _capped_pandas(tbl, count_col, "g", max_vocab)
+            cwd = ("dict",
+                   dict(zip(cwm["g"], cwm[count_col].to_numpy(np.float64))))
         # ONE broadcast object: every scoring actor deserializes it once
+        # (numpy hash tables — near-zero-copy; colliding tables only are
+        # exact dicts)
         model_ref = _ray.put({"levels": levels_out, "cwd": cwd})
 
     # ---- score: one shuffle-free actor-pool pass ----
@@ -338,7 +434,7 @@ class KnScorer:
                  keep_cols: list[str] | None):
         if model_ref is None:
             self.levels = None
-            self.cwd = {}
+            self.cwd = ("dict", {})
         else:
             import ray as _ray
 
@@ -376,21 +472,40 @@ class KnScorer:
         d = tg.dictionary_encode()
         codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dtg = d.dictionary
+        from ballet_ray.functions.partition import stable_hash_array
+
+        def lookup(table, keys_arrow, default):
+            """Per-distinct-gram lookup: vectorized siphash + ONE
+            searchsorted against the broadcast hash table (the dict
+            branch only runs for a table that hit a 64-bit collision at
+            fit time)."""
+            if table[0] == "arr":
+                hs, vs = table[1]
+                qh = stable_hash_array(
+                    keys_arrow.to_numpy(zero_copy_only=False))
+                return _probe(hs, vs, qh, default)
+            dd = table[1]
+            return np.array([dd.get(g, default)
+                             for g in keys_arrow.to_pylist()], np.float64)
+
         # suffixes s_j (gram minus first j words) and their contexts
         parts = pc.split_pattern(dtg, " ")
         # innermost level first: unigram floor
-        last = pc.list_element(parts, order - 1).to_pylist()
-        cwd = self.cwd
-        cwv = np.array([cwd.get(w, 0.0) for w in last], np.float64)
+        last = pc.list_element(parts, order - 1)
+        cwv = lookup(self.cwd, last, 0.0)
         p_acc = (cwv + alpha) / denom
         # levels k=2..order wrap around it: p = p_k + γ_k·p_acc
         for k in range(2, order + 1):
             j = order - k            # suffix start for level k
-            sfx = pc.binary_join(pc.list_slice(parts, j, order), " ").to_pylist()
-            ctx = pc.binary_join(pc.list_slice(parts, j, order - 1), " ").to_pylist()
-            pd_, gd_ = self.levels[order - k]   # levels stored k=order..2
-            pkv = np.array([pd_.get(g, 0.0) for g in sfx], np.float64)
-            gkv = np.array([gd_.get(g, 1.0) for g in ctx], np.float64)
+            sfx = pc.binary_join(pc.list_slice(parts, j, order), " ")
+            ctx = pc.binary_join(pc.list_slice(parts, j, order - 1), " ")
+            lev = self.levels[order - k]        # levels stored k=order..2
+            if lev[0] == "arr":
+                pkv = lookup(("arr", lev[1]), sfx, 0.0)
+                gkv = lookup(("arr", lev[2]), ctx, 1.0)
+            else:
+                pkv = lookup(("dict", lev[1]), sfx, 0.0)
+                gkv = lookup(("dict", lev[2]), ctx, 1.0)
             p_acc = pkv + gkv * p_acc
         logp = np.log(p_acc)[codes]
         lens = np.diff(offsets)                   # padded lens (0 for nulls)

@@ -500,7 +500,9 @@ def run_bench() -> dict:
             kn_logprob_scores(docs).count()
 
         try:
-            qtimes["kn_logprob_1m_docs"] = best_time(run_kn_lm)
+            # single trial: the heaviest entry by far even after the 8×
+            # hashed-model rework — one clean measurement bounds the suite
+            qtimes["kn_logprob_1m_docs"] = best_time(run_kn_lm, trials=1)
         except Exception as e:
             print(f"# kn lm bench failed: {type(e).__name__}: {e}", file=sys.stderr)
             qtimes["kn_logprob_1m_docs"] = -1.0
