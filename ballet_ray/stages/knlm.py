@@ -40,8 +40,13 @@ value for an unseen k-gram in a seen context — so pruning only re-labels
 low-count grams as unseen, identical to KenLM model pruning. All
 aggregate statistics (discounts, context totals, Σc_1, V) are computed
 BEFORE capping, so kept-gram probabilities are exact. Scoring is one
-shuffle-free ``map_batches`` pass (dictionary-encode, look up distinct
-grams only, one segment-sum per doc).
+shuffle-free ``map_batches`` pass with NO gram strings at all: per-word
+siphashes once per batch, every level's query hash is a Horner combine
+over uint64 slices, probed by one searchsorted per level against the
+broadcast sorted-hash tables (the fit builds them the same way; a 64-bit
+collision anywhere rebuilds the whole model as exact string dicts and
+the scorer takes the string branch — scores are bit-identical in both
+modes, pinned by a forced-fallback test).
 
 Reference anchor: ballet has no LM operator; this extends the corpus
 toolkit the way feature/transformer parity extends ballet/feature.py.
@@ -77,6 +82,17 @@ def _padded_words(col, order: int):
     return words
 
 
+def _window_mask(offsets: np.ndarray, m: int, order: int) -> np.ndarray:
+    """Valid mask over the m sliding windows of the flattened word array:
+    windows crossing a doc boundary are invalid."""
+    valid = np.ones(m, dtype=bool)
+    ends = offsets[1:]
+    bad = np.concatenate([ends - j for j in range(1, order)])
+    bad = bad[(bad >= 0) & (bad < m)]
+    valid[bad] = False
+    return valid
+
+
 def _ngram_strings(words, order: int):
     """(gram strings for every within-doc N-gram, doc offsets, valid mask).
 
@@ -89,12 +105,36 @@ def _ngram_strings(words, order: int):
         return None, offsets, None
     slices = [flat.slice(j, m) for j in range(order)]
     tg = pc.binary_join_element_wise(*slices, " ")
-    valid = np.ones(m, dtype=bool)
-    ends = offsets[1:]
-    bad = np.concatenate([ends - j for j in range(1, order)])
-    bad = bad[(bad >= 0) & (bad < m)]
-    valid[bad] = False
-    return tg, offsets, valid
+    return tg, offsets, _window_mask(offsets, m, order)
+
+
+# Horner multiplier for combining per-word siphashes into gram hashes
+# (FNV-1a prime; uint64 arithmetic wraps mod 2^64). Both the fit-side
+# table build (_gram_hash) and the scorer compute gram hashes THIS way —
+# from word hashes, never by hashing the joined gram string — so the
+# scorer needs no gram strings at all.
+_HK = np.uint64(1099511628211)
+
+
+def _gram_hash(col, k: int) -> np.ndarray:
+    """uint64 hash of 'w1 … wk' k-gram strings via per-word siphash +
+    Horner combine (every row has exactly k space-separated words)."""
+    from ballet_ray.functions.partition import stable_hash_array
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.uint64)
+    if k == 1:
+        return stable_hash_array(col.to_numpy(zero_copy_only=False))
+    parts = pc.split_pattern(col, " ")
+    flat = parts.flatten()
+    hw = stable_hash_array(flat.to_numpy(zero_copy_only=False)).reshape(-1, k)
+    h = hw[:, 0].copy()
+    for t in range(1, k):
+        np.multiply(h, _HK, out=h)
+        np.add(h, hw[:, t], out=h)
+    return h
 
 
 def _count_of_counts(ds, col: str):
@@ -155,26 +195,33 @@ def _probe(hs: np.ndarray, vs: np.ndarray, qh: np.ndarray, default: float) -> np
     return np.where(hit, vs[posc], default)
 
 
-def _collect_level(model, cap):
-    """Cap-sort a level model and collect HASHED lookup tables — the gram
-    strings never reach the driver (the string collect of a 5M-row level
-    was ~700 MB and dominated fit wall time). Collision detection is
-    hash-side: grams are distinct by construction, so a duplicate gram
-    hash IS a collision; contexts legitimately repeat but carry one γ per
-    ctx, so two different γ values under one ctx hash is a collision.
-    Returns ("arr", (hg, p), (hc, gam)) or None on collision (caller
-    re-collects with strings and exact dicts — probability ~7e-7 at 5M).
-    """
-    from ballet_ray.functions.partition import stable_hash_array
-
+def _cap_model(model, cap, count_col: str = "c"):
+    """Materialize and deterministically cap a model table (count desc,
+    key asc ties)."""
     model = model.materialize()
     if cap is not None and model.count() > cap:
-        model = (model.sort(["c", "g"], descending=[True, False])
+        model = (model.sort([count_col, "g"], descending=[True, False])
                  .limit(cap).materialize())
+    return model
+
+
+def _collect_level(model, cap, k: int):
+    """Cap-sort a level-k model and collect HASHED lookup tables — the
+    gram strings never reach the driver (the string collect of a 5M-row
+    level was ~700 MB and dominated fit wall time). Keys hash via
+    :func:`_gram_hash` (word-hash Horner) so the scorer can derive query
+    hashes straight from word hashes. Collision detection is hash-side:
+    grams are distinct by construction, so a duplicate gram hash IS a
+    collision; contexts legitimately repeat but carry one γ per ctx, so
+    two different γ values under one ctx hash is a collision. Returns
+    ("arr", (hg, p), (hc, gam)) or None on collision (the fit then
+    rebuilds the WHOLE model as exact string dicts from the retained
+    capped handles — probability ~7e-7 at 5M; mixed hash/dict levels
+    would break the scorer's single-mode branch)."""
 
     def hash_cols(t: pa.Table) -> pa.Table:
-        hg = stable_hash_array(t.column("g").to_numpy(zero_copy_only=False))
-        hc = stable_hash_array(t.column("ctx").to_numpy(zero_copy_only=False))
+        hg = _gram_hash(t.column("g"), k)
+        hc = _gram_hash(t.column("ctx"), k - 1)
         return pa.table({"hg": pa.array(hg), "p": t.column("p"),
                          "hc": pa.array(hc), "gam": t.column("gam")})
 
@@ -201,16 +248,10 @@ def _collect_level(model, cap):
 
 def _collect_unigram(tbl, count_col: str, cap):
     """Hashed collect of the unigram table (unique keys: duplicate hash =
-    collision → None, caller falls back to the exact string/dict path)."""
-    from ballet_ray.functions.partition import stable_hash_array
-
-    tbl = tbl.materialize()
-    if cap is not None and tbl.count() > cap:
-        tbl = (tbl.sort([count_col, "g"], descending=[True, False])
-               .limit(cap).materialize())
+    collision → None, same whole-model string fallback)."""
 
     def hash_cols(t: pa.Table, cc=count_col) -> pa.Table:
-        h = stable_hash_array(t.column("g").to_numpy(zero_copy_only=False))
+        h = _gram_hash(t.column("g"), 1)
         return pa.table({"h": pa.array(h), "v": t.column(cc)})
 
     hdf = tbl.map_batches(hash_cols, batch_format="pyarrow").to_pandas()
@@ -313,6 +354,8 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                                     stable_hash_array)
         n_parts = default_coarse_parts()
         count_col = "n"
+        capped_levels: list = []
+        collided = False
 
         for k in range(order, 1, -1):
             n1, n2, n3, n4 = _count_of_counts(tbl, count_col)
@@ -365,12 +408,10 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
                     lambda t, pm=prune_min_count: t.filter(
                         pc.greater_equal(t.column("c"), pm)),
                     batch_format="pyarrow")
-            lev = _collect_level(model, max_ngrams)
-            if lev is None:  # 64-bit collision: exact string/dict path
-                mdf = _capped_pandas(model, "c", "g", max_ngrams)
-                lev = ("dict",
-                       dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64))),
-                       dict(zip(mdf["ctx"], mdf["gam"].to_numpy(np.float64))))
+            capped = _cap_model(model, max_ngrams)
+            capped_levels.append(capped)
+            lev = _collect_level(capped, max_ngrams, k)
+            collided = collided or lev is None
             levels_out.append(lev)
 
             # derive level k−1: continuation counts over the distinct set
@@ -397,9 +438,18 @@ def kn_logprob_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         nb = float(tbl.sum(count_col))
         vocab = float(tbl.count())
         denom = nb + alpha * (vocab + 1.0)
-        cwd = _collect_unigram(tbl, count_col, max_vocab)
-        if cwd is None:  # 64-bit collision: exact string/dict path
-            cwm = _capped_pandas(tbl, count_col, "g", max_vocab)
+        capped_uni = _cap_model(tbl, max_vocab, count_col)
+        cwd = _collect_unigram(capped_uni, count_col, max_vocab)
+        if collided or cwd is None:
+            # a 64-bit collision somewhere: rebuild the WHOLE model as
+            # exact string dicts (single-mode scorer branch)
+            levels_out = []
+            for capped in capped_levels:
+                mdf = capped.to_pandas()
+                levels_out.append(("dict",
+                    dict(zip(mdf["g"], mdf["p"].to_numpy(np.float64))),
+                    dict(zip(mdf["ctx"], mdf["gam"].to_numpy(np.float64)))))
+            cwm = capped_uni.to_pandas()
             cwd = ("dict",
                    dict(zip(cwm["g"], cwm[count_col].to_numpy(np.float64))))
         # ONE broadcast object: every scoring actor deserializes it once
@@ -466,48 +516,64 @@ class KnScorer:
         if self.levels is None:
             return empty_out()
         words = _padded_words(col, order)
-        tg, offsets, valid = _ngram_strings(words, order)
-        if tg is None:
-            return empty_out()
-        d = tg.dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dtg = d.dictionary
-        from ballet_ray.functions.partition import stable_hash_array
+        hash_mode = (self.cwd[0] == "arr"
+                     and all(lev[0] == "arr" for lev in self.levels))
+        if hash_mode:
+            # pure word-hash path: per-word siphash ONCE, every level's
+            # query hash is a Horner combine over uint64 slices — no gram
+            # strings, no dictionary encode, no string joins in scoring
+            from ballet_ray.functions.partition import stable_hash_array
 
-        def lookup(table, keys_arrow, default):
-            """Per-distinct-gram lookup: vectorized siphash + ONE
-            searchsorted against the broadcast hash table (the dict
-            branch only runs for a table that hit a 64-bit collision at
-            fit time)."""
-            if table[0] == "arr":
-                hs, vs = table[1]
-                qh = stable_hash_array(
-                    keys_arrow.to_numpy(zero_copy_only=False))
-                return _probe(hs, vs, qh, default)
-            dd = table[1]
-            return np.array([dd.get(g, default)
-                             for g in keys_arrow.to_pylist()], np.float64)
-
-        # suffixes s_j (gram minus first j words) and their contexts
-        parts = pc.split_pattern(dtg, " ")
-        # innermost level first: unigram floor
-        last = pc.list_element(parts, order - 1)
-        cwv = lookup(self.cwd, last, 0.0)
-        p_acc = (cwv + alpha) / denom
-        # levels k=2..order wrap around it: p = p_k + γ_k·p_acc
-        for k in range(2, order + 1):
-            j = order - k            # suffix start for level k
-            sfx = pc.binary_join(pc.list_slice(parts, j, order), " ")
-            ctx = pc.binary_join(pc.list_slice(parts, j, order - 1), " ")
-            lev = self.levels[order - k]        # levels stored k=order..2
-            if lev[0] == "arr":
-                pkv = lookup(("arr", lev[1]), sfx, 0.0)
-                gkv = lookup(("arr", lev[2]), ctx, 1.0)
-            else:
-                pkv = lookup(("dict", lev[1]), sfx, 0.0)
-                gkv = lookup(("dict", lev[2]), ctx, 1.0)
-            p_acc = pkv + gkv * p_acc
-        logp = np.log(p_acc)[codes]
+            flat = words.flatten()
+            offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offsets = offsets - offsets[0]
+            m = len(flat) - (order - 1)
+            if m < 1:
+                return empty_out()
+            valid = _window_mask(offsets, m, order)
+            hw = stable_hash_array(flat.to_numpy(zero_copy_only=False))
+            cw_h, cw_v = self.cwd[1]
+            p_acc = (_probe(cw_h, cw_v, hw[order - 1:order - 1 + m], 0.0)
+                     + alpha) / denom
+            for k in range(2, order + 1):
+                j = order - k        # suffix start for level k
+                s_h = hw[j:j + m].copy()
+                for tt in range(1, k):
+                    np.multiply(s_h, _HK, out=s_h)
+                    np.add(s_h, hw[j + tt:j + tt + m], out=s_h)
+                c_h = hw[j:j + m].copy()
+                for tt in range(1, k - 1):
+                    np.multiply(c_h, _HK, out=c_h)
+                    np.add(c_h, hw[j + tt:j + tt + m], out=c_h)
+                lev = self.levels[order - k]    # levels stored k=order..2
+                pkv = _probe(lev[1][0], lev[1][1], s_h, 0.0)
+                gkv = _probe(lev[2][0], lev[2][1], c_h, 1.0)
+                p_acc = pkv + gkv * p_acc
+            logp = np.log(p_acc)
+        else:
+            # exact string/dict fallback (a table hit a 64-bit collision
+            # at fit time): dictionary-encode distinct grams, dict gets
+            tg, offsets, valid = _ngram_strings(words, order)
+            if tg is None:
+                return empty_out()
+            d = tg.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dtg = d.dictionary
+            parts = pc.split_pattern(dtg, " ")
+            last = pc.list_element(parts, order - 1).to_pylist()
+            dd = self.cwd[1]
+            cwv = np.array([dd.get(w, 0.0) for w in last], np.float64)
+            p_acc = (cwv + alpha) / denom
+            for k in range(2, order + 1):
+                j = order - k
+                sfx = pc.binary_join(pc.list_slice(parts, j, order), " ").to_pylist()
+                ctx = pc.binary_join(pc.list_slice(parts, j, order - 1), " ").to_pylist()
+                lev = self.levels[order - k]
+                pd_, gd_ = lev[1], lev[2]
+                pkv = np.array([pd_.get(g, 0.0) for g in sfx], np.float64)
+                gkv = np.array([gd_.get(g, 1.0) for g in ctx], np.float64)
+                p_acc = pkv + gkv * p_acc
+            logp = np.log(p_acc)[codes]
         lens = np.diff(offsets)                   # padded lens (0 for nulls)
         npos = np.maximum(lens - (order - 1), 0)  # scored positions per doc
         # the valid mask keeps exactly npos[i] gram starts per doc, in doc

@@ -247,3 +247,29 @@ def test_task_pool_matches_actor_pool():
         .to_pandas().set_index("doc_id").sort_index()
     for col in ("logprob", "mean_logprob", "ppl"):
         np.testing.assert_array_equal(a[col].to_numpy(), b[col].to_numpy())
+
+
+def test_kn_string_fallback_matches_hash_path(monkeypatch):
+    """Force the whole-model string/dict fallback (as a real 64-bit hash
+    collision would) and check scores are IDENTICAL to the hash path —
+    the bit-exactness guarantee the collision design rests on."""
+    import pandas as pd
+    import ray.data as rd
+
+    import ballet_ray.stages.knlm as knlm
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["the cat sat on the mat", "the cat ran", "a dog sat",
+                 "the mat sat on the cat", "dogs and cats", None, "",
+                 "the the the"],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    fast = knlm.kn_logprob_scores(ds, round_to=None).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    monkeypatch.setattr(knlm, "_collect_level", lambda *a, **k: None)
+    slow = knlm.kn_logprob_scores(ds, round_to=None).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    for c in ("logprob", "mean_logprob", "ppl"):
+        assert (fast[c].to_numpy() == slow[c].to_numpy()).all(), c
