@@ -51,6 +51,7 @@ from ballet_ray.stages.dedup import (
     assign_clusters,
     cluster_losers,
     dedup_by_minhash,
+    dedup_by_token_minhash,
     duplicate_passages,
     duplication_scores,
     exact_dedup,
@@ -255,6 +256,7 @@ __all__ = [
     "count_min",
     "cluster_losers",
     "dedup_by_minhash",
+    "dedup_by_token_minhash",
     "diversity_sample",
     "dsir_log_weights",
     "dsir_resample",

@@ -3577,6 +3577,32 @@ WHERE words >= 20 AND dup_word_frac <= 0.6 AND top_word_frac <= 0.13
 """
 
 
+def q_token_near_dedup_docs(sf_dir: str):
+    """NEAR-dedup over the pre-tokenized shape (the token twin of
+    minhash_dedup): word-length sequences stand in for token arrays;
+    token-shingle MinHash-LSH pairs -> components -> keep the LONGEST
+    member per cluster (n_tok keep_col, min-id tiebreak). Rows-only:
+    LSH bucket membership is not SQL-expressible; exact-parity pytest
+    covers the semantics (tests/test_list_content_hash.py)."""
+    from ballet_ray.stages.dedup import dedup_by_token_minhash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.cast(t.column("text"), pa.string()), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        lens = pc.utf8_length(words.flatten())
+        toks = pa.ListArray.from_arrays(words.offsets, lens)
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "tokens": toks,
+                         "n_tok": n})
+
+    tok_ds = ds.map_batches(toks, batch_format="pyarrow")
+    out = dedup_by_token_minhash(tok_ds, keep_col="n_tok", est_threshold=0.8)
+    return out.select_columns(["doc_id", "n_tok"])
+
+
 def q_token_seq_dedup_docs(sf_dir: str):
     """EXACT sequence-level dedup over a pre-tokenized list column (the
     north-rule input shape): each doc's word-length sequence stands in for
@@ -4217,6 +4243,7 @@ QUERIES = {
     "c4_clean_docs": q_c4_clean_docs,
     "gopher_signals_docs": q_gopher_signals_docs,
     "token_seq_dedup_docs": q_token_seq_dedup_docs,
+    "token_near_dedup_docs": q_token_near_dedup_docs,
     "pii_signals_docs": q_pii_signals_docs,
     "ppl_bucket_docs": q_ppl_bucket_docs,
     # --- long-certified in rounds 2-4 (full coverage via check_oracles) ---

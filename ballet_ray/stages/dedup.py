@@ -1509,6 +1509,44 @@ def token_minhash_lsh_pairs(
     return _lsh_pairs_from_signed(signed, id_col=id_col, num_perm=num_perm, **lsh_kwargs)
 
 
+def dedup_by_token_minhash(
+    ds, *, tokens_col: str = "tokens", id_col: str = "doc_id",
+    resolve: str = "broadcast", num_partitions: int | None = None,
+    keep_col: str | None = None, keep: str = "max", **lsh_kwargs,
+):
+    """End-to-end near-dedup of the PRE-TOKENIZED canonical table
+    (doc_id, tokens:list<int32>, …): :func:`token_minhash_lsh_pairs` →
+    connected components → keep one row per cluster — the min id by
+    default, the best ``keep_col`` member (e.g. ``n_tok`` for
+    keep-the-longest) via :func:`cluster_losers`. The token twin of
+    :func:`dedup_by_minhash`; no text or regex anywhere in the hot path,
+    and the loser set stays bounded by the duplicate count."""
+    from ballet_ray.stages.joins import default_join_partitions
+
+    num_partitions = default_join_partitions(num_partitions)
+    pairs = token_minhash_lsh_pairs(
+        ds, tokens_col=tokens_col, id_col=id_col, **lsh_kwargs)
+    clusters = assign_clusters(pairs, id_col=id_col, num_partitions=num_partitions)
+    if keep_col is not None and clusters.count() == 0:
+        return ds  # no near-dups at all (empty clusters can be schema-less)
+    loser_ds = cluster_losers(
+        clusters, ds, id_col=id_col, keep_col=keep_col, keep=keep,
+        num_partitions=num_partitions,
+    )
+    if resolve == "broadcast":
+        losers_df = loser_ds.to_pandas()
+        if id_col not in losers_df.columns:  # no dups: schema-less empty
+            return ds
+        from ballet_ray.stages.joins import semi_join_filter
+
+        return semi_join_filter(
+            ds, losers_df[id_col].to_numpy(), key=id_col, invert=True)
+
+    from ballet_ray.stages.joins import left_anti_join
+
+    return left_anti_join(ds, loser_ds, key=id_col, num_partitions=num_partitions)
+
+
 def duplicate_passages(
     ds, *, text_col: str = "text", id_col: str = "doc_id", n: int = 8,
     min_count: int = 2, key: str = "hash", return_docs: bool = False,

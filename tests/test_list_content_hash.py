@@ -52,3 +52,41 @@ def test_exact_dedup_on_token_lists(ray_session):
     out = exact_dedup(rd.from_items(rows), col="tokens", id_col="doc_id")
     ids = sorted(out.to_pandas()["doc_id"])
     assert ids == [0, 1, 2, 4, 5, 7, 8, 10, 11]  # min-id per sequence
+
+
+def test_dedup_by_token_minhash_keep_longest(ray_session):
+    """End-to-end token-sequence near-dedup: planted near-dup token arrays
+    collapse to one row per cluster — keep_col='n_tok' keeps the LONGEST
+    member, default keeps the min id; disjoint sequences survive."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ballet_ray.stages.dedup import dedup_by_token_minhash
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 50_000, 300).astype(np.int32)
+    near = np.concatenate([base, rng.integers(0, 50_000, 6).astype(np.int32)])
+    other = rng.integers(0, 50_000, 280).astype(np.int32)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "tokens": [list(base), list(near), list(other)],
+    })
+    df["n_tok"] = df["tokens"].map(len)
+    ds = rd.from_pandas(df).repartition(2)
+
+    kept = dedup_by_token_minhash(
+        ds, est_threshold=0.8, keep_col="n_tok"
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 3]  # longest near-dup member wins
+
+    kept_min = dedup_by_token_minhash(ds, est_threshold=0.8).to_pandas()
+    assert sorted(kept_min["doc_id"]) == [1, 3]  # default: min id
+
+    # no near-dups at all → identity, both retention modes
+    df2 = df[df.doc_id.isin([1, 3])]
+    for kw in ({}, {"keep_col": "n_tok"}):
+        out = dedup_by_token_minhash(
+            rd.from_pandas(df2), est_threshold=0.8, **kw
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3], kw
