@@ -226,6 +226,10 @@ def _collect_level(model, cap, k: int):
                          "hc": pa.array(hc), "gam": t.column("gam")})
 
     hdf = model.map_batches(hash_cols, batch_format="pyarrow").to_pandas()
+    if not len(hdf) or "hg" not in hdf.columns:
+        # a fully-pruned level: every gram backs off via the defaults
+        e = np.empty(0, np.uint64)
+        return ("arr", (e, np.empty(0)), (e.copy(), np.empty(0)))
     hg = hdf["hg"].to_numpy()
     p = hdf["p"].to_numpy(np.float64)
     o = np.argsort(hg, kind="stable")
@@ -255,6 +259,8 @@ def _collect_unigram(tbl, count_col: str, cap):
         return pa.table({"h": pa.array(h), "v": t.column(cc)})
 
     hdf = tbl.map_batches(hash_cols, batch_format="pyarrow").to_pandas()
+    if not len(hdf) or "h" not in hdf.columns:
+        return ("arr", (np.empty(0, np.uint64), np.empty(0)))
     h = hdf["h"].to_numpy()
     v = hdf["v"].to_numpy(np.float64)
     o = np.argsort(h, kind="stable")

@@ -273,3 +273,23 @@ def test_kn_string_fallback_matches_hash_path(monkeypatch):
         "doc_id").reset_index(drop=True)
     for c in ("logprob", "mean_logprob", "ppl"):
         assert (fast[c].to_numpy() == slow[c].to_numpy()).all(), c
+
+
+def test_kn_fully_pruned_level_backs_off(ray_session=None):
+    """prune_min_count above every gram count empties the level tables —
+    scoring must back off through the defaults (γ=1 → unigram floor), not
+    crash on the schema-less empty collect."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import ballet_ray.stages.knlm as knlm
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "e f g h"]})
+    out = knlm.kn_logprob_scores(
+        rd.from_pandas(df), prune_min_count=99, round_to=None
+    ).to_pandas().sort_values("doc_id")
+    assert len(out) == 2 and (out["ppl"] > 0).all()
+    # all levels pruned -> pure unigram-floor model: every word scores the
+    # same, so both docs (4 words each, disjoint vocab) tie exactly
+    assert out["logprob"].iloc[0] == out["logprob"].iloc[1]
